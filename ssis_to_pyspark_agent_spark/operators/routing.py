@@ -1,0 +1,82 @@
+"""Filters / routing operators (SURVEY §2.4).
+
+Conditional Split's SSIS semantics are ORDERED, MUTUALLY EXCLUSIVE outputs:
+a row goes to the FIRST output whose predicate matches, else the default
+output (EvaluationOrder in Sample_Medium_Package.dtsx:569-602). The
+reference emits one ``df.filter(p_i)`` per output
+(enhanced_json_mapper.py:2199-2243) which is subtly wrong when predicates
+overlap; we implement first-match-wins exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssis_to_pyspark_agent_spark.functions.expr import ExpressionCompiler, schema_of
+from ssis_to_pyspark_agent_spark.operators import operator
+
+
+@operator("conditional_split")
+def conditional_split(spark: SparkSession, inputs, config, context):
+    """`outputs`: ordered mapping port_name -> SSIS predicate expression;
+    `default`: port name for non-matching rows (default "default").
+
+    Single-pass plan: compute a route column with one chained
+    ``when(p1).when(p2)...otherwise(default)`` (each predicate evaluated at
+    most once per row, exclusivity by construction), then one filter per
+    port. Catalyst collapses route+filter into the scan; with a multicast
+    upstream the scan is shared.
+    """
+    df: DataFrame = inputs[0]
+    comp = ExpressionCompiler(schema=schema_of(df), variables=context)
+    route: Column | None = None
+    preds: dict[str, Column] = {}
+    for port, pred in config["outputs"].items():
+        c = pred if isinstance(pred, Column) else comp.compile(pred)
+        preds[port] = c
+        route = F.when(c, F.lit(port)) if route is None else route.when(c, F.lit(port))
+    default_port = config.get("default", "default")
+    assert route is not None, "conditional_split needs >=1 output"
+    routed = df.withColumn("_route", route.otherwise(F.lit(default_port)))
+    out = {
+        port: routed.filter(F.col("_route") == port).drop("_route")
+        for port in list(config["outputs"]) + [default_port]
+    }
+    return out
+
+
+@operator("multicast")
+def multicast(spark: SparkSession, inputs, config, context):
+    """Multicast (reference enhanced_json_mapper.py:270-277 emits
+    ``df.cache()``): expose N identical ports. The runner's fan-out
+    persistence handles caching when >1 action consumes them; duplicating
+    the lazy plan is otherwise free."""
+    df: DataFrame = inputs[0]
+    n = config.get("outputs", 2)
+    return {f"out{i + 1}": df for i in range(n)}
+
+
+@operator("sample")
+def sample(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Percentage / Row Sampling (reference :1096-1097).
+
+    method='random': ``df.sample`` (seeded, partition-level Bernoulli).
+    method='hash': deterministic content-addressed sample —
+    ``pmod(xxhash64(key), buckets) < hit_buckets`` — reproducible across
+    runs/engines and cheap at 100 TB (no shuffle, pushdown-friendly).
+    method='rows': exact N rows by seeded hash order (shuffle: sort+limit).
+    """
+    df: DataFrame = inputs[0]
+    method = config.get("method", "random")
+    if method == "random":
+        return df.sample(fraction=config["fraction"], seed=config.get("seed", 42))
+    if method == "hash":
+        key = [F.col(c).cast("string") for c in config["key"]]
+        buckets = config.get("buckets", 100)
+        hit = int(round(config["fraction"] * buckets))
+        return df.filter(F.pmod(F.xxhash64(*key), F.lit(buckets)) < hit)
+    if method == "rows":
+        key = [F.col(c).cast("string") for c in config["key"]]
+        return df.orderBy(F.xxhash64(*key)).limit(config["n"])
+    raise ValueError(f"unknown sample method {method!r}")

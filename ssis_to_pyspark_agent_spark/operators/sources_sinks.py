@@ -1,0 +1,166 @@
+"""Source and sink operators (SURVEY §2.1 / §2.2).
+
+The reference's sources are SSIS connection-manager reads emitted as
+``spark.table`` / ``spark.sql`` / ``spark.read.{csv,json,excel}`` templates
+(``/root/reference/mapping/enhanced_json_mapper.py:62-175, 1572-1713``);
+destinations are Delta/JDBC/file writes (``:2066-2138, 441-492``). Here each
+becomes a thin declarative wrapper over DataFrameReader/Writer so Catalyst
+gets pushdown/pruning on scans and the writer controls layout (partitioning)
+for downstream 100 TB reads.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssis_to_pyspark_agent_spark.operators import operator
+
+
+@operator("source.parquet")
+def parquet_source(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Parquet scan (reference OLE DB Source table mode ->
+    ``spark.table``, enhanced_json_mapper.py:1601-1608). Columnar +
+    predicate pushdown; `columns` prunes the read schema explicitly."""
+    df = spark.read.parquet(config["path"])
+    if cols := config.get("columns"):
+        df = df.select(*cols)
+    if pred := config.get("where"):
+        df = df.filter(pred)  # SQL string — stays pushdown-eligible
+    return df
+
+
+@operator("source.table")
+def table_source(spark: SparkSession, inputs, config, context) -> DataFrame:
+    df = spark.table(config["table"])
+    if cols := config.get("columns"):
+        df = df.select(*cols)
+    return df
+
+
+@operator("source.sql")
+def sql_source(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """OLE DB Source query mode (AccessMode=2) -> ``spark.sql`` (reference
+    enhanced_json_mapper.py:1572-1590)."""
+    return spark.sql(config["query"])
+
+
+@operator("source.csv")
+def csv_source(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Flat File / Excel-as-tabular source (reference
+    enhanced_json_mapper.py:71-79,166-175). Declared DDL schema preferred
+    over inferSchema (which double-scans)."""
+    r = spark.read.option("header", str(config.get("header", True)).lower()).option(
+        "sep", config.get("sep", ",")
+    )
+    if schema := config.get("schema"):
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(config["path"])
+
+
+@operator("source.json")
+def json_source(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """JSON source (reference REST/JSON source,
+    enhanced_json_mapper.py:134-152). `record_path` drills into a nested
+    array (the reference's JSON-path Filter) via explode."""
+    r = spark.read
+    if schema := config.get("schema"):
+        r = r.schema(schema)
+    df = r.option("multiLine", str(config.get("multiline", False)).lower()).json(
+        config["path"]
+    )
+    if rp := config.get("record_path"):
+        for part in rp.split("."):
+            df = df.select(F.explode(part).alias("_rec")).select("_rec.*")
+    return df
+
+
+@operator("source.binary")
+def binary_source(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Multimodal file ingest: `binaryFile` gives (path, modificationTime,
+    length, content) — the scale-path for image/audio blobs (SURVEY §2.12)."""
+    r = spark.read.format("binaryFile")
+    if glob := config.get("glob"):
+        r = r.option("pathGlobFilter", glob)
+    return r.load(config["path"])
+
+
+@operator("source.dataframe")
+def dataframe_source(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Inject a pre-built DataFrame (tests / Recordset round-trips)."""
+    return config["df"]
+
+
+@operator("sink.parquet")
+def parquet_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """File destination (reference OLE DB Destination -> Delta append,
+    enhanced_json_mapper.py:2066-2074; parquet variant :485-492).
+
+    `partition_by` drives layout for downstream partition pruning;
+    `buckets`+`bucket_by` writes a bucketed table for shuffle-free joins.
+    """
+    df: DataFrame = inputs[0]
+    w = df.write.mode(config.get("mode", "append"))
+    if pb := config.get("partition_by"):
+        w = w.partitionBy(*pb)
+    w.parquet(config["path"])
+    return df
+
+
+@operator("sink.table")
+def table_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
+    df: DataFrame = inputs[0]
+    w = df.write.mode(config.get("mode", "append"))
+    if pb := config.get("partition_by"):
+        w = w.partitionBy(*pb)
+    if (n := config.get("buckets")) and (bc := config.get("bucket_by")):
+        w = w.bucketBy(n, *bc).sortBy(*bc)
+    w.saveAsTable(config["table"])
+    return df
+
+
+@operator("sink.csv")
+def csv_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
+    df: DataFrame = inputs[0]
+    (
+        df.write.mode(config.get("mode", "overwrite"))
+        .option("header", str(config.get("header", True)).lower())
+        .csv(config["path"])
+    )
+    return df
+
+
+@operator("sink.view")
+def view_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Recordset Destination analogue: register a temp view instead of
+    collecting to the driver (reference indicator parser :505)."""
+    inputs[0].createOrReplaceTempView(config["name"])
+    return inputs[0]
+
+
+@operator("sink.trash")
+def trash_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Trash Destination (reference enhanced_json_mapper.py:368-377):
+    terminate a branch. Optionally record the row count into context —
+    via count() only when asked, since it forces an action."""
+    df = inputs[0]
+    if var := config.get("count_into"):
+        context[var] = df.count()
+    return df
+
+
+@operator("sql.task")
+def sql_task(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Execute SQL Task (reference parsing :190-245, codegen :955-996):
+    DDL/DML via ``spark.sql``; a single-row result binds into context
+    variables (Sample_Medium_Package.dtsx:31-34)."""
+    df = spark.sql(config["sql"])
+    if bind := config.get("result_bindings"):
+        row = df.first()
+        for var, colname in bind.items():
+            context[var] = row[colname] if row is not None else None
+    return df

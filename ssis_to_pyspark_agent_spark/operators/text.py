@@ -1,0 +1,158 @@
+"""Text analysis operators (SURVEY §2.12 — NEW): language-ID, quality
+scoring, token counting, document fingerprinting.
+
+The reference's only text surface is Term Lookup/Extraction (recognized
+types, data_engineering_parser.py:1119-1120). These operators are the
+training-data-pipeline versions, all built-in-function only (regexp/array
+ops inside whole-stage codegen — a Python UDF here would dominate runtime
+at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssis_to_pyspark_agent_spark.operators import operator
+from ssis_to_pyspark_agent_spark.operators.dedup import _norm_text, _words
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
+# Deliberately short: language ID by stopword hit-rate needs only the most
+# frequent function words.
+_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "on", "with", "as", "are"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein", "eine", "zu", "im", "für"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "que", "pour", "dans", "qui", "pas"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "en", "un", "una", "es", "por", "con", "para", "no"],
+    "it": ["il", "la", "di", "che", "e", "un", "una", "per", "non", "sono", "con", "del", "si", "nel"],
+}
+
+
+def _stopword_hits(words: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+
+@operator("text.lang_id")
+def lang_id(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Stopword-ratio language ID. Adds `lang_pred` (argmax language) and
+    `lang_score` (hit ratio of the winner; 0 tokens -> 'und').
+    config: text_col, languages (default all built-ins)."""
+    df: DataFrame = inputs[0]
+    text_col = config["text_col"]
+    langs = config.get("languages", list(_STOPWORDS))
+    words = _words(F.col(text_col))
+    n = F.greatest(F.size(words), F.lit(1))
+    scored = F.array(
+        *[
+            F.struct(
+                (_stopword_hits(words, lg) / n).alias("score"), F.lit(lg).alias("lang")
+            )
+            for lg in langs
+        ]
+    )
+    best = F.array_sort(scored)[F.size(scored) - 1]  # max by (score, lang)
+    return df.withColumns(
+        {
+            "lang_pred": F.when(F.size(words) == 0, F.lit("und")).otherwise(
+                F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+            ),
+            "lang_score": best["score"],
+        }
+    )
+
+
+@operator("text.quality")
+def quality(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Heuristic quality features (the usual pretraining-filter signals):
+    n_chars, n_words, mean_word_len, punct_ratio, digit_ratio, upper_ratio,
+    stopword_ratio (en), plus a composite `quality_score` in [0,1].
+    All ratios are over non-space characters to be length-stable."""
+    df: DataFrame = inputs[0]
+    c = F.col(config["text_col"])
+    words = _words(c)
+    nonspace = F.greatest(
+        F.length(F.regexp_replace(c, r"\s", "")), F.lit(1)
+    ).cast("double")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    feats = {
+        "n_chars": F.length(c).cast("bigint"),
+        "n_words": F.size(words).cast("bigint"),
+        "mean_word_len": F.aggregate(
+            words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+        )
+        / n_words,
+        "punct_ratio": F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+        / nonspace,
+        "digit_ratio": F.length(F.regexp_replace(c, r"[^0-9]", "")) / nonspace,
+        "upper_ratio": F.length(F.regexp_replace(c, r"[^A-Z]", "")) / nonspace,
+        "stopword_ratio": _stopword_hits(words, "en") / n_words,
+    }
+    out = df.withColumns(feats)
+    # Composite: reward stopword presence & sane word length, punish
+    # punctuation/digit walls. Clamped to [0,1].
+    score = (
+        F.lit(0.4) * F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
+        + F.lit(0.3)
+        * F.when((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10), 1.0).otherwise(0.0)
+        + F.lit(0.15) * F.when(F.col("punct_ratio") < 0.1, 1.0).otherwise(0.0)
+        + F.lit(0.15) * F.when(F.col("digit_ratio") < 0.2, 1.0).otherwise(0.0)
+    )
+    return out.withColumn("quality_score", F.round(score, 4))
+
+
+@operator("text.token_count")
+def token_count(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Token counting: `ws_tokens` (whitespace split) and `bpe_tokens`
+    (BPE-ish regex: word pieces, numbers, punctuation singles — the classic
+    GPT-2 pretokenizer shape, no model needed)."""
+    df: DataFrame = inputs[0]
+    c = F.col(config["text_col"])
+    ws = F.size(F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != ""))
+    pieces = F.regexp_extract_all(
+        c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0
+    )
+    # ~4 chars/BPE-token heuristic applied per word piece: long words split
+    bpe = F.aggregate(
+        pieces,
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + F.ceil(F.length(p) / 4.0).cast("bigint"),
+    )
+    return df.withColumns(
+        {"ws_tokens": ws.cast("bigint"), "bpe_tokens": bpe}
+    )
+
+
+@operator("text.fingerprint")
+def fingerprint(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Document fingerprints: `fp_md5` (md5 of normalized text — exact-dup
+    key), `fp_winnow` (min rolling-hash over word 4-shingles — survives
+    small edits; the winnowing idea with window = whole doc)."""
+    df: DataFrame = inputs[0]
+    c = F.col(config["text_col"])
+    k = config.get("shingle_k", 4)
+    from ssis_to_pyspark_agent_spark.operators.dedup import _shingles
+
+    norm = _norm_text(c)
+    shingle_hashes = F.transform(_shingles(c, k), F.xxhash64)
+    return df.withColumns(
+        {
+            "fp_md5": F.md5(norm),
+            "fp_winnow": F.array_min(shingle_hashes),
+        }
+    )
+
+
+@operator("term_lookup")
+def term_lookup(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Term Lookup (reference :1119): count occurrences of reference terms
+    in each row's text. inputs: [docs, terms]; terms broadcast; output adds
+    `term` + `term_count` rows per (doc, matched term) — SSIS semantics."""
+    docs, terms = inputs[0], inputs[1]
+    text_col, term_col = config["text_col"], config["term_col"]
+    t = F.broadcast(terms.select(F.lower(F.col(term_col)).alias("_term")).distinct())
+    words = _words(F.col(text_col))
+    joined = docs.crossJoin(t).withColumn(
+        "term_count", F.size(F.filter(words, lambda w: w == F.col("_term")))
+    )
+    return joined.filter(F.col("term_count") > 0).withColumnRenamed("_term", "term")

@@ -1,0 +1,70 @@
+"""Declarative pipeline spec.
+
+The reference's unit of work is an SSIS *package*: connections + SQL tasks +
+data flows + an execution order of precedence-constrained tasks
+(``/root/reference/models.py:89-95``, parser output
+``parsing/data_engineering_parser.py:53-59``). Each data flow is a DAG of
+components joined by paths (``:413-444``).
+
+Our equivalent is a :class:`Pipeline` of :class:`Step` nodes. A step names an
+operator from the registry, a config dict, and its input edges. Multi-output
+operators (conditional split, lookup match/no-match) expose named output
+ports addressed as ``"step.port"``; single-output steps are addressed by the
+bare step name. The runner topo-sorts and executes — all laziness is
+Catalyst's (nothing materializes until a sink or an explicit action).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class Step:
+    """One operator instance (reference: SSISComponent, models.py:60-68)."""
+
+    name: str
+    op: str
+    inputs: list[str] = field(default_factory=list)  # "step" or "step.port"
+    config: dict[str, Any] = field(default_factory=dict)
+    enabled: bool = True  # DTS:Disabled handling (parser :197-200)
+
+
+@dataclass
+class Pipeline:
+    """A DAG of steps + driver-side scalar variables (SSIS package variables,
+
+    models.py:85; written by e.g. Row Count and read by precedence-constraint
+    expression guards, Sample_Medium_Package.dtsx:905).
+    """
+
+    name: str
+    steps: list[Step] = field(default_factory=list)
+    variables: dict[str, Any] = field(default_factory=dict)
+
+    def step(
+        self,
+        name: str,
+        op: str,
+        inputs: list[str] | str | None = None,
+        **config: Any,
+    ) -> "Pipeline":
+        """Builder-style append; returns self for chaining."""
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        self.steps.append(Step(name=name, op=op, inputs=inputs or [], config=config))
+        return self
+
+    def validate(self) -> None:
+        names = set()
+        for s in self.steps:
+            if s.name in names:
+                raise ValueError(f"duplicate step name {s.name!r}")
+            names.add(s.name)
+        for s in self.steps:
+            for ref in s.inputs:
+                if ref.split(".")[0] not in names:
+                    raise ValueError(
+                        f"step {s.name!r} references unknown input {ref!r}"
+                    )

@@ -1,0 +1,92 @@
+"""Streaming pipeline pieces (SURVEY §2.10, build-plan phase 7).
+
+The reference has no streaming concept at all (grep for watermark/stream
+yields nothing — SURVEY §1.1). These helpers give the engine a Structured
+Streaming variant of the batch operators: readStream sources, watermarked
+tumbling/sliding/session windows, dedup-within-watermark, and a
+memory-sink test harness (`processAllAvailable` drives a bounded parquet
+directory through the streaming engine synchronously — the recommended
+local smoke pattern).
+
+The batch/stream operator split is intentionally thin: a streaming query
+is the same DataFrame expression over an unbounded source, so every
+stateless operator in the registry (derived_column, filter, lookup against
+a static dim, union) works unchanged on a streaming DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssis_to_pyspark_agent_spark.operators.agg import build_aggs
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """readStream over a parquet directory (file source: the bounded-input
+    test stand-in for kafka)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema  # one cheap footer read
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_agg(
+    events: DataFrame,
+    ts_col: str,
+    window: str,
+    aggs: dict,
+    keys: list[str] | None = None,
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    session_gap: str | None = None,
+) -> DataFrame:
+    """Watermarked windowed aggregation: tumbling (default), sliding
+    (`slide`), or session (`session_gap`) windows."""
+    e = events.withWatermark(ts_col, watermark)
+    if session_gap:
+        win = F.session_window(F.col(ts_col), session_gap)
+    elif slide:
+        win = F.window(F.col(ts_col), window, slide)
+    else:
+        win = F.window(F.col(ts_col), window)
+    g = e.groupBy(win, *(keys or []))
+    out = g.agg(*build_aggs(aggs))
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *(keys or []),
+        *aggs.keys(),
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], ts_col: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact-dedup with bounded state."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drive a (bounded-source) streaming DataFrame to completion into an
+    in-memory table `name` — synchronous, for tests/smoke."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
