@@ -26,10 +26,15 @@ def pivot(spark: SparkSession, inputs, config, context) -> DataFrame:
     p = g.pivot(config["pivot_col"], config.get("values"))
     aggs = config.get("aggs")
     if aggs:
-        return p.agg(*build_aggs(aggs))
-    from pyspark.sql import functions as F
+        out = p.agg(*build_aggs(aggs))
+    else:
+        from pyspark.sql import functions as F
 
-    return p.agg(F.first(config["value_col"]))
+        out = p.agg(F.first(config["value_col"]))
+    if (fv := config.get("fill_value")) is not None:
+        value_cols = [c for c in out.columns if c not in config["keys"]]
+        out = out.fillna(fv, subset=value_cols)
+    return out
 
 
 @operator("unpivot")

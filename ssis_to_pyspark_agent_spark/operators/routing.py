@@ -79,4 +79,9 @@ def sample(spark: SparkSession, inputs, config, context) -> DataFrame:
     if method == "rows":
         key = [F.col(c).cast("string") for c in config["key"]]
         return df.orderBy(F.xxhash64(*key)).limit(config["n"])
+    if method == "mod":
+        # engine-neutral deterministic sample: key % n == r (oracle-friendly;
+        # use method='hash' when the key distribution is clumpy)
+        key = F.col(config["key"][0])
+        return df.filter(key % config["n"] == config.get("r", 0))
     raise ValueError(f"unknown sample method {method!r}")

@@ -1,0 +1,146 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` on Spark and its
+``oracle_sql()`` on DuckDB over the same parquet, then compares:
+row count, column names, and order-insensitive values (sorted by all
+columns, columns sorted by name — mirroring the documented driver compare).
+
+Usage: python tools/compare.py [sf_dir] [query_prefix...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(v):
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        return v.tz_localize(None) if v.tzinfo else v
+    if isinstance(v, datetime.datetime):
+        return pd.Timestamp(v).tz_localize(None)
+    if isinstance(v, datetime.date):
+        return pd.Timestamp(v)
+    if isinstance(v, (list, tuple)):
+        return str([_canon(x) for x in v])
+    return v
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].dt.tz_localize(None)
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        if df[c].dtype == object:
+            df[c] = df[c].map(_canon)
+    key = df.astype(str)
+    return df.loc[key.sort_values(by=list(df.columns)).index].reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+    if problems:
+        return problems
+    s, o = normalize(sdf), normalize(odf)
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        bad = [
+            (i, x, y)
+            for i, (x, y) in enumerate(zip(sv, ov))
+            if not values_equal(_canon(x), _canon(y))
+        ]
+        if bad:
+            i, x, y = bad[0]
+            problems.append(
+                f"col {c}: {len(bad)} mismatches, first@{i}: spark={x!r} oracle={y!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefixes = sys.argv[2:]
+
+    import __spark_entry__ as entry
+    from ssis_to_pyspark_agent_spark.session import get_spark
+
+    spark = get_spark(
+        extra_conf={"spark.ui.showConsoleProgress": "false"}, shuffle_partitions=8
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows={len(sdf)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: " + "; ".join(problems) + f" [{time.time()-t0:.1f}s]")
+        else:
+            print(f"PASS  {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
