@@ -180,10 +180,10 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
 
 @operator("dedup.simhash")
 def dedup_simhash(spark: SparkSession, inputs, config, context):
-    """SimHash near-dedup: 64-bit fingerprint = sign of per-bit sums of
+    """SimHash near-dedup: 60-bit fingerprint = sign of per-bit sums of
     token hashes; near-dup = hamming distance <= max_distance.
 
-    Candidate generation via the pigeonhole principle: split 64 bits into
+    Candidate generation via the pigeonhole principle: split the bits into
     (max_distance+1) chunks; any pair within distance d shares at least one
     exact chunk -> equi-join on (chunk_id, chunk_value), verify with
     bit_count(a XOR b).
@@ -193,42 +193,46 @@ def dedup_simhash(spark: SparkSession, inputs, config, context):
     max_d = config.get("max_distance", 3)
     n_chunks = max_d + 1
 
+    n_bits = 60  # divisible chunking headroom, avoids the sign bit of long
     tokens = _words(F.col(text_col))
-    # per-bit vote: sum over tokens of (+1 / -1) for each of 64 bit positions
+    # per-bit vote: sum over tokens of (+1 / -1) for each bit position.
+    # Bit positions are compile-time literals (shift amounts must be ints),
+    # so the per-token bit array is an unrolled F.array — still one narrow
+    # JVM pass, just a wide codegen expression.
     votes = F.aggregate(
         tokens,
-        F.array_repeat(F.lit(0).cast("long"), 64),
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda j: F.when(
-                    F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for j in range(n_bits)
+                ]
             ),
             lambda a, b: a + b.cast("long"),
         ),
     )
-    simhash = F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, j: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-    base = df.select(F.col(id_col).alias("_id"), simhash.alias("_sh"))
+    base = df.select(F.col(id_col).alias("_id"), votes.alias("_votes"))
+    simhash = None
+    for j in range(n_bits):
+        bit = F.when(F.col("_votes").getItem(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = bit if simhash is None else simhash.bitwiseOR(bit)
+    base = base.withColumn("_sh", simhash).drop("_votes")
 
-    chunk_bits = 64 // n_chunks
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-        lambda i: F.shiftrightunsigned(F.col("_sh"), i * chunk_bits).bitwiseAND(
-            F.lit((1 << chunk_bits) - 1)
-        ),
+    chunk_bits = n_bits // n_chunks
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("_sh"), i * chunk_bits).bitwiseAND(
+                F.lit((1 << chunk_bits) - 1)
+            )
+            for i in range(n_chunks)
+        ]
     )
     banded = base.select("_id", "_sh", F.posexplode(chunks).alias("_chunk", "_cv"))
     l, r = banded.alias("l"), banded.alias("r")
@@ -269,10 +273,27 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
     n_blocks = config.get("blocks", 2)  # use the n smallest shingle hashes
 
     sh = _shingles(F.col(text_col), k)
-    base = df.select(F.col(id_col).alias("_id"), sh.alias("_sh")).withColumn(
-        "_mins", F.slice(F.array_sort(F.transform(F.col("_sh"), F.xxhash64)), 1, n_blocks)
-    )
-    blocked = base.select("_id", "_sh", F.explode("_mins").alias("_block"))
+    if block_by := config.get("block_by"):
+        # engine-neutral blocking on declared columns (e.g. lang+source):
+        # semantics are then fully SQL-expressible for the oracle
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            sh.alias("_sh"),
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in block_by]).alias(
+                "_block"
+            ),
+        )
+        blocked = base
+    else:
+        base = df.select(F.col(id_col).alias("_id"), sh.alias("_sh")).withColumn(
+            "_mins",
+            F.slice(
+                F.array_sort(F.transform(F.col("_sh"), lambda s: F.xxhash64(s))),
+                1,
+                n_blocks,
+            ),
+        )
+        blocked = base.select("_id", "_sh", F.explode("_mins").alias("_block"))
     l, r = blocked.alias("l"), blocked.alias("r")
     pairs = (
         l.join(r, (F.col("l._block") == F.col("r._block")) & (F.col("l._id") < F.col("r._id")))
@@ -348,7 +369,7 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
             .dropDuplicates(["a", "b"])
         )
     pairs = cand.select(
-        "a", "b", _cosine(F.col("va"), F.col("vb")).alias("cosine")
+        "a", "b", _cosine(F.col("va"), F.col("vb"), config.get("quantize")).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
     out = _keep_min_survivors(df, id_col, pairs)
     if config.get("return_pairs"):

@@ -202,7 +202,7 @@ def fuzzy_lookup(spark: SparkSession, inputs, config, context) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(
-        F.desc("_similarity")
+        F.desc("_similarity"), F.asc(f"r.{rcol}")  # deterministic tie-break
     )
     ranked = joined.withColumn("_rank", F.row_number().over(w)).filter(
         F.col("_rank") <= max_matches

@@ -44,7 +44,34 @@ def _norm(a: Column) -> Column:
     )
 
 
-def _cosine(a: Column, b: Column) -> Column:
+def _q(x: Column, q: int) -> Column:
+    return F.round(x.cast("double") * q, 0).cast("long")
+
+
+def _cosine(a: Column, b: Column, quantize: int | None = None) -> Column:
+    """Cosine similarity. With `quantize`, elements are scaled to integers
+    first so dot/norm sums are EXACT (bit-identical in any engine — the
+    oracle-comparable mode; also immune to accumulation-order effects).
+    Precision loss at q=10000 on unit-ish vectors is ~1e-4 relative."""
+    if quantize:
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: _q(x, quantize) * _q(y, quantize)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        na = F.aggregate(
+            F.transform(a, lambda x: _q(x, quantize) * _q(x, quantize)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        nb = F.aggregate(
+            F.transform(b, lambda x: _q(x, quantize) * _q(x, quantize)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return dot.cast("double") / (
+            F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+        )
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
@@ -100,7 +127,9 @@ def topk_bruteforce(spark: SparkSession, inputs, config, context) -> DataFrame:
         queries.select(F.col(qid).alias("query_id"), F.col(qv).alias("_qv"))
     )
     scored = c.crossJoin(q).select(
-        "query_id", "corpus_id", _cosine(F.col("_cv"), F.col("_qv")).alias("cosine")
+        "query_id",
+        "corpus_id",
+        _cosine(F.col("_cv"), F.col("_qv"), config.get("quantize")).alias("cosine"),
     )
     return _topk(scored, "query_id", config.get("k", 10)).select(
         "query_id", "corpus_id", "cosine", "rank"

@@ -24,7 +24,16 @@ def parquet_source(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Parquet scan (reference OLE DB Source table mode ->
     ``spark.table``, enhanced_json_mapper.py:1601-1608). Columnar +
     predicate pushdown; `columns` prunes the read schema explicitly."""
-    df = spark.read.parquet(config["path"])
+    if nanos_cols := config.get("nanos_ts_cols"):
+        # Parquet TIMESTAMP(NANOS) is unreadable by Spark's converter
+        # (PARQUET_TYPE_ILLEGAL); read as long nanos and truncate to micros
+        # (Spark timestamp precision). Lossy below 1us by design.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(config["path"])
+        for c in nanos_cols:
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    else:
+        df = spark.read.parquet(config["path"])
     if cols := config.get("columns"):
         df = df.select(*cols)
     if pred := config.get("where"):

@@ -134,7 +134,7 @@ def fingerprint(spark: SparkSession, inputs, config, context) -> DataFrame:
     from ssis_to_pyspark_agent_spark.operators.dedup import _shingles
 
     norm = _norm_text(c)
-    shingle_hashes = F.transform(_shingles(c, k), F.xxhash64)
+    shingle_hashes = F.transform(_shingles(c, k), lambda s: F.xxhash64(s))
     return df.withColumns(
         {
             "fp_md5": F.md5(norm),

@@ -785,3 +785,553 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
               as_of="2024-06-01 00:00:00")
     )
     return run_pipeline(spark, p).df("scd")
+
+
+# ===========================================================================
+# NEW scale operators (SURVEY §2.12): dedup / text / similarity / streaming
+# ===========================================================================
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_WORDS_SQL = "regexp_extract_all(lower(text), '\\S+')"
+
+
+@query(
+    "q30_dedup_exact_digest",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY MD5({_NORM_SQL})
+                                ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text digest, keep-min-doc_id."""
+    from ssis_to_pyspark_agent_spark.operators.dedup import _norm_text
+
+    p = (
+        _p("q30", sf_dir, "documents")
+        .step("fp", "derived_column", "documents",
+              columns={"_digest": F.md5(_norm_text(F.col("text")))})
+        .step("dd", "dedup.exact", "fp", columns=["_digest"],
+              keep_by=[("doc_id", "asc")])
+        .step("prj", "select", "dd", columns=["doc_id", "lang", "source"])
+    )
+    return run_pipeline(spark, p).df("prj")
+
+
+_SHINGLE_SQL = """
+      list_distinct(list_transform(
+        range(1, greatest(len(words) - 2, 1) + 1),
+        i -> array_to_string(words[i:i+2], ' ')))
+"""
+
+
+@query(
+    "q31_dedup_ngram_pairs",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, source,
+             string_split({_NORM_SQL}, ' ') AS words
+      FROM documents),
+    sh AS (SELECT doc_id, lang, source, {_SHINGLE_SQL} AS shingles FROM docs)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs with engine-neutral (lang, source)
+    blocking — fully oracle-checkable."""
+    p = _p("q31", sf_dir, "documents").step(
+        "dd", "dedup.ngram_jaccard", "documents",
+        id_col="doc_id", text_col="text", shingle_k=3, threshold=0.5,
+        block_by=["lang", "source"], return_pairs=True,
+    )
+    return run_pipeline(spark, p).df("dd.pairs")
+
+
+@query("q32_dedup_minhash_lsh")  # no oracle: LSH banding isn't SQL-expressible
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _p("q32", sf_dir, "documents").step(
+        "dd", "dedup.minhash", "documents",
+        id_col="doc_id", text_col="text", threshold=0.7,
+        num_hashes=128, bands=32,
+    )
+    r = run_pipeline(spark, p).df("dd")
+    return r.select("doc_id", "lang", "source")
+
+
+@query("q33_dedup_simhash")  # no oracle: 64-bit simhash pigeonhole banding
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _p("q33", sf_dir, "documents").step(
+        "dd", "dedup.simhash", "documents",
+        id_col="doc_id", text_col="text", max_distance=3, return_pairs=True,
+    )
+    return run_pipeline(spark, p).df("dd.pairs")
+
+
+@query(
+    "q34_text_tokens_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(trim(text), '\\S+')) AS ws_tokens,
+           CAST(list_sum(list_transform(
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'),
+               p -> CAST(ceil(length(p) / 4.0) AS BIGINT))) AS BIGINT)
+             AS bpe_tokens,
+           MD5({_NORM_SQL}) AS fp_md5
+    FROM documents
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _p("q34", sf_dir, "documents")
+        .step("tc", "text.token_count", "documents", text_col="text")
+        .step("fp", "text.fingerprint", "tc", text_col="text")
+        .step("prj", "select", "fp",
+              columns=["doc_id", "ws_tokens", "bpe_tokens", "fp_md5"])
+    )
+    return run_pipeline(spark, p).df("prj")
+
+
+_EN_SW = "['the','and','of','to','a','in','is','that','it','for','was','on','with','as','are']"
+
+
+@query(
+    "q35_text_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_WORDS_SQL} AS words,
+             GREATEST(length(regexp_replace(text, '\\s', '', 'g')), 1) AS nonspace
+      FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(words) AS n_words,
+           CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+             / GREATEST(len(words), 1) AS mean_word_len,
+           CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+             / nonspace AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / nonspace AS digit_ratio,
+           CAST(len(list_filter(words, w -> list_contains({_EN_SW}, w))) AS DOUBLE)
+             / GREATEST(len(words), 1) AS stopword_ratio
+    FROM base
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _p("q35", sf_dir, "documents")
+        .step("q", "text.quality", "documents", text_col="text")
+        .step("prj", "select", "q",
+              columns=["doc_id", "n_chars", "n_words", "mean_word_len",
+                       "punct_ratio", "digit_ratio", "stopword_ratio"])
+    )
+    return run_pipeline(spark, p).df("prj")
+
+
+_LANGS_SQL = {
+    "en": _EN_SW,
+    "de": "['der','die','und','das','ist','von','mit','den','nicht','ein','eine','zu','im','für']",
+    "fr": "['le','la','les','et','de','des','un','une','est','que','pour','dans','qui','pas']",
+    "es": "['el','la','los','las','y','de','que','en','un','una','es','por','con','para','no']",
+    "it": "['il','la','di','che','e','un','una','per','non','sono','con','del','si','nel']",
+}
+
+
+@query(
+    "q36_text_lang_id",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    scored AS (
+      SELECT doc_id, lang, CAST(hits AS DOUBLE) / GREATEST(len(words), 1) AS score
+      FROM base, LATERAL (VALUES
+        {", ".join(f"('{lg}', len(list_filter(words, w -> list_contains({sw}, w))))" for lg, sw in _LANGS_SQL.items())}
+      ) t(lang, hits)),
+    best AS (
+      SELECT doc_id, lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+      FROM scored)
+    SELECT doc_id,
+           CASE WHEN score <= 0 THEN 'und' ELSE lang END AS lang_pred,
+           score AS lang_score
+    FROM best WHERE rn = 1
+    """,
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _p("q36", sf_dir, "documents")
+        .step("l", "text.lang_id", "documents", text_col="text")
+        .step("prj", "select", "l", columns=["doc_id", "lang_pred", "lang_score"])
+    )
+    return run_pipeline(spark, p).df("prj")
+
+
+# -- similarity search ------------------------------------------------------
+
+_QCOS_SQL = """
+      CAST(list_sum(list_transform(range(1, 65),
+            i -> CAST(round(CAST(a[i] AS DOUBLE) * 10000) AS BIGINT)
+               * CAST(round(CAST(b[i] AS DOUBLE) * 10000) AS BIGINT)))
+           AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(a,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                  * CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS DOUBLE))
+       * sqrt(CAST(list_sum(list_transform(b,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                  * CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS DOUBLE)))
+"""
+
+
+@query(
+    "q37_ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS a FROM embeddings
+               WHERE vec_id IN (0, 7, 21)),
+         c AS (SELECT vec_id AS corpus_id, embedding AS b FROM embeddings)
+    SELECT query_id, corpus_id, cosine, rank FROM (
+      SELECT query_id, corpus_id, {_QCOS_SQL} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {_QCOS_SQL} DESC, corpus_id) AS rank
+      FROM c, q) WHERE rank <= 5
+    """,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _p("q37", sf_dir, "embeddings")
+        .step("qs", "filter", "embeddings", predicate="[vec_id] == 0 || [vec_id] == 7 || [vec_id] == 21")
+        .step("topk", "similarity.topk_bruteforce", ["embeddings", "qs"],
+              id_col="vec_id", vec_col="embedding",
+              query_id_col="vec_id", query_vec_col="embedding",
+              k=5, quantize=10000)
+    )
+    df = run_pipeline(spark, p).df("topk")
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("q38_ann_lsh_topk")  # no oracle: LSH candidate set is engine-specific
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _p("q38", sf_dir, "embeddings")
+        .step("qs", "filter", "embeddings", predicate="[vec_id] < 5")
+        .step("topk", "similarity.topk_lsh", ["embeddings", "qs"],
+              id_col="vec_id", vec_col="embedding",
+              query_id_col="vec_id", query_vec_col="embedding",
+              k=5, dim=64, lsh_tables=8, lsh_bits=8)
+    )
+    df = run_pipeline(spark, p).df("topk")
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("q39_ann_ivf_topk")  # no oracle: IVF probe set is engine-specific
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _p("q39", sf_dir, "embeddings")
+        .step("qs", "filter", "embeddings", predicate="[vec_id] < 5")
+        .step("topk", "similarity.topk_ivf", ["embeddings", "qs"],
+              id_col="vec_id", vec_col="embedding",
+              query_id_col="vec_id", query_vec_col="embedding",
+              k=5, centroids=16, nprobe=4)
+    )
+    df = run_pipeline(spark, p).df("topk")
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "q40_dedup_embedding_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT x.vec_id AS a, y.vec_id AS b, {_QCOS_SQL.replace("a[i]", "x.embedding[i]").replace("b[i]", "y.embedding[i]").replace("(a,", "(x.embedding,").replace("(b,", "(y.embedding,")} AS cosine
+    FROM e x JOIN e y ON x.vec_id < y.vec_id
+    WHERE {_QCOS_SQL.replace("a[i]", "x.embedding[i]").replace("b[i]", "y.embedding[i]").replace("(a,", "(x.embedding,").replace("(b,", "(y.embedding,")} >= 0.35
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.35: the synthetic embeddings have no true near-dups
+    # (max pairwise cosine ~0.48), so a lower cut keeps the verify stage
+    # non-trivially exercised.
+    p = (
+        _p("q40", sf_dir, "embeddings")
+        .step("sub", "filter", "embeddings", predicate="[vec_id] % 5 == 0")
+        .step("dd", "dedup.embedding", "sub", id_col="vec_id",
+              vec_col="embedding", threshold=0.35, brute_force=True,
+              quantize=10000, return_pairs=True)
+    )
+    return run_pipeline(spark, p).df("dd.pairs")
+
+
+# -- events: batch windows, sessionization, JSON, streaming -----------------
+
+
+@query(
+    "q41_events_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Pipeline("q41").step(
+        "events", "source.parquet", path=f"{sf_dir}/events.parquet",
+        nanos_ts_cols=["ts"],
+    )
+    events = run_pipeline(spark, p).df("events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@query(
+    "q42_sessionization",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM x GROUP BY user_id
+    """,
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        Pipeline("q42")
+        .step("events", "source.parquet", path=f"{sf_dir}/events.parquet",
+              nanos_ts_cols=["ts"])
+        .step("w", "window", "events", partition_by=["user_id"],
+              order_by=[("ts", "asc"), ("event_id", "asc")],
+              columns={"prev_ts": ("lag", "ts", 1)})
+        .step("drv", "derived_column", "w", columns={
+            "new_session": F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        })
+        .step("agg", "aggregate", "drv", keys=["user_id"], aggs={
+            "n_sessions": ("sum", "new_session"),
+            "n_events": ("count", "*"),
+        })
+    )
+    return run_pipeline(spark, p).df("agg")
+
+
+@query(
+    "q43_events_json_props",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        Pipeline("q43")
+        .step("events", "source.parquet", path=f"{sf_dir}/events.parquet",
+              nanos_ts_cols=["ts"])
+        .step("drv", "derived_column", "events", columns={
+            "k": F.get_json_object("props", "$.k").cast("bigint")
+        })
+        .step("agg", "aggregate", "drv", keys=["event_type"],
+              aggs={"sum_k": ("sum", "k")})
+    )
+    return run_pipeline(spark, p).df("agg")
+
+
+@query(
+    "q44_streaming_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actual Structured Streaming run (file source -> watermarked tumbling
+    window -> memory sink), compared against the batch oracle. Late-data
+    semantics don't bite because the bounded input is fully replayed."""
+    from ssis_to_pyspark_agent_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        windowed_agg,
+    )
+
+    events = stream_events(spark, f"{sf_dir}/events.parquet",
+                           max_files_per_trigger=1)
+    agg = windowed_agg(events, "ts", "1 hour", {"n": ("count", "*")},
+                       keys=["event_type"], watermark="2 hours")
+    # complete mode: append would hold back the trailing windows still
+    # inside the watermark horizon when the bounded stream ends
+    run_stream_to_memory(agg, "q44_out", output_mode="complete")
+    return spark.table("q44_out").select("window_start", "event_type", "n")
+
+
+# -- fuzzy lookup, merge-sorted, multicast/rowcount, variables, functions ---
+
+
+@query(
+    "q45_fuzzy_lookup",
+    oracle="""
+    WITH probes AS (SELECT n_nationkey, substr(n_name, 1, length(n_name) - 2)
+                      AS probe FROM nation),
+         scored AS (
+      SELECT p.n_nationkey, p.probe, n.n_name AS matched, n.n_nationkey AS matched_key,
+             1.0 - CAST(levenshtein(lower(trim(p.probe)), lower(trim(n.n_name))) AS DOUBLE)
+                 / GREATEST(length(lower(trim(p.probe))), length(lower(trim(n.n_name)))) AS _similarity
+      FROM probes p, nation n)
+    SELECT n_nationkey, probe, matched, matched_key, _similarity FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY n_nationkey, probe
+                                   ORDER BY _similarity DESC, matched) AS rn
+      FROM scored WHERE _similarity >= 0.5) WHERE rn = 1
+    """,
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _p("q45", sf_dir, "nation")
+        .step("probes", "derived_column", "nation", columns={
+            "probe": "SUBSTRING([n_name], 1, LEN([n_name]) - 2)"
+        })
+        .step("probes2", "select", "probes", columns=["n_nationkey", "probe"])
+        .step("fz", "fuzzy_lookup", ["probes2", "nation"],
+              left_on="probe", right_on="n_name", min_similarity=0.5,
+              max_matches=1, method="levenshtein",
+              copy={"matched": "n_name", "matched_key": "n_nationkey"})
+    )
+    return run_pipeline(spark, p).df("fz")
+
+
+@query(
+    "q46_merge_sorted",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey AS k, 'A' AS src FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_orderkey, 'B' FROM orders WHERE o_orderstatus = 'F')
+    ORDER BY k
+    """,
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _p("q46", sf_dir, "orders")
+        .step("a0", "filter", "orders", predicate='[o_orderstatus] == "O"')
+        .step("a", "select", "a0", columns={"k": "o_orderkey"})
+        .step("al", "derived_column", "a", columns={"src": '"A"'})
+        .step("b0", "filter", "orders", predicate='[o_orderstatus] == "F"')
+        .step("b", "select", "b0", columns={"k": "o_orderkey"})
+        .step("bl", "derived_column", "b", columns={"src": '"B"'})
+        .step("m", "merge_sorted", ["al", "bl"], keys=["k"])
+    )
+    return run_pipeline(spark, p).df("m")
+
+
+@query(
+    "q47_multicast_rowcounts",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS n_open,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice > 100000) AS n_big,
+           (SELECT COUNT(*) FROM orders) AS n_total
+    """,
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multicast fan-out + Row Count into context variables (the
+    Simple-package shape: source -> rowcount -> branches)."""
+    p = (
+        _p("q47", sf_dir, "orders")
+        .step("rc_total", "row_count", "orders", into="n_total", eager=True)
+        .step("mc", "multicast", "rc_total", outputs=2)
+        .step("open", "filter", "mc.out1", predicate='[o_orderstatus] == "O"')
+        .step("rc_open", "row_count", "open", into="n_open", eager=True)
+        .step("big", "filter", "mc.out2", predicate="[o_totalprice] > 100000")
+        .step("rc_big", "row_count", "big", into="n_big", eager=True)
+    )
+    ctx = run_pipeline(spark, p).context
+    return spark.createDataFrame(
+        [(ctx["n_open"], ctx["n_big"], ctx["n_total"])],
+        "n_open bigint, n_big bigint, n_total bigint",
+    )
+
+
+@query(
+    "q48_variables_binding",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 250000.0 AS threshold_used
+    FROM orders WHERE o_totalprice > 250000.0 AND o_orderstatus = 'F'
+    """,
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSIS package variables (@[User::X]) bound as plan-time literals."""
+    p = Pipeline("q48", variables={"PriceThreshold": 250000.0, "Status": "F"})
+    p.step("orders", "source.parquet", path=f"{sf_dir}/orders.parquet")
+    p.step("flt", "filter", "orders",
+           predicate="[o_totalprice] > @[User::PriceThreshold] && [o_orderstatus] == @[User::Status]")
+    p.step("drv", "derived_column", "flt",
+           columns={"threshold_used": "@[User::PriceThreshold]"})
+    p.step("prj", "select", "drv",
+           columns=["o_orderkey", "o_totalprice", "threshold_used"])
+    return run_pipeline(spark, p).df("prj")
+
+
+@query(
+    "q49_scalar_function_library",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 2 MONTH                      AS plus2m,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS days_to_2025,
+           quarter(o_orderdate)                                AS qtr,
+           substr(o_orderpriority, 1, 1)                       AS left1,
+           substr(o_orderpriority, length(o_orderpriority) - 2, 3) AS right3,
+           replace(o_orderpriority, '-', '_')                  AS underscored,
+           POSITION('-' IN o_orderpriority)                    AS dash_pos,
+           reverse(o_orderstatus)                              AS rev_status,
+           abs(o_totalprice - 200000)                          AS abs_diff,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT)           AS price_k_ceil,
+           CAST(floor(o_totalprice / 1000) AS BIGINT)          AS price_k_floor,
+           sqrt(o_totalprice)                                  AS price_sqrt,
+           sign(o_totalprice - 200000)                         AS price_sign
+    FROM orders WHERE o_orderkey % 13 = 0
+    """,
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _p("q49", sf_dir, "orders")
+        .step("flt", "filter", "orders", predicate="[o_orderkey] % 13 == 0")
+        .step("drv", "derived_column", "flt", columns={
+            "plus2m": 'DATEADD("month", 2, [o_orderdate])',
+            "days_to_2025": 'DATEDIFF("day", [o_orderdate], (DT_DBTIMESTAMP)"2025-01-01")',
+            "qtr": 'DATEPART("quarter", [o_orderdate])',
+            "left1": "LEFT([o_orderpriority], 1)",
+            "right3": "RIGHT([o_orderpriority], 3)",
+            "underscored": 'REPLACE([o_orderpriority], "-", "_")',
+            "dash_pos": 'FINDSTRING([o_orderpriority], "-")',
+            "rev_status": "REVERSE([o_orderstatus])",
+            "abs_diff": "ABS([o_totalprice] - 200000)",
+            "price_k_ceil": "CEILING([o_totalprice] / 1000)",
+            "price_k_floor": "FLOOR([o_totalprice] / 1000)",
+            "price_sqrt": "SQRT([o_totalprice])",
+            "price_sign": "SIGN([o_totalprice] - 200000)",
+        })
+        .step("prj", "select", "drv", columns=[
+            "o_orderkey", "plus2m", "days_to_2025", "qtr", "left1", "right3",
+            "underscored", "dash_pos", "rev_status", "abs_diff",
+            "price_k_ceil", "price_k_floor", "price_sqrt", "price_sign",
+        ])
+    )
+    return run_pipeline(spark, p).df("prj")

@@ -27,16 +27,28 @@ def stream_events(
     path: str,
     schema: str | None = None,
     max_files_per_trigger: int = 1,
+    nanos_ts_cols: tuple[str, ...] = ("ts",),
 ) -> DataFrame:
     """readStream over a parquet directory (file source: the bounded-input
-    test stand-in for kafka)."""
+    test stand-in for kafka). Handles TIMESTAMP(NANOS) parquet columns the
+    same way as the batch source (long nanos -> micros)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
         schema = spark.read.parquet(path).schema  # one cheap footer read
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
+    r = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if path.endswith(".parquet") and "/" in path:
+        # FileStreamSource needs a directory; point at the parent and
+        # glob-filter to the single file
+        base, _, fname = path.rpartition("/")
+        r = r.option("pathGlobFilter", fname)
+        path = base
+    df = r.parquet(path)
+    for c in nanos_ts_cols:
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
 
 
 def windowed_agg(
