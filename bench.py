@@ -1,0 +1,80 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries from the catalog at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], timing each
+query's full execution (plan + run + collect-to-count). Prints:
+{"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+ "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The headline set: one per operator family, weighted toward the
+# shuffle-heavy / scale-relevant paths.
+HEADLINE = [
+    "q01_agg_pricing_summary",      # scan + filter + partial-agg shuffle
+    "q03_lookup_chain",             # broadcast joins
+    "q05_merge_join_full",          # full outer + null-safe
+    "q08_join_theta_range",         # big-big join
+    "q09_conditional_split_route",  # single-pass routing
+    "q15_topk_per_group",           # window shuffle
+    "q19_rollup",                   # multi-level agg
+    "q30_dedup_exact_digest",       # digest dedup shuffle
+    "q32_dedup_minhash_lsh",        # signature + band self-join
+    "q34_text_tokens_fingerprint",  # regex/array narrow pass
+    "q37_ann_bruteforce_topk",      # vector math
+    "q41_events_tumbling_window",   # time windows
+    "q42_sessionization",           # window lag + agg
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from ssis_to_pyspark_agent_spark.queries import QUERIES
+    from ssis_to_pyspark_agent_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    # Warm the JVM/whole-stage-codegen path of EVERY headline query once on
+    # the smallest SF so timings measure the engine, not first-call janino
+    # compilation (the wide minhash expression alone costs ~10s to compile).
+    for name in HEADLINE:
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -55,33 +55,57 @@ def _shingles(c: Column, k: int) -> Column:
     )
 
 
-def _minhash_signature(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
-    """num_hashes MinHash values: min over shingles of a seeded xxhash64
-    family ((h ^ seed_i) mod P). Array<bigint> per row, one narrow pass."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.pmod(
-                    F.xxhash64(s, i * F.lit(2654435761) + F.lit(seed)), F.lit(_P)
+def _minhash_band_hashes(base_hashes: Column, bands: int, rows: int) -> Column:
+    """array<bigint> of LSH band hashes, computed straight from the
+    per-shingle hash column in ONE expression.
+
+    `base_hashes` must be a column of an already-materialized (persisted)
+    relation — a bound reference, not an expression tree. Referencing an
+    expression here instead would let Catalyst's CollapseProject inline it
+    into every one of the bands*rows minhash lambdas, exploding the
+    codegen tree multiplicatively (observed: >10x runtime).
+
+    Each of the bands*rows minhash functions (min over xxhash64(h, i)) is
+    computed exactly once; each band hash consumes its own `rows` values.
+    """
+    def minhash(i: int) -> Column:
+        return F.array_min(
+            F.transform(base_hashes, lambda h: F.xxhash64(h, F.lit(i)))
+        )
+
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        minhash(b * rows + j).cast("string")
+                        for j in range(rows)
+                    ],
                 ),
+                F.lit(b),
             )
-        ),
-    )
-
-
-def _band_hashes(sig: Column, bands: int, rows: int) -> Column:
-    """LSH banding: hash each r-row slice of the signature."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.concat_ws(",", F.slice(sig, b * rows + 1, rows)), b),
+            for b in range(bands)
+        ]
     )
 
 
 def _jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     return inter / (F.size(a) + F.size(b) - inter)
+
+
+def _spread(spark, df: DataFrame) -> DataFrame:
+    """Repartition up to cluster parallelism before a CPU-heavy narrow pass.
+
+    A small/single parquet split would otherwise pin the whole signature
+    computation to one core (observed 11s -> ~1s on 32 threads). On a real
+    cluster wide inputs already have enough splits and this is a no-op.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _keep_min_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
@@ -130,9 +154,16 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
     threshold (exact-Jaccard verification, default 0.8),
     return_pairs (True -> {'out':deduped, 'pairs':candidate pairs}).
 
-    Plan: narrow signature pass -> explode bands (x bands) -> self-join on
-    (band, hash) [the one shuffle] -> distinct candidate pairs -> exact
-    Jaccard verify on shingle arrays -> anti-join survivors.
+    Plan (scale-shaped):
+    1. ONE narrow pass: shingle -> hash strings once -> 128-fn signature ->
+       band hashes; persisted (the self-join would otherwise recompute the
+       whole signature pipeline for BOTH sides).
+    2. Band explode carries only (_id, band, band_hash) — 3 small columns
+       through the one shuffle; shingle arrays do NOT ride the explode.
+    3. Self-join on (band, hash), distinct candidate pairs.
+    4. Exact-Jaccard verify joins the (persisted) shingle arrays back in by
+       id — 2 slim joins on candidates only.
+    5. Survivors = anti-join of dominated ids.
     """
     df: DataFrame = inputs[0]
     id_col, text_col = config["id_col"], config["text_col"]
@@ -141,14 +172,29 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
     bands = config.get("bands", 16)
     rows = num_hashes // bands
     threshold = config.get("threshold", 0.8)
+    seed = config.get("seed", 42)
 
-    base = df.select(
-        F.col(id_col).alias("_id"), _shingles(F.col(text_col), k).alias("_sh")
-    ).withColumn("_sig", _minhash_signature(F.col("_sh"), num_hashes))
+    # Stage 1 (persisted barrier): shingle + hash every shingle string ONCE.
+    # The persist is load-bearing twice over: (a) the LSH self-join would
+    # recompute this narrow pipeline for both sides; (b) it stops Catalyst
+    # from inlining the _hs expression into the 128 minhash lambdas below.
+    # Signature compute is CPU-bound: spread it across the cluster even when
+    # the input is a handful of parquet splits.
+    src = _spread(spark, df)
+    base = src.select(
+        F.col(id_col).alias("_id"),
+        _shingles(F.col(text_col), k).alias("_sh"),
+    ).withColumn(
+        "_hs", F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(seed)))
+    ).persist()
+
+    # Stage 2: band hashes straight off the cached _hs column; explode
+    # carries only (_id, band, band_hash) into the one shuffle.
     banded = base.select(
         "_id",
-        "_sh",
-        F.posexplode(_band_hashes(F.col("_sig"), bands, rows)).alias("_band", "_bh"),
+        F.posexplode(_minhash_band_hashes(F.col("_hs"), bands, rows)).alias(
+            "_band", "_bh"
+        ),
     )
 
     l, r = banded.alias("l"), banded.alias("r")
@@ -159,16 +205,14 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
             & (F.col("l._bh") == F.col("r._bh"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("a"),
-            F.col("r._id").alias("b"),
-            F.col("l._sh").alias("sha"),
-            F.col("r._sh").alias("shb"),
-        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    sh = base.select("_id", "_sh")
     pairs = (
-        cand.withColumn("jaccard", _jaccard(F.col("sha"), F.col("shb")))
+        cand.join(sh.select(F.col("_id").alias("a"), F.col("_sh").alias("sha")), "a")
+        .join(sh.select(F.col("_id").alias("b"), F.col("_sh").alias("shb")), "b")
+        .withColumn("jaccard", _jaccard(F.col("sha"), F.col("shb")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
@@ -194,6 +238,7 @@ def dedup_simhash(spark: SparkSession, inputs, config, context):
     n_chunks = max_d + 1
 
     n_bits = 60  # divisible chunking headroom, avoids the sign bit of long
+    df = _spread(spark, df)
     tokens = _words(F.col(text_col))
     # per-bit vote: sum over tokens of (+1 / -1) for each bit position.
     # Bit positions are compile-time literals (shift amounts must be ints),

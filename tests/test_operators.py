@@ -1,0 +1,305 @@
+"""Operator unit tests against tiny in-memory DataFrames (SURVEY §5):
+exact expected rows, null-semantics cases (TreatNullsAsEqual, lookup
+no-match, exclusive split ordering, dedup tie-breaks)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssis_to_pyspark_agent_spark.operators import get_operator
+from tests.conftest import rows
+
+
+def run(op, spark, inputs, **config):
+    ctx = config.pop("_context", {})
+    return get_operator(op)(spark, inputs, config, ctx)
+
+
+class TestConditionalSplit:
+    def test_first_match_wins_and_default(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (4, 5)], "id int, v int"
+        )
+        out = run(
+            "conditional_split", spark, [df],
+            outputs={"big": "[v] >= 20", "even": "[id] % 2 == 0"},
+        )
+        assert rows(out["big"], "id") == [(2,), (3,)]
+        assert rows(out["even"], "id") == [(4,)]  # id=2 taken by 'big' first
+        assert rows(out["default"], "id") == [(1,)]
+
+    def test_ports_partition_input(self, spark):
+        df = spark.range(100).withColumn("v", F.col("id") * 3)
+        out = run(
+            "conditional_split", spark, [df],
+            outputs={"a": "[v] % 2 == 0", "b": "[id] < 50"},
+        )
+        total = sum(out[p].count() for p in ("a", "b", "default"))
+        assert total == 100
+
+
+class TestLookup:
+    @pytest.fixture()
+    def sides(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "d")], "k int, x string"
+        )
+        ref = spark.createDataFrame(
+            [(1, "one"), (2, "two"), (2, "two-dup"), (9, "nine")],
+            "rk int, label string",
+        )
+        return left, ref
+
+    def test_left_join_copy_columns(self, spark, sides):
+        left, ref = sides
+        out = run("lookup", spark, [left, ref], keys={"k": "rk"},
+                  copy={"lbl": "label"})
+        got = dict(rows(out, "k", "lbl"))
+        assert got[1] == "one" and got[3] is None and got[4] is None
+        assert got[2] == "two"  # one match per input row, deterministic-ish
+        assert out.count() == 4  # no fan-out on duplicate ref keys
+
+    def test_no_match_fail_is_inner(self, spark, sides):
+        left, ref = sides
+        out = run("lookup", spark, [left, ref], keys={"k": "rk"},
+                  copy={"lbl": "label"}, no_match="fail")
+        assert sorted(r.k for r in out.collect()) == [1, 2]
+
+    def test_split_match_ports(self, spark, sides):
+        left, ref = sides
+        out = run("lookup", spark, [left, ref], keys={"k": "rk"},
+                  copy={"lbl": "label"}, split_match=True)
+        assert sorted(r.k for r in out["match"].collect()) == [1, 2]
+        assert sorted(r.k for r in out["nomatch"].collect()) == [3, 4]
+        assert "lbl" not in out["nomatch"].columns
+
+
+class TestJoin:
+    def test_null_safe_keys(self, spark):
+        a = spark.createDataFrame([(1,), (None,)], "k int")
+        b = spark.createDataFrame([(1,), (None,)], "k int")
+        strict = run("join", spark, [a, b], how="inner", keys=["k"])
+        safe = run("join", spark, [a, b], how="inner", keys=["k"],
+                   null_safe=True)
+        assert strict.count() == 1
+        assert safe.count() == 2  # TreatNullsAsEqual
+
+    def test_full_with_select_rename(self, spark):
+        a = spark.createDataFrame([(1, "x")], "k int, va string")
+        b = spark.createDataFrame([(2, "y")], "k int, vb string")
+        out = run("join", spark, [a, b], how="full", keys=["k"],
+                  select_left={"k_old": "k", "va": "va"},
+                  select_right={"k_new": "k", "vb": "vb"})
+        assert set(out.columns) == {"k_old", "va", "k_new", "vb"}
+        assert out.count() == 2
+
+    def test_semi_anti(self, spark):
+        a = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+        b = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+        assert run("join", spark, [a, b], how="left_semi", keys=["k"]).count() == 2
+        assert run("join", spark, [a, b], how="left_anti", keys=["k"]).count() == 1
+
+
+class TestSetOps:
+    def test_union_by_name_with_missing(self, spark):
+        a = spark.createDataFrame([(1, "x")], "id int, a string")
+        b = spark.createDataFrame([(2,)], "id int")
+        out = run("union_all", spark, [a, b])
+        assert rows(out, "id", "a") == [(1, "x"), (2, None)]
+
+    def test_intersect_except_all(self, spark):
+        a = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+        b = spark.createDataFrame([(1,), (3,)], "k int")
+        assert run("intersect", spark, [a, b], all=True).count() == 1
+        assert run("except", spark, [a, b], all=True).count() == 2  # 1,2
+
+
+class TestAggregateSortTopK:
+    def test_rollup_has_grand_total(self, spark):
+        df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "g string, v int")
+        out = run("aggregate", spark, [df], keys=["g"], mode="rollup",
+                  aggs={"s": ("sum", "v")})
+        got = dict(rows(out, "g", "s"))
+        assert got == {"a": 3, "b": 3, None: 6}
+
+    def test_sort_eliminate_duplicates(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "z")], "k int, v string"
+        )
+        out = run("sort", spark, [df], keys=["k"], eliminate_duplicates=True)
+        assert out.count() == 2
+
+    def test_top_k_ties_and_limit(self, spark):
+        df = spark.createDataFrame(
+            [("g", i % 5) for i in range(20)], "g string, v int"
+        )
+        out = run("top_k", spark, [df], partition_by=["g"],
+                  order_by=[("v", "desc")], k=3)
+        assert out.count() == 3
+
+
+class TestRowCountObserve:
+    def test_observe_rides_the_action(self, spark):
+        df = spark.range(42)
+        ctx = {}
+        out = run("row_count", spark, [df], into="n", _context=ctx)
+        out.count()  # any action
+        obs = ctx["_observations"]["n"]
+        assert obs.get["n"] == 42
+
+    def test_eager(self, spark):
+        ctx = {}
+        run("row_count", spark, [spark.range(7)], into="n", eager=True,
+            _context=ctx)
+        assert ctx["n"] == 7
+
+
+class TestMergeScd:
+    def test_upsert_conditional(self, spark):
+        target = spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, cs int"
+        )
+        updates = spark.createDataFrame(
+            [(2, "B", 2), (3, "c", 1), (4, "d", 1)], "k int, v string, cs int"
+        )
+        out = run("merge_upsert", spark, [target, updates], keys=["k"],
+                  when_matched="u.cs != t.cs")
+        got = dict((r.k, r.v) for r in out.collect())
+        # 2 updated (cs differs), 3 kept (cs equal), 4 inserted
+        assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    def test_soft_delete(self, spark):
+        target = spark.createDataFrame([(1, 0), (2, 0)], "k int, deleted int")
+        dels = spark.createDataFrame([(2,)], "k int")
+        out = run("merge_delete", spark, [target, dels], keys=["k"],
+                  soft="deleted")
+        assert dict(rows(out, "k", "deleted")) == {1: 0, 2: 1}
+
+    def test_scd2_closeout_and_insert(self, spark):
+        dim = spark.createDataFrame(
+            [(1, "x", "2020-01-01 00:00:00", None, True),
+             (2, "y", "2020-01-01 00:00:00", None, True)],
+            "k int, attr string, effective_from string, effective_to string, is_current boolean",
+        ).withColumn("effective_from", F.to_timestamp("effective_from")) \
+         .withColumn("effective_to", F.to_timestamp("effective_to"))
+        upd = spark.createDataFrame([(1, "X"), (3, "z")], "k int, attr string")
+        out = run("scd2", spark, [dim, upd], keys=["k"], tracked=["attr"],
+                  as_of="2024-01-01 00:00:00")
+        cur = dict(rows(out.filter("is_current"), "k", "attr"))
+        assert cur == {1: "X", 2: "y", 3: "z"}
+        closed = out.filter("NOT is_current").collect()
+        assert len(closed) == 1 and closed[0].k == 1
+        assert str(closed[0].effective_to).startswith("2024-01-01")
+
+
+class TestDedup:
+    def test_exact_keep_by(self, spark):
+        df = spark.createDataFrame(
+            [(2, "a"), (1, "a"), (5, "b")], "id int, key string"
+        )
+        out = run("dedup.exact", spark, [df], columns=["key"],
+                  keep_by=[("id", "asc")])
+        assert rows(out, "id") == [(1,), (5,)]
+
+    def test_minhash_finds_planted_near_dup(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again " * 5
+        near = base.replace("lazy", "sleepy")
+        other = "completely different text about spark query engines " * 5
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, other)], "doc_id long, text string"
+        )
+        out = run("dedup.minhash", spark, [df], id_col="doc_id",
+                  text_col="text", threshold=0.5, num_hashes=64, bands=16,
+                  return_pairs=True)
+        pairs = [(r.a, r.b) for r in out["pairs"].collect()]
+        assert (1, 2) in pairs
+        assert sorted(r.doc_id for r in out["out"].collect()) == [1, 3]
+
+    def test_simhash_near_dup(self, spark):
+        base = " ".join(f"tok{i}" for i in range(200))
+        near = base.replace("tok5 ", "tok5x ")
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, "unrelated words only here")],
+            "doc_id long, text string",
+        )
+        out = run("dedup.simhash", spark, [df], id_col="doc_id",
+                  text_col="text", max_distance=6, return_pairs=True)
+        pairs = [(r.a, r.b) for r in out["pairs"].collect()]
+        assert (1, 2) in pairs
+
+
+class TestSimilarity:
+    def test_bruteforce_self_is_top1(self, spark):
+        import random
+
+        rng = random.Random(7)
+        data = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+        df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+        out = run("similarity.topk_bruteforce", spark,
+                  [df, df.filter("vec_id < 3")],
+                  id_col="vec_id", vec_col="embedding",
+                  query_id_col="vec_id", query_vec_col="embedding", k=3)
+        top1 = {r.query_id: r.corpus_id for r in out.filter("rank = 1").collect()}
+        assert top1 == {0: 0, 1: 1, 2: 2}  # self-similarity = 1.0
+
+    def test_lsh_recall_vs_bruteforce(self, spark):
+        import random
+
+        rng = random.Random(11)
+        data = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(100)]
+        df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+        q = df.filter("vec_id < 5")
+        bf = run("similarity.topk_bruteforce", spark, [df, q],
+                 id_col="vec_id", vec_col="embedding",
+                 query_id_col="vec_id", query_vec_col="embedding", k=1)
+        lsh = run("similarity.topk_lsh", spark, [df, q],
+                  id_col="vec_id", vec_col="embedding",
+                  query_id_col="vec_id", query_vec_col="embedding",
+                  k=1, dim=16, lsh_tables=8, lsh_bits=4)
+        bf1 = {r.query_id: r.corpus_id for r in bf.collect()}
+        lsh1 = {r.query_id: r.corpus_id for r in lsh.collect()}
+        # self always collides with itself -> top-1 must match exactly
+        assert bf1 == lsh1
+
+
+class TestTextOps:
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat and the dog are in the house"),
+             (2, "der Hund ist nicht mit der Katze"),
+             (3, "xyzzy plugh")],
+            "doc_id long, text string",
+        )
+        out = run("text.lang_id", spark, [df], text_col="text")
+        got = {r.doc_id: r.lang_pred for r in out.collect()}
+        assert got[1] == "en" and got[2] == "de" and got[3] == "und"
+
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([(1, "Hello world, 42!")], "id int, text string")
+        r = run("text.token_count", spark, [df], text_col="text").collect()[0]
+        assert r.ws_tokens == 3
+        # pieces: Hello(2) world(2) ,(1) 4(1) 2(1) !(1) -> 8
+        assert r.bpe_tokens == 8
+
+
+class TestMultimodal:
+    def test_attach_meta_and_decode(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xd8\xff\xe0fakejpeg")),
+             (2, bytearray(b"\x89PNG\r\nfakepng"))],
+            "id int, payload binary",
+        )
+        meta = run("media.attach_meta", spark, [df], binary_col="payload")
+        mimes = {r.id: r.media.mime for r in meta.collect()}
+        assert mimes == {1: "image/jpeg", 2: "image/png"}
+        dec = run("media.decode", spark, [meta], binary_col="payload")
+        got = dec.collect()
+        assert all(r.decode_ok for r in got)
+        assert all(64 <= r.decoded_width < 256 for r in got)
+
+    def test_features_deterministic(self, spark):
+        df = spark.createDataFrame([(1, bytearray(b"abc"))], "id int, payload binary")
+        a = run("media.features", spark, [df], binary_col="payload", dim=4).collect()
+        b = run("media.features", spark, [df], binary_col="payload", dim=4).collect()
+        assert a[0].features == b[0].features and len(a[0].features) == 4
