@@ -53,6 +53,10 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, "/root/testdata/sf0.001").count()
 
+    # Queries are independent; drop operator-internal caches from warmup so
+    # measured runs don't fight leftover cached partitions for memory.
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -62,6 +66,7 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

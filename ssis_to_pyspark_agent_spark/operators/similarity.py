@@ -117,10 +117,12 @@ def topk_bruteforce(spark: SparkSession, inputs, config, context) -> DataFrame:
     query_vec_col, k. Queries are broadcast (a query batch is dimension-
     sized); corpus streams through once — the right exact plan at any scale.
     Output: (query_id, corpus_id, cosine, rank)."""
+    from ssis_to_pyspark_agent_spark.operators.dedup import _spread
+
     corpus, queries = inputs[0], inputs[1]
     qid = config.get("query_id_col", "query_id")
     qv = config.get("query_vec_col", config["vec_col"])
-    c = corpus.select(
+    c = _spread(spark, corpus).select(
         F.col(config["id_col"]).alias("corpus_id"), F.col(config["vec_col"]).alias("_cv")
     )
     q = F.broadcast(
