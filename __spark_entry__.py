@@ -20,7 +20,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from ssis_to_pyspark_agent_spark.session import tune_session
 
     tune_session(spark)
-    return QUERIES["q01_agg_pricing_summary"](spark, "/root/testdata/sf0.001")
+    return QUERIES["q50_medium_package_flow"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

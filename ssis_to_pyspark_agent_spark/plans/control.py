@@ -1,0 +1,242 @@
+"""Control flow: precedence-constraint task graphs (SURVEY §2.11).
+
+The reference models an SSIS package's control flow as tasks (SQL task,
+data-flow task, containers) ordered by precedence constraints with
+Success/Failure/Completion conditions and optional expression guards
+(parse: /root/reference/parsing/data_engineering_parser.py:1255-1299; map:
+mapping/control_flow_mapper.py:81-99,138-149; the Medium fixture guards an
+edge with ``@[User::SourceRowCount] > 0``, Sample_Medium_Package.dtsx:905).
+
+Our runner executes a :class:`TaskGraph`:
+- task kinds: ``pipeline`` (a data-flow :class:`Pipeline`), ``sql``
+  (``spark.sql``), ``python`` (driver-side callable — the Script-task
+  analogue);
+- edges carry ``on`` (success | failure | completion) and an optional SSIS
+  expression over package variables;
+- SSIS AND/OR semantics: a task with multiple incoming constraints runs
+  when ALL are satisfied (default) or ANY (``logic="or"``);
+- a failed task's failure-edges fire; an unhandled failure aborts the run
+  (matching SSIS's package-failure default);
+- ``foreach`` containers: re-run a sub-graph/pipeline per parameter set
+  (reference FOREACHLOOP, parser :336-361).
+
+Everything here is driver-side orchestration — the data plane stays lazy
+Spark plans produced by the pipeline runner.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ssis_to_pyspark_agent_spark.plans.runner import RunResult, Runner
+from ssis_to_pyspark_agent_spark.plans.spec import Pipeline
+
+
+@dataclass
+class Task:
+    name: str
+    kind: str  # pipeline | sql | python | foreach
+    payload: Any  # Pipeline | sql str | callable(spark, ctx) | Foreach
+    logic: str = "and"  # multi-constraint combination (SSIS LogicalAnd)
+    enabled: bool = True  # DTS:Disabled
+
+
+@dataclass
+class Edge:
+    src: str
+    dst: str
+    on: str = "success"  # success | failure | completion
+    condition: str | None = None  # SSIS expression over variables
+
+
+@dataclass
+class Foreach:
+    """Foreach container: run `body` once per item; `var` binds the item
+    into the context for each iteration."""
+
+    var: str
+    items: list[Any] | Callable[[dict], list[Any]]
+    body: "TaskGraph | Pipeline"
+
+
+@dataclass
+class TaskGraph:
+    name: str
+    tasks: list[Task] = field(default_factory=list)
+    edges: list[Edge] = field(default_factory=list)
+    variables: dict[str, Any] = field(default_factory=dict)
+
+    def task(self, name: str, kind: str, payload: Any, **kw) -> "TaskGraph":
+        self.tasks.append(Task(name=name, kind=kind, payload=payload, **kw))
+        return self
+
+    def edge(self, src: str, dst: str, on: str = "success",
+             condition: str | None = None) -> "TaskGraph":
+        self.edges.append(Edge(src=src, dst=dst, on=on, condition=condition))
+        return self
+
+
+@dataclass
+class TaskResult:
+    status: str  # success | failure | skipped
+    error: Exception | None = None
+    run: RunResult | None = None  # for pipeline tasks
+    df: DataFrame | None = None  # for sql tasks
+
+
+class ControlFlowError(RuntimeError):
+    pass
+
+
+def _eval_condition(spark: SparkSession, expr: str, context: dict[str, Any]) -> bool:
+    """Evaluate an SSIS guard expression against scalar variables.
+
+    Compiles to a Column and evaluates on a single literal row — the same
+    compiler as the data plane, so guard semantics (ISNULL, ternary, &&)
+    are identical. One tiny local job; guards run a handful of times per
+    package, never per row.
+    """
+    from ssis_to_pyspark_agent_spark.functions.expr import ExpressionCompiler
+
+    col = ExpressionCompiler(schema={}, variables=context).compile(expr)
+    row = spark.range(1).select(col.alias("v")).first()
+    return bool(row.v)
+
+
+class ControlFlowRunner:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def run(self, graph: TaskGraph) -> tuple[dict[str, TaskResult], dict[str, Any]]:
+        tasks = {t.name: t for t in graph.tasks if t.enabled}
+        incoming: dict[str, list[Edge]] = defaultdict(list)
+        outgoing: dict[str, list[Edge]] = defaultdict(list)
+        for e in graph.edges:
+            if e.src in tasks and e.dst in tasks:
+                incoming[e.dst].append(e)
+                outgoing[e.src].append(e)
+
+        context: dict[str, Any] = dict(graph.variables)
+        results: dict[str, TaskResult] = {}
+        order = self._topo(tasks, incoming)
+
+        for name in order:
+            task = tasks[name]
+            cons = incoming[name]
+            if cons:
+                sats = [self._satisfied(e, results, context) for e in cons]
+                ok = all(sats) if task.logic == "and" else any(sats)
+                if not ok:
+                    results[name] = TaskResult(status="skipped")
+                    continue
+            results[name] = self._execute(task, context)
+            if results[name].status == "failure" and not any(
+                e.on in ("failure", "completion") for e in outgoing[name]
+            ):
+                raise ControlFlowError(
+                    f"task {name!r} failed with no failure-handling edge"
+                ) from results[name].error
+        return results, context
+
+    # -- internals -----------------------------------------------------------
+
+    def _satisfied(self, e: Edge, results: dict[str, TaskResult],
+                   context: dict[str, Any]) -> bool:
+        pred = results.get(e.src)
+        if pred is None or pred.status == "skipped":
+            return False
+        if e.on == "success" and pred.status != "success":
+            return False
+        if e.on == "failure" and pred.status != "failure":
+            return False
+        if e.condition is not None and not _eval_condition(
+            self.spark, e.condition, context
+        ):
+            return False
+        return True
+
+    def _execute(self, task: Task, context: dict[str, Any]) -> TaskResult:
+        try:
+            if task.kind == "pipeline":
+                pipeline: Pipeline = task.payload
+                merged = Pipeline(
+                    pipeline.name, steps=pipeline.steps,
+                    variables={**pipeline.variables, **context},
+                )
+                run = Runner(self.spark).run(merged)
+                context.update(
+                    {k: v for k, v in run.context.items() if not k.startswith("_")}
+                )
+                return TaskResult(status="success", run=run)
+            if task.kind == "sql":
+                df = self.spark.sql(task.payload)
+                return TaskResult(status="success", df=df)
+            if task.kind == "python":
+                task.payload(self.spark, context)
+                return TaskResult(status="success")
+            if task.kind == "foreach":
+                fe: Foreach = task.payload
+                items = fe.items(context) if callable(fe.items) else fe.items
+                for item in items:
+                    context[fe.var] = item
+                    if isinstance(fe.body, TaskGraph):
+                        body = TaskGraph(
+                            fe.body.name, fe.body.tasks, fe.body.edges,
+                            {**fe.body.variables, **context},
+                        )
+                        _, inner_ctx = ControlFlowRunner(self.spark).run(body)
+                        context.update(
+                            {k: v for k, v in inner_ctx.items()
+                             if not k.startswith("_")}
+                        )
+                    else:
+                        merged = Pipeline(
+                            fe.body.name, steps=fe.body.steps,
+                            variables={**fe.body.variables, **context},
+                        )
+                        run = Runner(self.spark).run(merged)
+                        context.update(
+                            {k: v for k, v in run.context.items()
+                             if not k.startswith("_")}
+                        )
+                return TaskResult(status="success")
+            raise ValueError(f"unknown task kind {task.kind!r}")
+        except Exception as exc:  # noqa: BLE001 — failure edges need the error
+            return TaskResult(status="failure", error=exc)
+
+    @staticmethod
+    def _topo(tasks: dict[str, Task], incoming: dict[str, list[Edge]]) -> list[str]:
+        from collections import deque
+
+        indeg = {n: len({e.src for e in incoming[n]}) for n in tasks}
+        downstream: dict[str, list[str]] = defaultdict(list)
+        for n in tasks:
+            for e in incoming[n]:
+                downstream[e.src].append(n)
+        q = deque(sorted(n for n, d in indeg.items() if d == 0))
+        order: list[str] = []
+        seen_edges: dict[str, set] = defaultdict(set)
+        while q:
+            n = q.popleft()
+            order.append(n)
+            for m in downstream[n]:
+                if n not in seen_edges[m]:
+                    seen_edges[m].add(n)
+                    indeg[m] -= 1
+                    if indeg[m] == 0:
+                        q.append(m)
+        if len(order) != len(tasks):
+            raise ValueError(
+                f"cycle in control flow: {sorted(set(tasks) - set(order))}"
+            )
+        return order
+
+
+def run_task_graph(
+    spark: SparkSession, graph: TaskGraph
+) -> tuple[dict[str, TaskResult], dict[str, Any]]:
+    return ControlFlowRunner(spark).run(graph)

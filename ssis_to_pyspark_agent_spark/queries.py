@@ -1338,3 +1338,128 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])
     )
     return run_pipeline(spark, p).df("prj")
+
+
+# ===========================================================================
+# Flagship: the Medium-package change-detection flow end-to-end
+# (Sample_Medium_Package.dtsx:119-605 re-expressed on TPC-H customer —
+# SURVEY §5 fixture A2-A6 semantics: feed vs existing, additive checksum,
+# full null-safe merge join, ISNULL flags, 5-way exclusive conditional
+# split with EvaluationOrder, set-based UPDATE/DELETE replacing the
+# per-row stored procs sp_GenericUpdate / sp_GenericHardDelete.)
+# ===========================================================================
+
+_Q50_ORACLE = """
+    WITH feed0 AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 50 ELSE c_acctbal END AS acct
+      FROM customer WHERE c_custkey % 5 != 4),
+    feed AS (
+      SELECT *, CAST(k + length(seg) + trunc(acct) AS BIGINT) AS cs FROM feed0),
+    exist0 AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS acct
+      FROM customer WHERE c_custkey % 7 != 3
+      UNION ALL SELECT * FROM (VALUES (-1, 'N/A', 0.0), (-2, 'N/A', 0.0))),
+    exist AS (
+      SELECT *, CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END AS deleted_flag,
+             CAST(k + length(seg) + trunc(acct) AS BIGINT) AS cs
+      FROM exist0),
+    routed AS (
+      SELECT COALESCE(e.k, f.k) AS k,
+             e.seg AS seg_old, e.acct AS acct_old, e.deleted_flag,
+             e.cs AS cs_old, f.seg AS seg_new, f.acct AS acct_new, f.cs AS cs_new,
+             CASE
+               WHEN f.cs IS NOT NULL AND e.cs IS NULL THEN 'insert'
+               WHEN e.cs IS NOT NULL AND COALESCE(e.k, f.k) IN (-1, -2) THEN 'nochange'
+               WHEN e.cs IS NOT NULL AND f.cs IS NULL AND e.deleted_flag = 1 THEN 'nochange'
+               WHEN e.cs IS NOT NULL AND f.cs IS NULL AND e.deleted_flag = 0 THEN 'delete'
+               WHEN f.cs IS NOT NULL AND e.cs IS NOT NULL AND f.cs != e.cs THEN 'update'
+               ELSE 'nochange' END AS route
+      FROM exist e FULL OUTER JOIN feed f ON e.k = f.k)
+    SELECT k AS c_custkey, seg_new AS c_mktsegment, acct_new AS c_acctbal,
+           deleted_flag
+    FROM routed WHERE route = 'update'
+    UNION ALL
+    SELECT k, seg_new, acct_new, 0 FROM routed WHERE route = 'insert'
+    UNION ALL
+    SELECT k, seg_old, acct_old, deleted_flag FROM routed WHERE route = 'nochange'
+"""
+
+
+@query("q50_medium_package_flow", oracle=_Q50_ORACLE)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sentinels = spark.createDataFrame(
+        [(-1, "N/A", 0.0), (-2, "N/A", 0.0)],
+        "c_custkey bigint, c_mktsegment string, c_acctbal double",
+    )
+    cs_cols = ["c_custkey", "_seg_len", "_acct_trunc"]
+    p = (
+        _p("q50", sf_dir, "customer")
+        # ---- feed side (the package's SRC_InputTable + derived columns)
+        .step("feed0", "filter", "customer", predicate="[c_custkey] % 5 != 4")
+        .step("feed1", "derived_column", "feed0", columns={
+            "c_acctbal": "[c_custkey] % 3 == 0 ? [c_acctbal] + 50 : [c_acctbal]",
+        })
+        .step("feed2", "select", "feed1",
+              columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+        .step("feed3", "derived_column", "feed2", columns={
+            "_seg_len": "LEN([c_mktsegment])", "_acct_trunc": "(DT_I8)[c_acctbal]",
+        })
+        .step("feed4", "checksum", "feed3", columns=cs_cols,
+              algorithm="sum", out="cs_new")
+        .step("feed", "select", "feed4",
+              columns={"key_new": "c_custkey", "seg_new": "c_mktsegment",
+                       "acct_new": "c_acctbal", "cs_new": "cs_new"})
+        # ---- existing side (DST_GenericTable with default rows)
+        .step("ex0", "filter", "customer", predicate="[c_custkey] % 7 != 3")
+        .step("ex1", "select", "ex0",
+              columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+        .step("sentinels", "source.dataframe", df=sentinels)
+        .step("ex2", "union_all", ["ex1", "sentinels"])
+        .step("ex3", "derived_column", "ex2", columns={
+            "deleted_flag": "[c_custkey] % 11 == 0 ? 1 : 0",
+            "_seg_len": "LEN([c_mktsegment])", "_acct_trunc": "(DT_I8)[c_acctbal]",
+        })
+        .step("ex4", "checksum", "ex3", columns=cs_cols,
+              algorithm="sum", out="cs_old")
+        .step("existing", "select", "ex4",
+              columns={"key_old": "c_custkey", "seg_old": "c_mktsegment",
+                       "acct_old": "c_acctbal", "deleted_flag": "deleted_flag",
+                       "cs_old": "cs_old"})
+        # ---- MRGJ: full outer, TreatNullsAsEqual (dtsx:399)
+        .step("mrgj", "join", ["existing", "feed"], how="full",
+              keys=[("key_old", "key_new")], null_safe=True)
+        .step("flags", "derived_column", "mrgj", columns={
+            "k": "REPLACENULL([key_old], [key_new])",
+        })
+        # ---- CSPL: ordered, mutually exclusive (dtsx:569-602)
+        .step("split", "conditional_split", "flags", outputs={
+            "insert": "!ISNULL([cs_new]) && ISNULL([cs_old])",
+            "default_rows": "!ISNULL([cs_old]) && ([k] == -1 || [k] == -2)",
+            "already_deleted":
+                "!ISNULL([cs_old]) && ISNULL([cs_new]) && [deleted_flag] == 1",
+            "delete": "!ISNULL([cs_old]) && ISNULL([cs_new]) && [deleted_flag] == 0",
+            "update": "!ISNULL([cs_new]) && !ISNULL([cs_old]) && [cs_new] != [cs_old]",
+        }, default="nochange")
+        # ---- set-based replacements for the per-row stored procs
+        .step("target", "select", "existing",
+              columns={"c_custkey": "key_old", "c_mktsegment": "seg_old",
+                       "c_acctbal": "acct_old", "deleted_flag": "deleted_flag"})
+        .step("dels", "select", "split.delete", columns={"c_custkey": "k"})
+        .step("after_delete", "merge_delete", ["target", "dels"],
+              keys=["c_custkey"])
+        .step("upserts_upd", "select", "split.update",
+              columns={"c_custkey": "k", "c_mktsegment": "seg_new",
+                       "c_acctbal": "acct_new", "deleted_flag": "deleted_flag"})
+        .step("ins0", "select", "split.insert",
+              columns={"c_custkey": "k", "c_mktsegment": "seg_new",
+                       "c_acctbal": "acct_new"})
+        .step("upserts_ins", "derived_column", "ins0",
+              columns={"deleted_flag": F.lit(0)})
+        .step("upserts", "union_all", ["upserts_upd", "upserts_ins"])
+        .step("final", "merge_upsert", ["after_delete", "upserts"],
+              keys=["c_custkey"])
+    )
+    res = run_pipeline(spark, p)
+    df = res.df("final")
+    return df.withColumn("deleted_flag", F.col("deleted_flag").cast("int"))

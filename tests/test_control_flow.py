@@ -1,0 +1,124 @@
+"""Control-flow tests: precedence constraints, guards, failure routing,
+foreach containers (SURVEY §2.11)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ssis_to_pyspark_agent_spark.plans import Pipeline
+from ssis_to_pyspark_agent_spark.plans.control import (
+    ControlFlowError,
+    Foreach,
+    TaskGraph,
+    run_task_graph,
+)
+
+
+def _df_pipeline(spark, name, n, into=None):
+    p = Pipeline(name)
+    p.step("src", "source.dataframe", df=spark.range(n))
+    if into:
+        p.step("rc", "row_count", "src", into=into, eager=True)
+    return p
+
+
+def test_success_chain_and_variable_flow(spark):
+    g = TaskGraph("pkg")
+    g.task("load", "pipeline", _df_pipeline(spark, "load", 5, into="RowCnt"))
+    g.task("after", "sql", "SELECT 1 AS one")
+    g.edge("load", "after", on="success")
+    results, ctx = run_task_graph(spark, g)
+    assert results["after"].status == "success"
+    assert ctx["RowCnt"] == 5
+
+
+def test_expression_guard_blocks_and_allows(spark):
+    # the Medium-fixture pattern: run downstream only if SourceRowCount > 0
+    for n, expected in [(0, "skipped"), (3, "success")]:
+        g = TaskGraph("pkg")
+        g.task("load", "pipeline", _df_pipeline(spark, "load", n, into="SourceRowCount"))
+        g.task("process", "sql", "SELECT 1 AS one")
+        g.edge("load", "process", on="success",
+               condition="@[User::SourceRowCount] > 0")
+        results, _ = run_task_graph(spark, g)
+        assert results["process"].status == expected, n
+
+
+def test_failure_edge_routes(spark):
+    def boom(spark_, ctx):
+        raise RuntimeError("boom")
+
+    hit = {}
+
+    def handler(spark_, ctx):
+        hit["handled"] = True
+
+    g = TaskGraph("pkg")
+    g.task("bad", "python", boom)
+    g.task("onfail", "python", handler)
+    g.task("onsuccess", "sql", "SELECT 1")
+    g.edge("bad", "onfail", on="failure")
+    g.edge("bad", "onsuccess", on="success")
+    results, _ = run_task_graph(spark, g)
+    assert results["bad"].status == "failure"
+    assert results["onfail"].status == "success" and hit["handled"]
+    assert results["onsuccess"].status == "skipped"
+
+
+def test_unhandled_failure_aborts(spark):
+    def boom(spark_, ctx):
+        raise RuntimeError("boom")
+
+    g = TaskGraph("pkg").task("bad", "python", boom)
+    with pytest.raises(ControlFlowError, match="no failure-handling edge"):
+        run_task_graph(spark, g)
+
+
+def test_completion_edge_fires_after_failure(spark):
+    def boom(spark_, ctx):
+        raise RuntimeError("boom")
+
+    g = TaskGraph("pkg")
+    g.task("bad", "python", boom)
+    g.task("cleanup", "sql", "SELECT 1")
+    g.edge("bad", "cleanup", on="completion")
+    results, _ = run_task_graph(spark, g)
+    assert results["cleanup"].status == "success"
+
+
+def test_and_vs_or_logic(spark):
+    def boom(spark_, ctx):
+        raise RuntimeError("x")
+
+    for logic, expected in [("and", "skipped"), ("or", "success")]:
+        g = TaskGraph("pkg")
+        g.task("a", "sql", "SELECT 1")
+        g.task("b", "python", boom)
+        g.task("fail_sink", "sql", "SELECT 1")
+        g.task("join", "sql", "SELECT 1", logic=logic)
+        g.edge("b", "fail_sink", on="failure")  # absorb the failure
+        g.edge("a", "join", on="success")
+        g.edge("b", "join", on="success")
+        results, _ = run_task_graph(spark, g)
+        assert results["join"].status == expected, logic
+
+
+def test_foreach_pipeline_accumulates(spark):
+    body = Pipeline("body")
+    body.step("src", "source.dataframe", df=spark.range(10))
+    # filter uses the loop variable bound into context
+    body.step("f", "filter", "src", predicate="[id] < @[User::cut]")
+    body.step("rc", "row_count", "f", into="last_count", eager=True)
+
+    g = TaskGraph("pkg")
+    g.task("loop", "foreach", Foreach(var="cut", items=[1, 5, 9], body=body))
+    _, ctx = run_task_graph(spark, g)
+    assert ctx["last_count"] == 9  # last iteration cut=9
+
+
+def test_disabled_task_skipped_entirely(spark):
+    g = TaskGraph("pkg")
+    g.task("a", "sql", "SELECT 1")
+    g.task("dead", "sql", "SELECT 1", enabled=False)
+    results, _ = run_task_graph(spark, g)
+    assert "dead" not in results
