@@ -51,6 +51,7 @@ from ssis_to_pyspark_agent_spark.operators import (  # noqa: E402,F401
     routing,
     rowlevel,
     scd,
+    script,
     setops,
     similarity,
     sort,

@@ -1,0 +1,193 @@
+"""Script Component + Export/Import Column (SURVEY §2.3, §2.10).
+
+The reference maps SSIS Script Components (C#/VB with read-only/read-write
+variables, parsing/data_engineering_parser.py:1242-1245) to "custom PySpark
+UDF" (component_mapper.py:86-93). Ours is the vectorized version: a user
+function over Arrow batches (mapInPandas) or per-group pandas frames
+(applyInPandas) — never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssis_to_pyspark_agent_spark.operators import operator
+
+
+@operator("script")
+def script(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Script Component, batch flavor.
+
+    config:
+      fn: Callable[[pd.DataFrame], pd.DataFrame] — applied per Arrow batch
+      schema: output schema (DDL string)
+      variables: names of context variables exposed to fn via a second
+                 positional arg (read-only snapshot, like SSIS ReadOnly
+                 variables; pickled into the task closure)
+    """
+    fn = config["fn"]
+    schema = config["schema"]
+    if vars_wanted := config.get("variables"):
+        snapshot = {v: context.get(v) for v in vars_wanted}
+
+        def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                yield fn(pdf, snapshot)
+
+    else:
+
+        def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                yield fn(pdf)
+
+    return inputs[0].mapInPandas(run, schema=schema)
+
+
+@operator("script.grouped")
+def script_grouped(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Script Component, grouped flavor (UDAF/UDTF-like shapes):
+    applyInPandas over `keys`."""
+    return (
+        inputs[0]
+        .groupBy(*config["keys"])
+        .applyInPandas(config["fn"], schema=config["schema"])
+    )
+
+
+@operator("export_column")
+def export_column(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Export Column (reference :1147): write a per-row blob to a file named
+    by a path column. Executor-side via a pandas batch (distributed writes —
+    target must be shared storage on a cluster). Adds `export_ok`."""
+    df: DataFrame = inputs[0]
+    data_col, path_col = config["data_col"], config["path_col"]
+    base = config["base_dir"]
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["export_ok boolean"]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(base, exist_ok=True)
+        for pdf in it:
+            oks = []
+            for payload, rel in zip(pdf[data_col], pdf[path_col]):
+                target = os.path.join(base, str(rel))
+                if os.path.realpath(target).startswith(os.path.realpath(base)):
+                    with open(target, "wb") as fh:
+                        fh.write(bytes(payload) if payload is not None else b"")
+                    oks.append(True)
+                else:  # path escape — refuse
+                    oks.append(False)
+            yield pdf.assign(export_ok=oks)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+@operator("import_column")
+def import_column(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Import Column (reference :1148): read file contents into a binary
+    column per row. For directory-scale ingest prefer source.binary
+    (spark's binaryFile source with partition planning); this is the
+    row-driven variant."""
+    df: DataFrame = inputs[0]
+    path_col = config["path_col"]
+    out = config.get("out", "content")
+    base = config.get("base_dir", "")
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out} binary"]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for rel in pdf[path_col]:
+                target = os.path.join(base, str(rel)) if base else str(rel)
+                try:
+                    with open(target, "rb") as fh:
+                        blobs.append(fh.read())
+                except OSError:
+                    blobs.append(None)
+            yield pdf.assign(**{out: blobs})
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+@operator("source.xml")
+def xml_source(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """XML Source (reference models.py:32, component_mapper.py:352). Needs
+    the spark-xml package on the classpath — not in this image."""
+    try:
+        return (
+            spark.read.format("xml")
+            .option("rowTag", config.get("row_tag", "row"))
+            .load(config["path"])
+        )
+    except Exception as exc:  # pragma: no cover — jar not present
+        raise NotImplementedError(
+            "source.xml requires the spark-xml package "
+            "(--packages com.databricks:spark-xml_2.13) on the cluster"
+        ) from exc
+
+
+@operator("source.jdbc")
+def jdbc_source(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """JDBC source family: ADO.NET/ODBC/Oracle/MySQL/PostgreSQL scans
+    (reference models.py:25-28, conn URLs control_flow_mapper.py:183-200;
+    codegen enhanced_json_mapper.py:1655-1713). Partitioned parallel reads
+    via (partition_column, num_partitions, lower/upper bound) — the scan
+    is single-stream without them. Drivers not in this image."""
+    r = (
+        spark.read.format("jdbc")
+        .option("url", config["url"])
+        .option(
+            "dbtable",
+            config.get("table") or f"({config['query']}) q",
+        )
+    )
+    for k in ("user", "password", "driver"):
+        if k in config:
+            r = r.option(k, config[k])
+    if pc := config.get("partition_column"):
+        r = (
+            r.option("partitionColumn", pc)
+            .option("numPartitions", config.get("num_partitions", 8))
+            .option("lowerBound", config["lower_bound"])
+            .option("upperBound", config["upper_bound"])
+        )
+    try:
+        return r.load()
+    except Exception as exc:  # pragma: no cover — no driver in image
+        raise NotImplementedError(
+            "source.jdbc requires the RDBMS driver jar on the cluster"
+        ) from exc
+
+
+@operator("sink.jdbc")
+def jdbc_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """JDBC destination (reference enhanced_json_mapper.py:2103-2138)."""
+    df: DataFrame = inputs[0]
+    w = (
+        df.write.format("jdbc")
+        .mode(config.get("mode", "append"))
+        .option("url", config["url"])
+        .option("dbtable", config["table"])
+    )
+    for k in ("user", "password", "driver"):
+        if k in config:
+            w = w.option(k, config[k])
+    try:
+        w.save()
+    except Exception as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "sink.jdbc requires the RDBMS driver jar on the cluster"
+        ) from exc
+    return df

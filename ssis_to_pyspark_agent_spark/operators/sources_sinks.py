@@ -83,8 +83,17 @@ def json_source(spark: SparkSession, inputs, config, context) -> DataFrame:
         config["path"]
     )
     if rp := config.get("record_path"):
+        from pyspark.sql.types import ArrayType, StructType
+
         for part in rp.split("."):
-            df = df.select(F.explode(part).alias("_rec")).select("_rec.*")
+            dtype = df.schema[part].dataType
+            if isinstance(dtype, ArrayType):
+                df = df.select(F.explode(part).alias("_rec"))
+                inner = dtype.elementType
+                if isinstance(inner, StructType):
+                    df = df.select("_rec.*")
+            else:
+                df = df.select(f"{part}.*")
     return df
 
 

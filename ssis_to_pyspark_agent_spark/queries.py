@@ -1463,3 +1463,121 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = run_pipeline(spark, p)
     df = res.df("final")
     return df.withColumn("deleted_flag", F.col("deleted_flag").cast("int"))
+
+
+# ===========================================================================
+# Coverage fill-ins: distinct aggregates, row-level misc, term lookup
+# ===========================================================================
+
+
+@query(
+    "q51_agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderpriority) AS n_prios,
+           CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_distinct_price,
+           MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _p("q51", sf_dir, "orders").step(
+        "agg", "aggregate", "orders", keys=["o_orderstatus"], aggs={
+            "n_custs": ("count_distinct", "o_custkey"),
+            "n_prios": ("count_distinct", "o_orderpriority"),
+            "sum_distinct_price": F.sum_distinct(
+                F.col("o_totalprice").cast("decimal(18,4)")
+            ).cast("double"),
+            "first_order": ("min", "o_orderdate"),
+            "last_order": ("max", "o_orderdate"),
+        },
+    )
+    return run_pipeline(spark, p).df("agg")
+
+
+@query(
+    "q52_rowlevel_misc",
+    oracle="""
+    SELECT c_custkey, c_name,
+           c_name AS name_copy,
+           UPPER(c_mktsegment) AS seg_upper,
+           REVERSE(c_name) AS name_rev,
+           'etl_v1' AS run_tag,
+           c_acctbal
+    FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 25
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy Column + Character Map + Audit(context) + ordered Limit."""
+    p = Pipeline("q52", variables={"RunTag": "etl_v1"})
+    p.step("customer", "source.parquet", path=f"{sf_dir}/customer.parquet")
+    p.step("cp", "copy_column", "customer", copies={"name_copy": "c_name"})
+    p.step("cm", "character_map", "cp",
+           maps={"c_mktsegment": "upper", "c_name": "reverse"},
+           out={"c_mktsegment": "seg_upper", "c_name": "name_rev"})
+    p.step("au", "audit", "cm", columns={"run_tag": "context:RunTag"})
+    p.step("lim", "limit", "au", keys=[("c_acctbal", "desc"), ("c_custkey", "asc")],
+           n=25)
+    p.step("prj", "select", "lim",
+           columns=["c_custkey", "c_name", "name_copy", "seg_upper",
+                    "name_rev", "run_tag", "c_acctbal"])
+    return run_pipeline(spark, p).df("prj")
+
+
+@query(
+    "q53_term_lookup",
+    oracle="""
+    WITH terms(term) AS (VALUES ('data'), ('query'), ('stream'), ('vector')),
+    docs AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS words
+             FROM documents)
+    SELECT d.doc_id, t.term,
+           len(list_filter(d.words, w -> w = t.term)) AS term_count
+    FROM docs d, terms t
+    WHERE len(list_filter(d.words, w -> w = t.term)) > 0
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = spark.createDataFrame(
+        [("data",), ("query",), ("stream",), ("vector",)], "term string"
+    )
+    p = (
+        _p("q53", sf_dir, "documents")
+        .step("terms", "source.dataframe", df=terms)
+        .step("tl", "term_lookup", ["documents", "terms"],
+              text_col="text", term_col="term")
+        .step("prj", "select", "tl", columns=["doc_id", "term", "term_count"])
+    )
+    return run_pipeline(spark, p).df("prj")
+
+
+@query(
+    "q54_script_component",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity * l_extendedprice AS DOUBLE) AS qty_price,
+           CAST(l_quantity AS DOUBLE) - 25.0 AS qty_centered
+    FROM lineitem WHERE l_orderkey % 40 = 0
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script Component (vectorized pandas batch) — the UDF escape hatch.
+    The computation is deliberately arithmetic so the oracle stays exact
+    (same IEEE doubles either way)."""
+
+    def fn(pdf):
+        pdf = pdf.assign(
+            qty_price=pdf.l_quantity * pdf.l_extendedprice,
+            qty_centered=pdf.l_quantity - 25.0,
+        )
+        return pdf[["l_orderkey", "l_linenumber", "qty_price", "qty_centered"]]
+
+    p = (
+        _p("q54", sf_dir, "lineitem")
+        .step("flt", "filter", "lineitem", predicate="[l_orderkey] % 40 == 0")
+        .step("sc", "script", "flt", fn=fn,
+              schema="l_orderkey bigint, l_linenumber int, "
+                     "qty_price double, qty_centered double")
+    )
+    return run_pipeline(spark, p).df("sc")

@@ -1,0 +1,124 @@
+"""Script component, export/import column, CSV/JSON source round-trips."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from ssis_to_pyspark_agent_spark.operators import get_operator
+
+
+def run(op, spark, inputs, **config):
+    return get_operator(op)(spark, inputs, config, {})
+
+
+SCRATCH = "/root/repo/.scratch"
+
+
+@pytest.fixture(autouse=True, scope="module")
+def scratch():
+    os.makedirs(SCRATCH, exist_ok=True)
+    yield SCRATCH
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+class TestScript:
+    def test_script_with_variables(self, spark):
+        df = spark.createDataFrame([(1,), (2,)], "v int")
+
+        def fn(pdf, ro):
+            return pdf.assign(scaled=pdf.v * ro["factor"])
+
+        out = run("script", spark, [df], fn=fn, schema="v int, scaled bigint",
+                  variables=["factor"])
+        # variables read from context: call through operator with context
+        out = get_operator("script")(
+            spark, [df],
+            {"fn": fn, "schema": "v int, scaled bigint", "variables": ["factor"]},
+            {"factor": 10},
+        )
+        assert sorted((r.v, r.scaled) for r in out.collect()) == [(1, 10), (2, 20)]
+
+    def test_script_grouped(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 5.0)], "g string, v double"
+        )
+
+        def center(pdf):
+            pdf["v"] = pdf["v"] - pdf["v"].mean()
+            return pdf
+
+        out = run("script.grouped", spark, [df], keys=["g"], fn=center,
+                  schema="g string, v double")
+        got = sorted((r.g, r.v) for r in out.collect())
+        assert got == [("a", -1.0), ("a", 1.0), ("b", 0.0)]
+
+
+class TestExportImport:
+    def test_roundtrip(self, spark):
+        base = os.path.join(SCRATCH, "blobs")
+        df = spark.createDataFrame(
+            [(1, bytearray(b"hello"), "f1.bin"), (2, bytearray(b"world"), "f2.bin")],
+            "id int, payload binary, relpath string",
+        )
+        exp = run("export_column", spark, [df], data_col="payload",
+                  path_col="relpath", base_dir=base)
+        assert all(r.export_ok for r in exp.collect())
+        imp = run("import_column", spark, [df.drop("payload")],
+                  path_col="relpath", base_dir=base, out="content")
+        got = {r.id: bytes(r.content) for r in imp.collect()}
+        assert got == {1: b"hello", 2: b"world"}
+
+    def test_export_refuses_path_escape(self, spark):
+        base = os.path.join(SCRATCH, "jail")
+        df = spark.createDataFrame(
+            [(1, bytearray(b"x"), "../escape.bin")],
+            "id int, payload binary, relpath string",
+        )
+        out = run("export_column", spark, [df], data_col="payload",
+                  path_col="relpath", base_dir=base)
+        assert [r.export_ok for r in out.collect()] == [False]
+
+
+class TestFileSources:
+    def test_csv_roundtrip(self, spark):
+        path = os.path.join(SCRATCH, "csv_out")
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        run("sink.csv", spark, [df], path=path, header=True)
+        back = run("source.csv", spark, [], path=path,
+                   schema="id int, s string", header=True)
+        assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+    def test_json_source_with_record_path(self, spark):
+        path = os.path.join(SCRATCH, "rec.json")
+        with open(path, "w") as fh:
+            fh.write('{"data": {"items": [{"id": 1, "v": "x"}, {"id": 2, "v": "y"}]}}')
+        df = run("source.json", spark, [], path=path, multiline=True,
+                 record_path="data.items")
+        assert sorted((r.id, r.v) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+    def test_parquet_sink_partitioned(self, spark):
+        path = os.path.join(SCRATCH, "pq_part")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "id int, part string"
+        )
+        run("sink.parquet", spark, [df], path=path, mode="overwrite",
+            partition_by=["part"])
+        assert sorted(os.listdir(path))[:2] == ["part=a", "part=b"]
+        back = spark.read.parquet(path)
+        assert back.count() == 3
+
+    def test_binary_source(self, spark):
+        d = os.path.join(SCRATCH, "bins")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "x.bin"), "wb") as fh:
+            fh.write(b"\x01\x02")
+        df = run("source.binary", spark, [], path=d, glob="*.bin")
+        rows = df.collect()
+        assert len(rows) == 1 and bytes(rows[0].content) == b"\x01\x02"
+
+    def test_xml_source_raises_not_implemented(self, spark):
+        with pytest.raises(NotImplementedError, match="spark-xml"):
+            run("source.xml", spark, [], path="/nonexistent.xml")
