@@ -1,0 +1,160 @@
+"""Property-based round-trip of the expression compiler (SURVEY §5):
+randomly generated SSIS expression trees are rendered twice — once in SSIS
+syntax for our compiler, once in ANSI SQL for DuckDB — and evaluated over
+the same rows. Every value must match exactly.
+
+Batched: all N expressions evaluate in ONE Spark job and ONE DuckDB query,
+so the fuzz pass stays in seconds. Seeded RNG keeps failures reproducible.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ssis_to_pyspark_agent_spark.functions.expr import ExpressionCompiler
+
+ROWS = [
+    (1, 4, "alpha", None),
+    (2, -7, "Beta Gamma", 5),
+    (3, 0, "", 9),
+    (4, 123, "x", None),
+    (5, -1, "Mixed CASE here", 0),
+]
+SCHEMA = {"id": "int", "n": "int", "s": "string", "opt": "int"}
+
+
+class Node:
+    """An expression tree that renders to both SSIS and SQL."""
+
+    def __init__(self, ssis: str, sql: str, typ: str):
+        self.ssis, self.sql, self.typ = ssis, sql, typ
+
+
+def gen(rng: random.Random, depth: int, want: str) -> Node:
+    """Generate a node of type `want` in {'int','str','bool'}."""
+    if depth <= 0:
+        if want == "int":
+            if rng.random() < 0.5:
+                v = rng.randint(-20, 20)
+                return Node(str(v) if v >= 0 else f"({v})", str(v), "int")
+            return rng.choice(
+                [Node("[id]", "id", "int"), Node("[n]", "n", "int")]
+            )
+        if want == "str":
+            if rng.random() < 0.5:
+                v = rng.choice(["abc", "X", "", "hello world"])
+                return Node(f'"{v}"', f"'{v}'", "str")
+            return Node("[s]", "s", "str")
+        # bool leaf
+        a, b = gen(rng, 0, "int"), gen(rng, 0, "int")
+        op = rng.choice(["==", "!=", "<", ">", "<=", ">="])
+        sqlop = "=" if op == "==" else op
+        return Node(f"({a.ssis} {op} {b.ssis})", f"({a.sql} {sqlop} {b.sql})", "bool")
+
+    r = rng.random()
+    if want == "int":
+        if r < 0.35:
+            a, b = gen(rng, depth - 1, "int"), gen(rng, depth - 1, "int")
+            op = rng.choice(["+", "-", "*"])
+            # keep magnitudes tame: ANSI overflow aborts the whole batch
+            return Node(
+                f"({a.ssis} {op} {b.ssis})", f"({a.sql} {op} {b.sql})", "int"
+            )
+        if r < 0.55:
+            c = gen(rng, depth - 1, "bool")
+            a, b = gen(rng, depth - 1, "int"), gen(rng, depth - 1, "int")
+            return Node(
+                f"({c.ssis} ? {a.ssis} : {b.ssis})",
+                f"(CASE WHEN {c.sql} THEN {a.sql} ELSE {b.sql} END)",
+                "int",
+            )
+        if r < 0.7:
+            return Node("REPLACENULL([opt], 0)", "COALESCE(opt, 0)", "int")
+        if r < 0.85:
+            s = gen(rng, depth - 1, "str")
+            return Node(f"LEN({s.ssis})", f"LENGTH(RTRIM({s.sql}))", "int")
+        a = gen(rng, depth - 1, "int")
+        return Node(f"ABS({a.ssis})", f"ABS({a.sql})", "int")
+    if want == "str":
+        if r < 0.4:
+            a, b = gen(rng, depth - 1, "str"), gen(rng, depth - 1, "str")
+            return Node(f"({a.ssis} + {b.ssis})", f"({a.sql} || {b.sql})", "str")
+        if r < 0.6:
+            a = gen(rng, depth - 1, "str")
+            fn = rng.choice(["UPPER", "LOWER", "TRIM", "REVERSE"])
+            return Node(f"{fn}({a.ssis})", f"{fn}({a.sql})", "str")
+        if r < 0.8:
+            a = gen(rng, depth - 1, "str")
+            p, l = rng.randint(1, 3), rng.randint(1, 4)
+            return Node(
+                f"SUBSTRING({a.ssis}, {p}, {l})", f"SUBSTR({a.sql}, {p}, {l})", "str"
+            )
+        c = gen(rng, depth - 1, "bool")
+        a, b = gen(rng, depth - 1, "str"), gen(rng, depth - 1, "str")
+        return Node(
+            f"({c.ssis} ? {a.ssis} : {b.ssis})",
+            f"(CASE WHEN {c.sql} THEN {a.sql} ELSE {b.sql} END)",
+            "str",
+        )
+    # bool
+    if r < 0.3:
+        a, b = gen(rng, depth - 1, "bool"), gen(rng, depth - 1, "bool")
+        op = rng.choice(["&&", "||"])
+        sqlop = "AND" if op == "&&" else "OR"
+        return Node(f"({a.ssis} {op} {b.ssis})", f"({a.sql} {sqlop} {b.sql})", "bool")
+    if r < 0.45:
+        a = gen(rng, depth - 1, "bool")
+        return Node(f"!({a.ssis})", f"(NOT {a.sql})", "bool")
+    if r < 0.6:
+        return Node("ISNULL([opt])", "(opt IS NULL)", "bool")
+    a, b = gen(rng, depth - 1, "int"), gen(rng, depth - 1, "int")
+    op = rng.choice(["==", "!=", "<", ">", "<=", ">="])
+    sqlop = "=" if op == "==" else op
+    return Node(f"({a.ssis} {op} {b.ssis})", f"({a.sql} {sqlop} {b.sql})", "bool")
+
+
+N_EXPRS = 200
+
+
+@pytest.mark.parametrize("seed", [42, 1337])
+def test_fuzz_round_trip(spark, seed):
+    rng = random.Random(seed)
+    nodes = [
+        gen(rng, rng.randint(1, 3), rng.choice(["int", "str", "bool"]))
+        for _ in range(N_EXPRS)
+    ]
+
+    pdf = pd.DataFrame(ROWS, columns=list(SCHEMA))
+    sdf = spark.createDataFrame(
+        ROWS, "id int, n int, s string, opt int"
+    )
+    comp = ExpressionCompiler(SCHEMA)
+    cols = [comp.compile(nd.ssis).alias(f"e{i}") for i, nd in enumerate(nodes)]
+    spark_out = sdf.select("id", *cols).orderBy("id").toPandas()
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = "SELECT id, " + ", ".join(
+        f"{nd.sql} AS e{i}" for i, nd in enumerate(nodes)
+    ) + " FROM t ORDER BY id"
+    duck_out = con.execute(sql).df()
+
+    mismatches = []
+    for i, nd in enumerate(nodes):
+        sv = spark_out[f"e{i}"].tolist()
+        dv = duck_out[f"e{i}"].tolist()
+        sv = [None if pd.isna(v) else v for v in sv]
+        dv = [None if pd.isna(v) else v for v in dv]
+        if nd.typ == "bool":
+            sv = [None if v is None else bool(v) for v in sv]
+            dv = [None if v is None else bool(v) for v in dv]
+        if nd.typ == "int":
+            sv = [None if v is None else int(v) for v in sv]
+            dv = [None if v is None else int(v) for v in dv]
+        if sv != dv:
+            mismatches.append((nd.ssis, nd.sql, sv, dv))
+    assert not mismatches, mismatches[:3]
