@@ -72,8 +72,11 @@ def aggregate(spark: SparkSession, inputs, config, context) -> DataFrame:
     """
     df: DataFrame = inputs[0]
     keys = config.get("keys", [])
-    aggs = build_aggs(config["aggs"])
     mode = config.get("mode", "groupby")
+    if salt := config.get("salt"):
+        return _salted_aggregate(df, keys, config["aggs"], salt,
+                                 config.get("seed", 42))
+    aggs = build_aggs(config["aggs"])
     if mode == "groupby":
         g = df.groupBy(*keys)
     elif mode == "rollup":
@@ -83,3 +86,47 @@ def aggregate(spark: SparkSession, inputs, config, context) -> DataFrame:
     else:
         raise ValueError(f"unknown aggregate mode {mode!r}")
     return g.agg(*aggs)
+
+
+_SALT_COMBINE = {
+    "sum": F.sum, "count": F.sum, "min": F.min, "max": F.max,
+    "collect_set": lambda c: F.array_distinct(F.flatten(F.collect_list(c))),
+}
+
+
+def _salted_aggregate(df: DataFrame, keys, aggs: dict, salt: int, seed: int):
+    """Two-phase aggregation for skewed group keys: phase 1 aggregates on
+    (keys + random salt) so one hot key spreads over `salt` reducers;
+    phase 2 combines the partials on the true keys.
+
+    Spark's hash aggregate already does map-side partials, so this only
+    pays off when a single key overflows a reducer even after that —
+    restricted to algebraic functions (sum/count/min/max/avg); holistic
+    ones (count_distinct, median) can't be combined from partials.
+    """
+    phase1: list[Column] = []
+    combine: list[Column] = []
+    for name, spec in aggs.items():
+        if isinstance(spec, Column):
+            raise ValueError("salted aggregate needs (fn, col) specs")
+        fn, colspec = spec[0], spec[1]
+        col = colspec if isinstance(colspec, Column) else (
+            F.lit(1) if (fn == "count" and colspec in ("*", 1)) else F.col(colspec)
+        )
+        if fn == "count":
+            phase1.append(F.count(col).alias(f"_p_{name}"))
+            combine.append(F.sum(f"_p_{name}").alias(name))
+        elif fn in ("avg", "mean"):
+            phase1.append(F.sum(col).alias(f"_ps_{name}"))
+            phase1.append(F.count(col).alias(f"_pc_{name}"))
+            combine.append(
+                (F.sum(f"_ps_{name}") / F.sum(f"_pc_{name}")).alias(name)
+            )
+        elif fn in _SALT_COMBINE:
+            phase1.append(_AGG_FNS[fn](col).alias(f"_p_{name}"))
+            combine.append(_SALT_COMBINE[fn](F.col(f"_p_{name}")).alias(name))
+        else:
+            raise ValueError(f"aggregate fn {fn!r} is not salt-combinable")
+    salted = df.withColumn("_salt", (F.rand(seed) * salt).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(*phase1)
+    return partial.groupBy(*keys).agg(*combine)

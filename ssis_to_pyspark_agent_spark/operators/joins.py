@@ -107,6 +107,23 @@ def join(spark: SparkSession, inputs, config, context) -> DataFrame:
     if config.get("broadcast") == "right":
         right = F.broadcast(right)
 
+    if salt := config.get("skew_salt"):
+        # Manual skew mitigation for when AQE's skew-join can't kick in
+        # (e.g. the skewed key feeds a non-sort-merge plan): the big left
+        # side gets a random salt in [0, N); the right side is replicated N
+        # times. The hot key's rows then spread over N reducers. Inner/left
+        # only (salting a full join would duplicate unmatched right rows).
+        if how not in ("inner", "left", "left_semi", "left_anti"):
+            raise ValueError("skew_salt supports inner/left/semi/anti joins")
+        left = left.withColumn(
+            "_salt", (F.rand(config.get("seed", 42)) * salt).cast("int")
+        )
+        right = right.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        config = dict(config)
+        config["keys"] = list(config.get("keys", [])) + [("_salt", "_salt")]
+
     la, ra = left.alias("l"), right.alias("r")
     cond: Column | None = None
     for k in config.get("keys", []):
@@ -122,6 +139,8 @@ def join(spark: SparkSession, inputs, config, context) -> DataFrame:
         cond = ec if cond is None else (cond & ec)
 
     joined = la.join(ra, cond, how) if cond is not None else la.crossJoin(ra)
+    if salt:
+        joined = joined.drop("_salt")
 
     if how in ("left_semi", "left_anti"):
         return _apply_select(joined, config.get("select_left"))
