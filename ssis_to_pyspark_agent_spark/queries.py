@@ -1581,3 +1581,61 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "qty_price double, qty_centered double")
     )
     return run_pipeline(spark, p).df("sc")
+
+
+@query(
+    "q55_session_window",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM x GROUP BY user_id
+    """,
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (batch mode) — same semantics as the lag/gap
+    sessionization oracle: a session extends while consecutive events are
+    within 30 minutes."""
+    p = Pipeline("q55").step(
+        "events", "source.parquet", path=f"{sf_dir}/events.parquet",
+        nanos_ts_cols=["ts"],
+    )
+    events = run_pipeline(spark, p).df("events")
+    per_session = events.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+
+
+@query(
+    "q56_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR, event_type
+      FROM events)
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h window, 1h slide): every event lands in exactly
+    two windows."""
+    p = Pipeline("q56").step(
+        "events", "source.parquet", path=f"{sf_dir}/events.parquet",
+        nanos_ts_cols=["ts"],
+    )
+    events = run_pipeline(spark, p).df("events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )

@@ -1,0 +1,123 @@
+"""Structured Streaming coverage (SURVEY §2.10 — all NEW vs the batch-only
+reference): tumbling/sliding/session windows, dedup-within-watermark,
+stateful applyInPandasWithState, and batch/stream result agreement."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssis_to_pyspark_agent_spark.streaming import (
+    run_stream_to_memory,
+    stream_events,
+    windowed_agg,
+)
+from ssis_to_pyspark_agent_spark.streaming.runner import dedup_within_watermark
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(EVENTS)
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def test_tumbling_stream_matches_batch(spark, batch_events):
+    ev = stream_events(spark, EVENTS)
+    agg = windowed_agg(ev, "ts", "1 hour", {"n": ("count", "*")},
+                       keys=["event_type"])
+    run_stream_to_memory(agg, "t_tumble", output_mode="complete")
+    got = spark.table("t_tumble")
+    want = (
+        batch_events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got.count() == want.count()
+    assert got.agg(F.sum("n")).first()[0] == batch_events.count()
+
+
+def test_sliding_window(spark):
+    ev = stream_events(spark, EVENTS)
+    agg = windowed_agg(ev, "ts", "2 hours", {"n": ("count", "*")},
+                       slide="1 hour")
+    run_stream_to_memory(agg, "t_slide", output_mode="complete")
+    got = spark.table("t_slide")
+    # every event lands in exactly 2 sliding windows
+    total_events = 1000
+    assert got.agg(F.sum("n")).first()[0] == 2 * total_events
+
+
+def test_session_window_stream(spark, batch_events):
+    ev = stream_events(spark, EVENTS)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "n")
+    )
+    run_stream_to_memory(agg, "t_sess", output_mode="complete")
+    got = spark.table("t_sess")
+    # session totals must cover every event exactly once
+    assert got.agg(F.sum("n")).first()[0] == batch_events.count()
+    # and match the batch lag/gap sessionization count per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        batch_events.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (
+                F.col("prev").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800)
+            ).cast("int"),
+        )
+        .agg(F.sum("new_s"))
+        .first()[0]
+    )
+    assert got.count() == sessions
+
+
+def test_dedup_within_watermark(spark):
+    ev = stream_events(spark, EVENTS)
+    dd = dedup_within_watermark(ev, ["user_id"], "ts", watermark="10 days")
+    run_stream_to_memory(dd, "t_dd", output_mode="append")
+    got = spark.table("t_dd")
+    n_users = spark.read.parquet(EVENTS).select("user_id").distinct().count()
+    assert got.count() == n_users
+
+
+def test_stateful_apply_in_pandas_with_state(spark):
+    """Custom stateful operator: running per-user event counter via
+    applyInPandasWithState (the Script-Component-with-state analogue)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, EVENTS, max_files_per_trigger=1)
+
+    def count_events(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id bigint, n bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_stream_to_memory(out, "t_state", output_mode="update")
+    got = spark.table("t_state")
+    want = (
+        spark.read.parquet(EVENTS).groupBy("user_id").count()
+    )
+    got_map = {r.user_id: r.n for r in got.collect()}
+    for r in want.collect():
+        assert got_map[r.user_id] == r["count"]
