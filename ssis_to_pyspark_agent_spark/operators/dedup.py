@@ -318,7 +318,21 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
     n_blocks = config.get("blocks", 2)  # use the n smallest shingle hashes
 
     sh = _shingles(F.col(text_col), k)
-    if block_by := config.get("block_by"):
+    if block_exprs := config.get("block_exprs"):
+        # engine-neutral multi-probe blocking: each row lands in every
+        # listed block (e.g. length bucket and length bucket + 1, so pairs
+        # within one bucket width always share a block). Fully
+        # SQL-expressible for the oracle, unlike minhash blocking.
+        cols = [
+            e if isinstance(e, Column) else F.expr(e) for e in block_exprs
+        ]
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            sh.alias("_sh"),
+            F.array(*[c.cast("long") for c in cols]).alias("_blocks"),
+        )
+        blocked = base.select("_id", "_sh", F.explode("_blocks").alias("_block"))
+    elif block_by := config.get("block_by"):
         # engine-neutral blocking on declared columns (e.g. lang+source):
         # semantics are then fully SQL-expressible for the oracle
         base = df.select(

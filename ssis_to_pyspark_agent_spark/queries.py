@@ -831,28 +831,33 @@ _SHINGLE_SQL = """
     "q31_dedup_ngram_pairs",
     oracle=f"""
     WITH docs AS (
-      SELECT doc_id, lang, source,
+      SELECT doc_id, n_chars,
              string_split({_NORM_SQL}, ' ') AS words
       FROM documents),
-    sh AS (SELECT doc_id, lang, source, {_SHINGLE_SQL} AS shingles FROM docs)
+    sh AS (SELECT doc_id, n_chars, {_SHINGLE_SQL} AS shingles FROM docs)
     SELECT a.doc_id AS a, b.doc_id AS b,
            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
            / (len(a.shingles) + len(b.shingles)
               - len(list_intersect(a.shingles, b.shingles))) AS jaccard
     FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      ON a.doc_id < b.doc_id
+     AND floor(a.n_chars / 64) - floor(b.n_chars / 64) BETWEEN -1 AND 1
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
           / (len(a.shingles) + len(b.shingles)
              - len(list_intersect(a.shingles, b.shingles))) >= 0.5
     """,
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup pairs with engine-neutral (lang, source)
-    blocking — fully oracle-checkable."""
+    """n-gram Jaccard near-dup pairs with engine-neutral multi-probe
+    length-bucket blocking (each doc lands in buckets k and k+1, so any
+    pair within 64 chars of each other shares a block — near-dup edits
+    move length by a few chars only). Fully oracle-checkable, unlike
+    minhash banding."""
     p = _p("q31", sf_dir, "documents").step(
         "dd", "dedup.ngram_jaccard", "documents",
         id_col="doc_id", text_col="text", shingle_k=3, threshold=0.5,
-        block_by=["lang", "source"], return_pairs=True,
+        block_exprs=["floor(n_chars / 64)", "floor(n_chars / 64) + 1"],
+        return_pairs=True,
     )
     return run_pipeline(spark, p).df("dd.pairs")
 

@@ -11,6 +11,7 @@ Usage: python tools/compare.py [sf_dir] [query_prefix...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -61,12 +62,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.loc[key.sort_values(by=list(df.columns)).index].reset_index(drop=True)
 
 
+EXACT = bool(int(os.environ.get("COMPARE_EXACT", "0")))
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        if EXACT:
+            return a == b
         return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
     return a == b
 
