@@ -32,6 +32,8 @@ HEADLINE = [
     "q37_ann_bruteforce_topk",      # vector math
     "q41_events_tumbling_window",   # time windows
     "q42_sessionization",           # window lag + agg
+    "q50_medium_package_flow",      # flagship: full SSIS change-detection DAG
+    "q57_bigjoin_revenue",          # big-big shuffle join
 ]
 
 

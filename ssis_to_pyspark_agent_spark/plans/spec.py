@@ -56,6 +56,41 @@ class Pipeline:
         self.steps.append(Step(name=name, op=op, inputs=inputs or [], config=config))
         return self
 
+    def to_dict(self) -> dict[str, Any]:
+        """JSON-able spec (the declarative-pipeline analogue of the
+        reference's parsed-package JSON IR, data_engineering_parser.py:53-59).
+        Only JSON-able configs round-trip — use string SSIS expressions, not
+        Column objects, in pipelines meant for serialization."""
+        return {
+            "name": self.name,
+            "variables": dict(self.variables),
+            "steps": [
+                {
+                    "name": s.name,
+                    "op": s.op,
+                    "inputs": list(s.inputs),
+                    "config": s.config,
+                    "enabled": s.enabled,
+                }
+                for s in self.steps
+            ],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Pipeline":
+        p = cls(name=d["name"], variables=dict(d.get("variables", {})))
+        for s in d.get("steps", []):
+            p.steps.append(
+                Step(
+                    name=s["name"],
+                    op=s["op"],
+                    inputs=list(s.get("inputs", [])),
+                    config=dict(s.get("config", {})),
+                    enabled=s.get("enabled", True),
+                )
+            )
+        return p
+
     def validate(self) -> None:
         names = set()
         for s in self.steps:

@@ -1644,3 +1644,40 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("window_start"), "event_type", "n")
     )
+
+
+@query(
+    "q57_bigjoin_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big shuffle join (TPC-H Q3/Q4 shape): both sides filtered at the
+    scan, one shuffle on the join key, partial-agg after. The plan AQE
+    should pick: SMJ or shuffled-hash with both filters pushed down."""
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    p = (
+        _p("q57", sf_dir, "orders", "lineitem")
+        .step("of", "filter", "orders",
+              predicate="o_orderdate >= timestamp'1995-01-01 00:00:00'", sql=True)
+        .step("lf", "filter", "lineitem",
+              predicate="l_shipdate >= timestamp'1995-01-01 00:00:00'", sql=True)
+        .step("j", "join", ["of", "lf"], how="inner",
+              keys=[("o_orderkey", "l_orderkey")],
+              select_left=["o_orderpriority"],
+              select_right=["l_extendedprice", "l_discount"])
+        .step("agg", "aggregate", "j", keys=["o_orderpriority"], aggs={
+            "n_lines": ("count", "*"),
+            "revenue": F.sum(rev).cast("double"),
+        })
+    )
+    return run_pipeline(spark, p).df("agg")

@@ -86,3 +86,22 @@ def test_sql_task_result_binding(spark):
            result_bindings={"TheAnswer": "answer"})
     res = run_pipeline(spark, p)
     assert res.context["TheAnswer"] == 42
+
+
+def test_pipeline_json_round_trip(spark, sf_dir):
+    import json
+
+    from ssis_to_pyspark_agent_spark.plans import run_pipeline
+    from ssis_to_pyspark_agent_spark.plans.spec import Pipeline
+
+    p = Pipeline("json_spec", variables={"MinQty": 30.0})
+    p.step("li", "source.parquet", path=f"{sf_dir}/lineitem.parquet")
+    p.step("flt", "filter", "li", predicate="[l_quantity] > @[User::MinQty]")
+    p.step("agg", "aggregate", "flt", keys=["l_returnflag"],
+           aggs={"n": ["count", "*"]})
+
+    wire = json.dumps(p.to_dict())          # serializable end-to-end
+    p2 = Pipeline.from_dict(json.loads(wire))
+    a = run_pipeline(spark, p).df("agg")
+    b = run_pipeline(spark, p2).df("agg")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
