@@ -53,16 +53,38 @@ def filter_op(spark: SparkSession, inputs, config, context) -> DataFrame:
 
 
 @operator("data_conversion")
-def data_conversion(spark: SparkSession, inputs, config, context) -> DataFrame:
+def data_conversion(spark: SparkSession, inputs, config, context):
     """Cast columns (reference parse :1173-1177, map enhanced_json_mapper.py
     :262-269). `casts`: out_name -> (source_col, type). Type may be a DT_*
     name or a Spark DDL type. SSIS keeps the original column and adds
-    'Copy of X' by default; we take explicit out names."""
+    'Copy of X' by default; we take explicit out names.
+
+    SSIS error-output semantics: `on_error='redirect'` returns
+    {'out': converted rows, 'error': rows where any cast failed} using
+    try_cast (a failed cast = null result from a non-null input);
+    'fail' raises on the first bad row (ANSI cast); default 'null'
+    nulls bad values like Spark's lenient cast."""
     df: DataFrame = inputs[0]
+    on_error = config.get("on_error", "null")
     out: dict[str, Column] = {}
+    failed: Column | None = None
     for out_name, (src, typ) in config["casts"].items():
         t = DT_TYPE_MAP.get(typ.upper(), typ) if isinstance(typ, str) else typ
-        out[out_name] = F.col(src).cast(t)
+        if on_error == "fail":
+            out[out_name] = F.col(src).cast(t)
+            continue
+        c = F.try_cast(F.col(src), t) if hasattr(F, "try_cast") else F.col(src).try_cast(t)
+        out[out_name] = c
+        bad = F.col(src).isNotNull() & c.isNull()
+        failed = bad if failed is None else (failed | bad)
+    if on_error == "redirect":
+        assert failed is not None
+        # `failed` references only source columns, so it filters the input
+        # BEFORE conversion: error port carries the original rows untouched
+        return {
+            "out": df.filter(~failed).withColumns(out),
+            "error": df.filter(failed),
+        }
     return df.withColumns(out)
 
 
@@ -164,6 +186,66 @@ def row_count(spark: SparkSession, inputs, config, context) -> DataFrame:
 def cache(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Cache Transform (reference :1115) / explicit Multicast persistence."""
     return inputs[0].persist()
+
+
+@operator("per_row_command")
+def per_row_command(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """OLE DB Command parity shim (reference parse :878-917, codegen
+    :2849-2973 — literally one parameterized UPDATE/DELETE per row).
+
+    Set-based rewrite per SURVEY §2.5 "Never per-row": action='update' ->
+    merge_upsert, action='delete' -> merge_delete, with `param_mapping`
+    ({target_col: input_col}) standing in for the @piX parameter binds.
+    inputs: [target, command_rows]."""
+    from ssis_to_pyspark_agent_spark.operators.scd import merge_delete, merge_upsert
+
+    target, rows_df = inputs[0], inputs[1]
+    mapping: dict[str, str] = config["param_mapping"]
+    projected = rows_df.select(
+        *[F.col(src).alias(dst) for dst, src in mapping.items()]
+    )
+    keys = config["keys"]
+    if config["action"] == "delete":
+        return merge_delete(
+            spark, [target, projected],
+            {"keys": keys, **({"soft": config["soft"]} if config.get("soft") else {})},
+            context,
+        )
+    if config["action"] == "update":
+        # UPDATE only touches existing keys — unmatched command rows are
+        # dropped (an SSIS UPDATE of a missing key affects 0 rows)
+        existing_only = projected.join(
+            target.select(*keys).distinct(), keys, "left_semi"
+        )
+        # columns not named in the mapping keep their target values
+        merged = target.alias("t").join(
+            existing_only.alias("u"), keys, "left"
+        ).select(
+            *[
+                F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+                if c in mapping and c not in keys
+                else F.col(f"t.{c}")
+                for c in target.columns
+            ]
+        )
+        return merged
+    raise ValueError(f"unknown per-row command action {config['action']!r}")
+
+
+@operator("repartition")
+def repartition(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Explicit layout control: hash (`by`), range (`range_by`), or
+    round-robin (`n` only); `coalesce=True` shrinks without a shuffle.
+    The knob for co-locating a downstream join/agg or sizing output files."""
+    df: DataFrame = inputs[0]
+    n = config.get("n")
+    if config.get("coalesce"):
+        return df.coalesce(n)
+    if by := config.get("by"):
+        return df.repartition(n, *by) if n else df.repartition(*by)
+    if rb := config.get("range_by"):
+        return df.repartitionByRange(n, *rb) if n else df.repartitionByRange(*rb)
+    return df.repartition(n)
 
 
 @operator("select")

@@ -97,6 +97,28 @@ def json_source(spark: SparkSession, inputs, config, context) -> DataFrame:
     return df
 
 
+@operator("source.excel")
+def excel_source(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Excel Source (reference enhanced_json_mapper.py:62-69 uses the
+    com.crealytics spark-excel package — not in this image). Falls back to
+    CSV when pointed at a .csv export; raises clearly for real .xlsx."""
+    path = config["path"]
+    if path.endswith(".csv"):
+        return csv_source(spark, inputs, config, context)
+    try:
+        r = spark.read.format("com.crealytics.spark.excel").option(
+            "header", str(config.get("header", True)).lower()
+        )
+        if sheet := config.get("sheet"):
+            r = r.option("dataAddress", f"'{sheet}'!A1")
+        return r.load(path)
+    except Exception as exc:  # pragma: no cover — jar not present
+        raise NotImplementedError(
+            "source.excel requires the spark-excel package "
+            "(--packages com.crealytics:spark-excel) on the cluster"
+        ) from exc
+
+
 @operator("source.binary")
 def binary_source(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Multimodal file ingest: `binaryFile` gives (path, modificationTime,

@@ -303,3 +303,73 @@ class TestMultimodal:
         a = run("media.features", spark, [df], binary_col="payload", dim=4).collect()
         b = run("media.features", spark, [df], binary_col="payload", dim=4).collect()
         assert a[0].features == b[0].features and len(a[0].features) == 4
+
+
+class TestErrorOutputs:
+    def test_data_conversion_redirect(self, spark):
+        df = spark.createDataFrame(
+            [("1", "a"), ("2x", "b"), ("3", "c")], "raw string, tag string"
+        )
+        out = run("data_conversion", spark, [df],
+                  casts={"val": ("raw", "DT_I4")}, on_error="redirect")
+        assert sorted(r.val for r in out["out"].collect()) == [1, 3]
+        err = out["error"].collect()
+        assert len(err) == 1 and err[0].raw == "2x"
+        assert set(out["error"].columns) == {"raw", "tag"}  # originals only
+
+    def test_data_conversion_null_mode(self, spark):
+        df = spark.createDataFrame([("1",), ("nope",)], "raw string")
+        out = run("data_conversion", spark, [df], casts={"v": ("raw", "int")})
+        assert sorted((r.v is None) for r in out.collect()) == [False, True]
+
+
+class TestPerRowCommand:
+    def test_update_rewrites_matched_only(self, spark):
+        target = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k int, v string, amt int"
+        )
+        cmds = spark.createDataFrame(
+            [(1, "A"), (9, "Z")], "key_param int, val_param string"
+        )
+        out = run("per_row_command", spark, [target, cmds], action="update",
+                  keys=["k"], param_mapping={"k": "key_param", "v": "val_param"})
+        got = {r.k: (r.v, r.amt) for r in out.collect()}
+        assert got == {1: ("A", 10), 2: ("b", 20)}  # key 9 affects 0 rows
+
+    def test_delete(self, spark):
+        target = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+        cmds = spark.createDataFrame([(2,), (9,)], "kp int")
+        out = run("per_row_command", spark, [target, cmds], action="delete",
+                  keys=["k"], param_mapping={"k": "kp"})
+        assert sorted(r.k for r in out.collect()) == [1, 3]
+
+
+class TestRepartition:
+    def test_hash_and_coalesce(self, spark):
+        df = spark.range(100)
+        assert run("repartition", spark, [df], n=7).rdd.getNumPartitions() == 7
+        assert run("repartition", spark, [df], n=2,
+                   coalesce=True).rdd.getNumPartitions() <= 2
+        byk = run("repartition", spark, [df], n=4, by=["id"])
+        assert byk.rdd.getNumPartitions() == 4
+
+
+class TestLookupCacheModes:
+    def test_cache_none_no_broadcast(self, spark):
+        left = spark.range(100).select(F.col("id").alias("k"))
+        ref = spark.range(50).select(
+            F.col("id").alias("rk"), (F.col("id") * 2).alias("lbl")
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bc = run("lookup", spark, [left, ref], keys={"k": "rk"},
+                     copy={"lbl": "lbl"})  # default cache=full
+            nb = run("lookup", spark, [left, ref], keys={"k": "rk"},
+                     copy={"lbl": "lbl"}, cache="none")
+            bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+            nb_plan = nb._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in bc_plan
+            assert "BroadcastHashJoin" not in nb_plan
+            assert bc.count() == nb.count() == 100
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
