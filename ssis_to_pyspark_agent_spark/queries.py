@@ -1681,3 +1681,18 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         })
     )
     return run_pipeline(spark, p).df("agg")
+
+
+@query("q58_approx_distinct")  # no oracle: HLL sketches are engine-specific
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB substitutes for exact distincts
+    and exact percentiles (single-pass sketches, no expand shuffle).
+    Rows-only check: values are engine-specific by nature."""
+    p = _p("q58", sf_dir, "lineitem").step(
+        "agg", "aggregate", "lineitem", keys=["l_returnflag"], aggs={
+            "approx_parts": ("approx_count_distinct", "l_partkey"),
+            "p50_qty": ("percentile", "l_quantity", 0.5),
+            "p95_price": ("percentile", "l_extendedprice", 0.95),
+        },
+    )
+    return run_pipeline(spark, p).df("agg")

@@ -97,3 +97,25 @@ class TestObserveRowCount:
         out = get_operator("row_count")(spark, [df], {"into": "n"}, ctx)
         # the plan contains CollectMetrics, not an extra aggregation job
         assert "CollectMetrics" in optimized_of(out)
+
+
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_on_read(self, spark, tmp_path):
+        from ssis_to_pyspark_agent_spark.operators import get_operator
+
+        out = str(tmp_path / "orders_by_status")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        get_operator("sink.parquet")(
+            spark, [orders],
+            {"path": out, "mode": "overwrite", "partition_by": ["o_orderstatus"]},
+            {},
+        )
+        df = get_operator("source.parquet")(
+            spark, [], {"path": out, "where": "o_orderstatus = 'O'"}, {}
+        )
+        p = plan_of(df)
+        assert "PartitionFilters" in p and "o_orderstatus" in p.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        # only the matching partition directory is read
+        assert df.count() == orders.filter("o_orderstatus = 'O'").count()
