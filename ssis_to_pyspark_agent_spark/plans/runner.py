@@ -52,6 +52,17 @@ class RunResult:
             return next(iter(ports.values()))
         raise KeyError(f"step {step!r} has ports {sorted(ports)}; qualify the ref")
 
+    def metrics(self) -> dict[str, Any]:
+        """Row Count observation values. Observe-mode counters only resolve
+        after an action has run on a plan containing them — call this after
+        the sink/collect, not before (eager counters are already in
+        ``context``)."""
+        out = {k: v for k, v in self.context.items()
+               if not k.startswith("_") and isinstance(v, (int, float))}
+        for name, obs in self.context.get("_observations", {}).items():
+            out[name] = obs.get["n"]
+        return out
+
 
 @dataclass
 class Runner:

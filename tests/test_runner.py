@@ -105,3 +105,17 @@ def test_pipeline_json_round_trip(spark, sf_dir):
     a = run_pipeline(spark, p).df("agg")
     b = run_pipeline(spark, p2).df("agg")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_metrics_collects_observations(spark):
+    p = (
+        Pipeline("m")
+        .step("src", "source.dataframe", df=spark.range(10))
+        .step("rc", "row_count", "src", into="n_src")
+        .step("f", "filter", "rc", predicate="[id] > 3")
+        .step("rc2", "row_count", "f", into="n_kept", eager=True)
+    )
+    res = run_pipeline(spark, p)
+    res.df("rc2").count()  # the action the observation rides
+    m = res.metrics()
+    assert m["n_src"] == 10 and m["n_kept"] == 6
