@@ -56,5 +56,6 @@ from ssis_to_pyspark_agent_spark.operators import (  # noqa: E402,F401
     similarity,
     sort,
     sources_sinks,
+    streaming_ops,
     text,
 )

@@ -1,0 +1,73 @@
+"""Streaming source/sink operators: the batch operator library runs
+unchanged on streaming DataFrames (SURVEY §1.1: the SSIS operator set is
+mostly stateless-narrow, so a Pipeline becomes a streaming pipeline by
+swapping the source and sink steps only).
+
+Stateless ops (filter, derived_column, lookup against a static dim,
+union_all, data_conversion, checksum, ...) work as-is; aggregations need
+the watermarked `stream.window_agg` step below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssis_to_pyspark_agent_spark.operators import operator
+
+
+@operator("source.stream")
+def stream_source(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """File-based readStream (parquet dir or single file via glob filter);
+    the bounded-input stand-in for kafka/kinesis in this image."""
+    from ssis_to_pyspark_agent_spark.streaming import stream_events
+
+    return stream_events(
+        spark,
+        config["path"],
+        max_files_per_trigger=config.get("max_files_per_trigger", 1),
+        nanos_ts_cols=tuple(config.get("nanos_ts_cols", ("ts",))),
+    )
+
+
+@operator("stream.window_agg")
+def stream_window_agg(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Watermarked windowed aggregation step (tumbling / sliding /
+    session)."""
+    from ssis_to_pyspark_agent_spark.streaming import windowed_agg
+
+    return windowed_agg(
+        inputs[0],
+        ts_col=config["ts_col"],
+        window=config["window"],
+        aggs=config["aggs"],
+        keys=config.get("keys"),
+        slide=config.get("slide"),
+        watermark=config.get("watermark", "10 minutes"),
+        session_gap=config.get("session_gap"),
+    )
+
+
+@operator("stream.dedup")
+def stream_dedup(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Streaming exact-dedup with watermark-bounded state."""
+    from ssis_to_pyspark_agent_spark.streaming.runner import dedup_within_watermark
+
+    return dedup_within_watermark(
+        inputs[0], config["keys"], config["ts_col"],
+        watermark=config.get("watermark", "10 minutes"),
+    )
+
+
+@operator("sink.memory_stream")
+def memory_stream_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Drive the streaming plan to completion into an in-memory table and
+    return the (batch) result. For production use foreachBatch/parquet
+    sinks with checkpointing; this is the synchronous test/demo sink."""
+    from ssis_to_pyspark_agent_spark.streaming import run_stream_to_memory
+
+    name = config["name"]
+    run_stream_to_memory(
+        inputs[0], name, output_mode=config.get("output_mode", "append")
+    )
+    return spark.table(name)

@@ -53,7 +53,10 @@ def _dec(c: str | Column) -> Column:
 
 
 def _dsum(c: str | Column) -> Column:
-    return F.sum(_dec(c)).cast("double")
+    # decimal -> string -> double: the string parse is correctly rounded
+    # in every engine, while decimal->double conversion is not (DuckDB
+    # divides int128 by 10^scale: up to 2 ulp off for sums >= 2^53/scale)
+    return F.sum(_dec(c)).cast("string").cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -65,10 +68,10 @@ def _dsum(c: str | Column) -> Column:
     "q01_agg_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -89,7 +92,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
             aggs={
                 "sum_qty": _dsum("l_quantity"),
                 "sum_base_price": _dsum("l_extendedprice"),
-                "sum_disc_price": F.sum(disc_price).cast("double"),
+                "sum_disc_price": F.sum(disc_price).cast("string").cast("double"),
                 "avg_qty": _dsum("l_quantity") / F.count("l_quantity"),
                 "count_order": F.count(F.lit(1)),
             },
@@ -348,7 +351,7 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_split_branch_counts",
     oracle=f"""
     SELECT {_SPLIT_ORACLE_ROUTE} AS route, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders GROUP BY 1
     """,
 )
@@ -365,7 +368,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     for port in ("huge", "open_or_big", "urgent", "default"):
         p.step(f"agg_{port}", "aggregate", f"split.{port}", keys=[], aggs={
             "n": ("count", "*"),
-            "total": F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+            "total": F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("string").cast("double"),
         })
         p.step(f"lab_{port}", "derived_column", f"agg_{port}",
                columns={"route": F.lit(port)})
@@ -584,7 +587,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
@@ -1084,7 +1087,7 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1098,7 +1101,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("string").cast("double").alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
@@ -1481,7 +1484,7 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            COUNT(DISTINCT o_custkey) AS n_custs,
            COUNT(DISTINCT o_orderpriority) AS n_prios,
-           CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS sum_distinct_price,
            MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
     FROM orders GROUP BY o_orderstatus
@@ -1494,7 +1497,7 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_prios": ("count_distinct", "o_orderpriority"),
             "sum_distinct_price": F.sum_distinct(
                 F.col("o_totalprice").cast("decimal(18,4)")
-            ).cast("double"),
+            ).cast("string").cast("double"),
             "first_order": ("min", "o_orderdate"),
             "last_order": ("max", "o_orderdate"),
         },
@@ -1677,7 +1680,7 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
               select_right=["l_extendedprice", "l_discount"])
         .step("agg", "aggregate", "j", keys=["o_orderpriority"], aggs={
             "n_lines": ("count", "*"),
-            "revenue": F.sum(rev).cast("double"),
+            "revenue": F.sum(rev).cast("string").cast("double"),
         })
     )
     return run_pipeline(spark, p).df("agg")

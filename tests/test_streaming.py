@@ -121,3 +121,28 @@ def test_stateful_apply_in_pandas_with_state(spark):
     got_map = {r.user_id: r.n for r in got.collect()}
     for r in want.collect():
         assert got_map[r.user_id] == r["count"]
+
+
+def test_streaming_pipeline_reuses_batch_operators(spark):
+    """A Pipeline with a streaming source runs the SAME stateless operators
+    (filter with SSIS expression, derived_column) before a watermarked agg —
+    no streaming-specific operator code."""
+    from ssis_to_pyspark_agent_spark.plans import Pipeline, run_pipeline
+
+    p = (
+        Pipeline("stream_pipe")
+        .step("src", "source.stream", path=EVENTS)
+        .step("flt", "filter", "src", predicate='[event_type] != "error"')
+        .step("drv", "derived_column", "flt",
+              columns={"vbig": "[value] > 50.0 ? 1 : 0"})
+        .step("agg", "stream.window_agg", "drv", ts_col="ts",
+              window="1 hour", watermark="2 hours", keys=["event_type"],
+              aggs={"n": ("count", "*"), "n_big": ("sum", "vbig")})
+        .step("out", "sink.memory_stream", "agg", name="t_pipe",
+              output_mode="complete")
+    )
+    res = run_pipeline(spark, p)
+    got = res.df("out")
+    batch = spark.read.parquet(EVENTS).filter("event_type != 'error'")
+    assert got.agg(F.sum("n")).first()[0] == batch.count()
+    assert "error" not in {r.event_type for r in got.select("event_type").distinct().collect()}
