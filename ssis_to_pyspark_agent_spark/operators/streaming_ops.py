@@ -66,7 +66,9 @@ def memory_stream_sink(spark: SparkSession, inputs, config, context) -> DataFram
     sinks with checkpointing; this is the synchronous test/demo sink."""
     from ssis_to_pyspark_agent_spark.streaming import run_stream_to_memory
 
-    name = config["name"]
+    # key is `table`, not `name`: step config kwargs must not collide with
+    # Pipeline.step(name=...)
+    name = config["table"]
     run_stream_to_memory(
         inputs[0], name, output_mode=config.get("output_mode", "append")
     )

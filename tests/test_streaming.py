@@ -138,7 +138,7 @@ def test_streaming_pipeline_reuses_batch_operators(spark):
         .step("agg", "stream.window_agg", "drv", ts_col="ts",
               window="1 hour", watermark="2 hours", keys=["event_type"],
               aggs={"n": ("count", "*"), "n_big": ("sum", "vbig")})
-        .step("out", "sink.memory_stream", "agg", name="t_pipe",
+        .step("out", "sink.memory_stream", "agg", table="t_pipe",
               output_mode="complete")
     )
     res = run_pipeline(spark, p)
