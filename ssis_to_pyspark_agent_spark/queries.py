@@ -1699,3 +1699,26 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return run_pipeline(spark, p).df("agg")
+
+
+_Q59_SQL = """
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS total_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 0
+    GROUP BY n.n_name
+"""
+
+
+@query("q59_sql_query_source", oracle=_Q59_SQL)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLE DB Source in query mode (AccessMode=2): an arbitrary SELECT is
+    the source (reference enhanced_json_mapper.py:1572-1590 emits
+    spark.sql). The same SQL text runs as the DuckDB oracle — Spark SQL and
+    DuckDB agree on this dialect subset."""
+    from ssis_to_pyspark_agent_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    p = Pipeline("q59").step("src", "source.sql", query=_Q59_SQL)
+    return run_pipeline(spark, p).df("src")

@@ -51,9 +51,24 @@ class CatalogMapper:
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
 ) -> dict[str, DataFrame]:
-    """Load the driver's testdata tables (TESTDATA.md) as a dict."""
+    """Load the driver's testdata tables (TESTDATA.md) as a dict.
+
+    `events` carries TIMESTAMP(NANOS) parquet — routed through the
+    nanos-aware source operator (long nanos -> micros)."""
+    from ssis_to_pyspark_agent_spark.operators import get_operator
+
     m = CatalogMapper(base_path=sf_dir)
-    return {n: m.resolve(spark, n) for n in names}
+    out: dict[str, DataFrame] = {}
+    for n in names:
+        if n == "events":
+            out[n] = get_operator("source.parquet")(
+                spark, [],
+                {"path": f"{sf_dir}/events.parquet", "nanos_ts_cols": ["ts"]},
+                {},
+            )
+        else:
+            out[n] = m.resolve(spark, n)
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -373,3 +373,27 @@ class TestLookupCacheModes:
             assert bc.count() == nb.count() == 100
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+class TestSampleModes:
+    def test_random_seeded_repeatable(self, spark):
+        df = spark.range(1000)
+        a = run("sample", spark, [df], method="random", fraction=0.1, seed=7)
+        b = run("sample", spark, [df], method="random", fraction=0.1, seed=7)
+        assert sorted(r.id for r in a.collect()) == sorted(r.id for r in b.collect())
+        assert 40 < a.count() < 200
+
+    def test_hash_deterministic_subset(self, spark):
+        df = spark.range(1000)
+        a = run("sample", spark, [df], method="hash", key=["id"], fraction=0.2)
+        b = run("sample", spark, [df], method="hash", key=["id"], fraction=0.2)
+        assert sorted(r.id for r in a.collect()) == sorted(r.id for r in b.collect())
+        # hash sample of a superset contains the sample of the subset
+        sub = run("sample", spark, [df.filter("id < 500")], method="hash",
+                  key=["id"], fraction=0.2)
+        assert set(r.id for r in sub.collect()) <= set(r.id for r in a.collect())
+
+    def test_rows_exact_n(self, spark):
+        df = spark.range(1000)
+        out = run("sample", spark, [df], method="rows", key=["id"], n=37)
+        assert out.count() == 37
