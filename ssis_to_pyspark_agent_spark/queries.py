@@ -1701,9 +1701,10 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_pipeline(spark, p).df("agg")
 
 
+# STRING (not VARCHAR): the one spelling both Spark SQL and DuckDB accept
 _Q59_SQL = """
     SELECT n.n_name AS nation, COUNT(*) AS n_customers,
-           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
              AS total_balance
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE c.c_acctbal > 0
