@@ -1,0 +1,107 @@
+"""Maintenance + ingest-pattern operators: compaction, clustering,
+incremental loads, quality gates."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssis_to_pyspark_agent_spark.operators import get_operator
+
+
+def run(op, spark, inputs, **config):
+    ctx = config.pop("_context", {})
+    res = get_operator(op)(spark, inputs, config, ctx)
+    return res
+
+
+def parquet_files(path):
+    out = []
+    for root, _, files in os.walk(path):
+        out += [f for f in files if f.endswith(".parquet")]
+    return out
+
+
+class TestCompact:
+    def test_small_files_merged(self, spark, tmp_path):
+        path = str(tmp_path / "frag")
+        spark.range(10_000).repartition(40).write.parquet(path)
+        assert len(parquet_files(path)) == 40
+        ctx = {}
+        out = get_operator("maintenance.compact")(
+            spark, [], {"path": path, "target_mb": 128}, ctx
+        )
+        assert len(parquet_files(path)) == ctx["_compacted_files"] == 1
+        assert out.count() == 10_000
+
+
+class TestCluster:
+    def test_sorted_within_partitions(self, spark):
+        df = spark.range(1000).withColumn("k", F.pmod(F.xxhash64("id"), 100))
+        out = run("maintenance.cluster", spark, [df], keys=["k"], n=4)
+        assert out.rdd.getNumPartitions() == 4
+
+        def is_sorted(it):
+            prev = None
+            for row in it:
+                if prev is not None and row.k < prev:
+                    yield False
+                prev = row.k
+            yield True
+
+        assert all(out.rdd.mapPartitions(is_sorted).collect())
+
+
+class TestIncrementalLoad:
+    def test_watermark_advances(self, spark):
+        df = spark.createDataFrame([(i, i * 10) for i in range(10)], "id int, ts int")
+        ctx = {"wm": 40}
+        out = get_operator("incremental_load")(
+            spark, [df], {"watermark_col": "ts", "var": "wm"}, ctx
+        )
+        assert sorted(r.id for r in out.collect()) == [5, 6, 7, 8, 9]
+        assert ctx["wm"] == 90
+        # next batch with no new rows leaves the watermark alone
+        out2 = get_operator("incremental_load")(
+            spark, [df], {"watermark_col": "ts", "var": "wm"}, ctx
+        )
+        assert out2.count() == 0 and ctx["wm"] == 90
+
+    def test_first_run_takes_everything(self, spark):
+        df = spark.createDataFrame([(1, 10), (2, 20)], "id int, ts int")
+        ctx = {}
+        out = get_operator("incremental_load")(
+            spark, [df], {"watermark_col": "ts", "var": "wm"}, ctx
+        )
+        assert out.count() == 2 and ctx["wm"] == 20
+
+
+class TestQualityCheck:
+    @pytest.fixture()
+    def df(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, None, 5.0), (3, "c", -1.0), (4, "d", 2.0)],
+            "id int, name string, amount double",
+        )
+
+    def test_redirect_with_failed_rule_names(self, spark, df):
+        out = run("quality_check", spark, [df], rules={
+            "name_not_null": "!ISNULL([name])",
+            "amount_positive": "[amount] > 0",
+        })
+        assert sorted(r.id for r in out["out"].collect()) == [1, 4]
+        bad = {r.id: list(r["_failed_rules"]) for r in out["error"].collect()}
+        assert bad == {2: ["name_not_null"], 3: ["amount_positive"]}
+
+    def test_fail_mode_raises(self, spark, df):
+        with pytest.raises(ValueError, match="rows failed"):
+            run("quality_check", spark, [df],
+                rules={"amount_positive": "[amount] > 0"}, mode="fail")
+
+    def test_fail_mode_passes_clean_data(self, spark, df):
+        clean = df.filter("amount > 0 AND name IS NOT NULL")
+        out = run("quality_check", spark, [clean],
+                  rules={"amount_positive": "[amount] > 0"}, mode="fail")
+        assert out.count() == 2
