@@ -40,6 +40,9 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # headroom for 32 concurrent codegen'd tasks + cached LSH stages; GC
+    # pauses were the main run-to-run timing variance at 8g
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
     from ssis_to_pyspark_agent_spark.queries import QUERIES
     from ssis_to_pyspark_agent_spark.session import get_spark
@@ -49,11 +52,14 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
-    # Warm the JVM/whole-stage-codegen path of EVERY headline query once on
-    # the smallest SF so timings measure the engine, not first-call janino
-    # compilation (the wide minhash expression alone costs ~10s to compile).
+    # Warm the JVM/whole-stage-codegen path of EVERY headline query once AT
+    # THE BENCHED SF so timings measure the steady-state engine, not
+    # first-call janino compilation (~10s for the wide minhash expression).
+    # Warming at a smaller sf is not enough: AQE picks different join
+    # strategies per size, so the compiled variant differs.
     for name in HEADLINE:
-        QUERIES[name](spark, "/root/testdata/sf0.001").count()
+        QUERIES[name](spark, sf_dir).count()
+        spark.catalog.clearCache()
 
     # Queries are independent; drop operator-internal caches from warmup so
     # measured runs don't fight leftover cached partitions for memory.
@@ -62,6 +68,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
+        spark.sparkContext._jvm.System.gc()  # type: ignore[union-attr]
         t0 = time.perf_counter()
         n = QUERIES[name](spark, sf_dir).count()
         dt = time.perf_counter() - t0

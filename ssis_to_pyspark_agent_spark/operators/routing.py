@@ -39,6 +39,13 @@ def conditional_split(spark: SparkSession, inputs, config, context):
     default_port = config.get("default", "default")
     assert route is not None, "conditional_split needs >=1 output"
     routed = df.withColumn("_route", route.otherwise(F.lit(default_port)))
+    if config.get("persist"):
+        # when several ports feed ONE downstream plan (e.g. the medium-
+        # package merge), each port's filter would otherwise re-materialize
+        # the whole upstream subplan; caching the routed frame computes it
+        # once. The runner's fan-out persist only caches the per-port
+        # filters, which does not share the parent.
+        routed = routed.persist()
     out = {
         port: routed.filter(F.col("_route") == port).drop("_route")
         for port in list(config["outputs"]) + [default_port]

@@ -1448,7 +1448,7 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "!ISNULL([cs_old]) && ISNULL([cs_new]) && [deleted_flag] == 1",
             "delete": "!ISNULL([cs_old]) && ISNULL([cs_new]) && [deleted_flag] == 0",
             "update": "!ISNULL([cs_new]) && !ISNULL([cs_old]) && [cs_new] != [cs_old]",
-        }, default="nochange")
+        }, default="nochange", persist=True)
         # ---- set-based replacements for the per-row stored procs
         .step("target", "select", "existing",
               columns={"c_custkey": "key_old", "c_mktsegment": "seg_old",
