@@ -46,6 +46,7 @@ from ssis_to_pyspark_agent_spark.operators import (  # noqa: E402,F401
     agg,
     dedup,
     joins,
+    joins_advanced,
     maintenance,
     multimodal,
     reshape,

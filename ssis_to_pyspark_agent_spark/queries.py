@@ -1723,3 +1723,71 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     p = Pipeline("q59").step("src", "source.sql", query=_Q59_SQL)
     return run_pipeline(spark, p).df("src")
+
+
+@query(
+    "q60_asof_join",
+    oracle="""
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+         clicks AS (SELECT event_id AS click_id, value AS click_value,
+                           user_id, ts
+                    FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, c.click_id AS last_click_id,
+           c.click_value AS last_click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (one shuffle, union+window carry — no native Spark ASOF):
+    for every purchase, the user's most recent click at-or-before it.
+    Oracle = DuckDB's native ASOF JOIN."""
+    p = (
+        Pipeline("q60")
+        .step("events", "source.parquet", path=f"{sf_dir}/events.parquet",
+              nanos_ts_cols=["ts"])
+        .step("purch", "filter", "events", predicate='[event_type] == "purchase"')
+        .step("purch2", "select", "purch",
+              columns=["event_id", "user_id", "ts"])
+        .step("clicks", "filter", "events", predicate='[event_type] == "click"')
+        .step("aj", "asof_join", ["purch2", "clicks"], keys=["user_id"],
+              left_ts="ts", right_ts="ts",
+              copy={"last_click_id": "event_id", "last_click_value": "value"})
+        .step("prj", "select", "aj",
+              columns=["event_id", "user_id", "last_click_id",
+                       "last_click_value"])
+    )
+    return run_pipeline(spark, p).df("prj")
+
+
+@query(
+    "q61_range_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('budget', 0.0, 20000.0), ('mid', 20000.0, 60000.0),
+      ('high', 60000.0, 90000.0), ('lux', 90000.0, 1000000.0))
+    SELECT l.l_orderkey, l.l_linenumber, b.band
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    WHERE l.l_orderkey % 25 = 0
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via bucketed candidate generation — equi join
+    on (bucket) + residual bound filter instead of a cross join."""
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 20000.0), ("mid", 20000.0, 60000.0),
+         ("high", 60000.0, 90000.0), ("lux", 90000.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    p = (
+        _p("q61", sf_dir, "lineitem")
+        .step("flt", "filter", "lineitem", predicate="[l_orderkey] % 25 == 0")
+        .step("bands", "source.dataframe", df=bands)
+        .step("rj", "range_join", ["flt", "bands"], value="l_extendedprice",
+              lo="lo", hi="hi", bucket_width=10000.0,
+              select_left=["l_orderkey", "l_linenumber"],
+              select_right=["band"])
+    )
+    return run_pipeline(spark, p).df("rj")

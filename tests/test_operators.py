@@ -397,3 +397,62 @@ class TestSampleModes:
         df = spark.range(1000)
         out = run("sample", spark, [df], method="rows", key=["id"], n=37)
         assert out.count() == 37
+
+
+class TestAsofJoin:
+    @pytest.fixture()
+    def sides(self, spark):
+        left = spark.createDataFrame(
+            [(1, "u", 100), (2, "u", 205), (3, "u", 50), (4, "v", 100)],
+            "oid int, k string, t int",
+        )
+        right = spark.createDataFrame(
+            [("u", 100, "a"), ("u", 200, "b"), ("v", 150, "c")],
+            "k string, t int, tag string",
+        )
+        return left, right
+
+    def test_backward_match_with_tie(self, spark, sides):
+        left, right = sides
+        out = run("asof_join", spark, [left, right], keys=["k"],
+                  left_ts="t", right_ts="t", copy={"tag": "tag"})
+        got = {r.oid: r.tag for r in out.collect()}
+        # oid=1 ties right t=100 -> matches 'a'; oid=2 -> latest <=205 is 'b'
+        # oid=3 -> nothing at or before 50; oid=4 ('v') -> nothing <=100
+        assert got == {1: "a", 2: "b", 3: None, 4: None}
+
+    def test_tolerance(self, spark, sides):
+        left, right = sides
+        # int seconds columns work with unix_timestamp? use timestamps
+        from pyspark.sql import functions as F2
+
+        lts = left.withColumn("ts", F2.timestamp_seconds("t"))
+        rts = right.withColumn("ts", F2.timestamp_seconds("t"))
+        out = run("asof_join", spark, [lts, rts], keys=["k"],
+                  left_ts="ts", right_ts="ts", copy={"tag": "tag"},
+                  tolerance=4)
+        got = {r.oid: r.tag for r in out.collect()}
+        assert got == {1: "a", 2: None, 3: None, 4: None}  # 205-200=5 > 4s
+
+
+class TestRangeJoin:
+    def test_bucketed_equals_broadcast(self, spark):
+        import random
+
+        rng = random.Random(3)
+        left = spark.createDataFrame(
+            [(i, rng.uniform(0, 100)) for i in range(500)], "id int, v double"
+        )
+        right = spark.createDataFrame(
+            [("lo", 0.0, 30.0), ("mid", 25.0, 70.0), ("hi", 60.0, 100.0)],
+            "band string, lo double, hi double",
+        )
+        bc = run("range_join", spark, [left, right], value="v",
+                 lo="lo", hi="hi", broadcast=True,
+                 select_left=["id"], select_right=["band"])
+        bk = run("range_join", spark, [left, right], value="v",
+                 lo="lo", hi="hi", bucket_width=10.0,
+                 select_left=["id"], select_right=["band"])
+        assert rows(bc) == rows(bk)
+        # overlapping bands -> some ids match twice
+        assert bk.count() > 500
