@@ -117,6 +117,66 @@ def _keep_min_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFra
     return df.join(dominated, id_col, "left_anti")
 
 
+@operator("dedup.cluster")
+def dedup_cluster(spark: SparkSession, inputs, config, context):
+    """Connected components over a near-duplicate pair list: the transitive
+    closure the keep-min-neighbor heuristic skips. inputs: [ids, pairs]
+    where ids has `id_col` and pairs has columns (a, b).
+
+    Iterative min-label propagation: every node starts as its own
+    component; each round, a node adopts the smallest label among itself
+    and its neighbors; stop when no label changes (<= diameter rounds —
+    near-dup clusters are tiny, so 2-4 rounds in practice). Each round is
+    one shuffle; `localCheckpoint` cuts the lineage so round N doesn't
+    replay rounds 1..N-1.
+
+    Returns {'components': (id, component), 'out': one surviving row per
+    component (min id)}.
+    """
+    ids_df, pairs = inputs[0], inputs[1]
+    id_col = config["id_col"]
+    max_rounds = config.get("max_rounds", 20)
+
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .persist()
+    )
+    labels = ids_df.select(
+        F.col(id_col).alias("x"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
+
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, "x")
+            .select(F.col("y").alias("x"), "comp")
+            .groupBy("x")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        updated = (
+            labels.join(neighbor_min, "x", "left")
+            .select(
+                "x",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+                (F.coalesce("ncomp", "comp") < F.col("comp")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter("_changed").limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+
+    components = labels.select(F.col("x").alias(id_col), "comp")
+    survivors = ids_df.join(
+        components.filter(F.col(id_col) == F.col("comp")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return {"components": components, "out": survivors}
+
+
 @operator("dedup.exact")
 def dedup_exact(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Exact dedup. `columns`: identity columns (defaults: all).

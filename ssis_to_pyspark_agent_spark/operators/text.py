@@ -143,6 +143,42 @@ def fingerprint(spark: SparkSession, inputs, config, context) -> DataFrame:
     )
 
 
+@operator("text.tfidf")
+def tfidf(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """TF-IDF over a text column with built-in ops only (no MLlib
+    HashingTF — exact terms, fully oracle-checkable): explode words ->
+    tf per (doc, term), document frequency per term, smoothed
+    idf = ln((N+1)/(df+1)) + 1 (sklearn's formulation).
+
+    `min_df` prunes the long tail of hapax terms before the join (the
+    scale lever: the df table is then small enough to broadcast).
+    Output: (id, term, tf, df, tfidf)."""
+    df: DataFrame = inputs[0]
+    id_col, text_col = config["id_col"], config["text_col"]
+    min_df = config.get("min_df", 1)
+
+    words = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    return tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) + 1)
+        ).alias("tfidf"),
+    )
+
+
 @operator("term_lookup")
 def term_lookup(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Term Lookup (reference :1119): count occurrences of reference terms

@@ -1791,3 +1791,76 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
               select_right=["band"])
     )
     return run_pipeline(spark, p).df("rj")
+
+
+@query(
+    "q62_dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, n_chars, string_split({_NORM_SQL}, ' ') AS words
+      FROM documents),
+    sh AS (SELECT doc_id, n_chars, {_SHINGLE_SQL} AS shingles FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+       AND floor(a.n_chars / 64) - floor(b.n_chars / 64) BETWEEN -1 AND 1
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    edges AS (SELECT a AS x, b AS y FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+    comp AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.y), d.doc_id)) AS comp
+      FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+      GROUP BY d.doc_id)
+    SELECT doc_id, comp FROM comp
+    """,
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering of near-dup pairs (transitive
+    closure): the iterative min-label propagation vs a recursive-CTE
+    reachability oracle."""
+    p = (
+        _p("q62", sf_dir, "documents")
+        .step("dd", "dedup.ngram_jaccard", "documents",
+              id_col="doc_id", text_col="text", shingle_k=3, threshold=0.5,
+              block_exprs=["floor(n_chars / 64)", "floor(n_chars / 64) + 1"],
+              return_pairs=True)
+        .step("cc", "dedup.cluster", ["documents", "dd.pairs"], id_col="doc_id")
+        .step("prj", "select", "cc.components", columns=["doc_id", "comp"])
+    )
+    return run_pipeline(spark, p).df("prj")
+
+
+@query(
+    "q63_tfidf",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words
+           WHERE term != '' GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+              HAVING COUNT(*) >= 5),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1) AS tfidf
+    FROM tf JOIN dfreq USING (term), n
+    WHERE tf.doc_id % 10 = 0
+    """,
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF (Term Extraction analogue + SURVEY §2.12 text
+    analysis), restricted to every 10th doc for output size."""
+    p = (
+        _p("q63", sf_dir, "documents")
+        .step("ti", "text.tfidf", "documents", id_col="doc_id",
+              text_col="text", min_df=5)
+        .step("flt", "filter", "ti", predicate="[doc_id] % 10 == 0")
+    )
+    return run_pipeline(spark, p).df("flt")

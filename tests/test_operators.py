@@ -456,3 +456,26 @@ class TestRangeJoin:
         assert rows(bc) == rows(bk)
         # overlapping bands -> some ids match twice
         assert bk.count() > 500
+
+
+class TestDedupCluster:
+    def test_transitive_closure(self, spark):
+        ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+        # chain 1-2-3 (transitive), pair 5-6, singletons 0,4,7
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "a long, b long"
+        )
+        out = run("dedup.cluster", spark, [ids, pairs], id_col="doc_id")
+        comp = {r.doc_id: r.comp for r in out["components"].collect()}
+        assert comp == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+        assert sorted(r.doc_id for r in out["out"].collect()) == [0, 1, 4, 5, 7]
+
+    def test_long_chain_converges(self, spark):
+        n = 12
+        ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "a long, b long"
+        )
+        out = run("dedup.cluster", spark, [ids, pairs], id_col="doc_id")
+        comps = {r.comp for r in out["components"].collect()}
+        assert comps == {0}  # one component, min label 0
