@@ -59,6 +59,37 @@ def top_k(spark: SparkSession, inputs, config, context) -> DataFrame:
     return res if config.get("keep_rank") else res.drop(out)
 
 
+@operator("sessionize")
+def sessionize(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Gap-based sessionization (batch): assign a per-key session index via
+    lag + running sum of gap-breaks — one shuffle on the key. The batch
+    twin of streaming ``session_window`` (same session boundaries).
+
+    config: key (list), ts_col, gap_seconds, out (default 'session_id'),
+    order_tiebreak (column for deterministic ordering of ts ties).
+    """
+    df: DataFrame = inputs[0]
+    keys = config["key"]
+    ts = config["ts_col"]
+    gap = config["gap_seconds"]
+    out = config.get("out", "session_id")
+    order = [F.col(ts).asc()] + (
+        [F.col(config["order_tiebreak"]).asc()] if config.get("order_tiebreak") else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    new_s = F.when(
+        F.lag(ts).over(w).isNull()
+        | (F.unix_timestamp(ts) - F.unix_timestamp(F.lag(ts).over(w)) > gap),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        out,
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
 @operator("window")
 def window(spark: SparkSession, inputs, config, context) -> DataFrame:
     """First-class window operator (SURVEY §2.10: none in the reference —

@@ -76,6 +76,28 @@ class Pipeline:
             ],
         }
 
+    def to_dot(self) -> str:
+        """Graphviz DOT of the step DAG (column-level lineage is Catalyst's
+        job — ``df.explain`` — but step-level lineage is part of the spec,
+        matching the reference's path/lineage tracking,
+        data_engineering_parser.py:413-444)."""
+        lines = [f'digraph "{self.name}" {{', "  rankdir=LR;"]
+        for s in self.steps:
+            shape = (
+                "cylinder"
+                if s.op.startswith(("source.", "sink."))
+                else "box"
+            )
+            style = "" if s.enabled else ' style=dashed'
+            lines.append(f'  "{s.name}" [label="{s.name}\\n{s.op}" shape={shape}{style}];')
+        for s in self.steps:
+            for ref in s.inputs:
+                src, _, port = ref.partition(".")
+                label = f' [label="{port}"]' if port else ""
+                lines.append(f'  "{src}" -> "{s.name}"{label};')
+        lines.append("}")
+        return "\n".join(lines)
+
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "Pipeline":
         p = cls(name=d["name"], variables=dict(d.get("variables", {})))

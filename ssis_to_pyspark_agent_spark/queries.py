@@ -1864,3 +1864,31 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("flt", "filter", "ti", predicate="[doc_id] % 10 == 0")
     )
     return run_pipeline(spark, p).df("flt")
+
+
+@query(
+    "q64_sessionize_ids",
+    oracle="""
+    WITH x AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM x
+    """,
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class sessionize operator: per-event session index."""
+    p = (
+        Pipeline("q64")
+        .step("events", "source.parquet", path=f"{sf_dir}/events.parquet",
+              nanos_ts_cols=["ts"])
+        .step("s", "sessionize", "events", key=["user_id"], ts_col="ts",
+              gap_seconds=1800, order_tiebreak="event_id")
+        .step("prj", "select", "s", columns=["event_id", "user_id", "session_id"])
+    )
+    return run_pipeline(spark, p).df("prj")

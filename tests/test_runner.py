@@ -119,3 +119,17 @@ def test_metrics_collects_observations(spark):
     res.df("rc2").count()  # the action the observation rides
     m = res.metrics()
     assert m["n_src"] == 10 and m["n_kept"] == 6
+
+
+def test_pipeline_to_dot(spark):
+    p = (
+        Pipeline("dotty")
+        .step("src", "source.parquet", path="/x.parquet")
+        .step("split", "conditional_split", "src", outputs={"a": "1 == 1"})
+        .step("out", "sink.parquet", "split.a", path="/y")
+    )
+    dot = p.to_dot()
+    assert 'digraph "dotty"' in dot
+    assert '"src" -> "split"' in dot
+    assert '"split" -> "out" [label="a"]' in dot
+    assert "cylinder" in dot  # sources/sinks visually distinct
