@@ -479,3 +479,21 @@ class TestDedupCluster:
         out = run("dedup.cluster", spark, [ids, pairs], id_col="doc_id")
         comps = {r.comp for r in out["components"].collect()}
         assert comps == {0}  # one component, min label 0
+
+
+class TestSimilarityPandasPath:
+    def test_pandas_matches_expr_topk(self, spark):
+        import random
+
+        rng = random.Random(5)
+        data = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+        df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+        q = df.filter("vec_id < 4")
+        cfg = dict(id_col="vec_id", vec_col="embedding",
+                   query_id_col="vec_id", query_vec_col="embedding", k=5)
+        a = run("similarity.topk_bruteforce", spark, [df, q], **cfg)
+        b = run("similarity.topk_bruteforce", spark, [df, q],
+                method="pandas", **cfg)
+        ga = {(r.query_id, r.rank): r.corpus_id for r in a.collect()}
+        gb = {(r.query_id, r.rank): r.corpus_id for r in b.collect()}
+        assert ga == gb
