@@ -178,6 +178,18 @@ class ControlFlowRunner:
             if task.kind == "python":
                 task.payload(self.spark, context)
                 return TaskResult(status="success")
+            if task.kind == "expression":
+                # SSIS Expression Task (models.py:13-17): evaluate an SSIS
+                # expression over package variables into a variable.
+                # payload: (target_var, expression)
+                from ssis_to_pyspark_agent_spark.functions.expr import (
+                    ExpressionCompiler,
+                )
+
+                var, expr = task.payload
+                col = ExpressionCompiler(schema={}, variables=context).compile(expr)
+                context[var] = self.spark.range(1).select(col.alias("v")).first().v
+                return TaskResult(status="success")
             if task.kind == "foreach":
                 fe: Foreach = task.payload
                 items = fe.items(context) if callable(fe.items) else fe.items

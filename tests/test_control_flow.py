@@ -122,3 +122,13 @@ def test_disabled_task_skipped_entirely(spark):
     g.task("dead", "sql", "SELECT 1", enabled=False)
     results, _ = run_task_graph(spark, g)
     assert "dead" not in results
+
+
+def test_expression_task_sets_variable(spark):
+    g = TaskGraph("pkg", variables={"Base": 10})
+    g.task("calc", "expression", ("Doubled", "@[User::Base] * 2 + 1"))
+    g.task("use", "sql", "SELECT 1")
+    g.edge("calc", "use", condition="@[User::Doubled] == 21")
+    results, ctx = run_task_graph(spark, g)
+    assert ctx["Doubled"] == 21
+    assert results["use"].status == "success"

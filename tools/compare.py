@@ -106,11 +106,28 @@ def main() -> int:
     prefixes = sys.argv[2:]
 
     import __spark_entry__ as entry
-    from ssis_to_pyspark_agent_spark.session import get_spark
 
-    spark = get_spark(
-        extra_conf={"spark.ui.showConsoleProgress": "false"}, shuffle_partitions=8
-    )
+    if int(os.environ.get("COMPARE_VANILLA", "0")):
+        # mimic the driver: a default session with none of our tuning —
+        # queries must not depend on get_spark() confs (tune_session inside
+        # the entry wrappers pins the few that matter, e.g. UTC)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("vanilla-gate")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from ssis_to_pyspark_agent_spark.session import get_spark
+
+        spark = get_spark(
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+            shuffle_partitions=8,
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
