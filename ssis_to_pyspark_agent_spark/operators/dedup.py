@@ -69,8 +69,14 @@ def _minhash_band_hashes(base_hashes: Column, bands: int, rows: int) -> Column:
     computed exactly once; each band hash consumes its own `rows` values.
     """
     def minhash(i: int) -> Column:
-        return F.array_min(
-            F.transform(base_hashes, lambda h: F.xxhash64(h, F.lit(i)))
+        # aggregate fold, NOT array_min(transform(...)): the transform
+        # allocates an intermediate array per (row x hash function) —
+        # 65M arrays at 500k docs x 128 fns, all GC pressure. The fold
+        # keeps one accumulator.
+        return F.aggregate(
+            base_hashes,
+            F.lit((1 << 63) - 1).cast("long"),
+            lambda acc, h: F.least(acc, F.xxhash64(h, F.lit(i))),
         )
 
     return F.array(
@@ -106,6 +112,32 @@ def _spread(spark, df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
+    """Distinct (a, b) id pairs co-occurring in a bucket: groupBy bucket,
+    collect (capped, sorted) id lists, explode the i<j combinations.
+    One shuffle total — the self-join alternative shuffles the tagged
+    table twice and sorts both sides."""
+    buckets = (
+        tagged.groupBy(*bucket_cols)
+        .agg(F.slice(F.sort_array(F.collect_set("_id")), 1, cap).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(combos).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
 
 
 def _keep_min_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
@@ -257,24 +289,37 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
         ),
     )
 
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l._band") == F.col("r._band"))
-            & (F.col("l._bh") == F.col("r._bh"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
-        .dropDuplicates(["a", "b"])
-    )
+    # Candidate pairs via bucket grouping, NOT a self-join: ONE shuffle on
+    # (band, hash) + a narrow combination explode, vs the self-join's two
+    # full shuffles + sort of the banded table (measured 52s -> seconds at
+    # 8M banded rows). `bucket_cap` guards the quadratic blowup of a
+    # degenerate hot bucket (boilerplate-heavy corpora).
+    bucket_cap = config.get("bucket_cap", 200)
+    # persist: the candidate set is consumed by cand_ids, the broadcast,
+    # the verify join and the survivor anti-join — without a cache each
+    # consumer re-runs the whole signature+bucket pipeline
+    cand = _bucket_pairs(banded, ["_band", "_bh"], bucket_cap).persist()
+
+    # Verification joins the (big, cached) shingle table to the (small)
+    # candidate set via broadcast — the shingle arrays never shuffle.
+    # Assumption: candidates fit the driver (bounded by true-dup volume x
+    # LSH precision); set verify_broadcast=False for degenerate corpora.
     sh = base.select("_id", "_sh")
+    if config.get("verify_broadcast", True):
+        cand_ids = (
+            cand.select(F.col("a").alias("_id"))
+            .unionByName(cand.select(F.col("b").alias("_id")))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(cand_ids), "_id", "left_semi")
+        cand = F.broadcast(cand)
     pairs = (
         cand.join(sh.select(F.col("_id").alias("a"), F.col("_sh").alias("sha")), "a")
         .join(sh.select(F.col("_id").alias("b"), F.col("_sh").alias("shb")), "b")
         .withColumn("jaccard", _jaccard(F.col("sha"), F.col("shb")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
+        .persist()  # consumed by the survivor anti-join AND the pairs port
     )
     out = _keep_min_survivors(df, id_col, pairs)
     if config.get("return_pairs"):

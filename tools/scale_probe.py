@@ -1,0 +1,143 @@
+"""Scale probes: run the NEW operators on synthetic data 100-1000x the
+test-fixture size and record wall times. Evidence for the would-it-hold-
+at-100TB question (PLANS.md cites these numbers).
+
+Usage: python tools/scale_probe.py [docs|ann|skew|all]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ssis_to_pyspark_agent_spark.operators import get_operator  # noqa: E402
+from ssis_to_pyspark_agent_spark.session import get_spark  # noqa: E402
+
+VOCAB = [f"tok{i}" for i in range(500)]
+
+
+def probe_docs(spark, n_docs=500_000, words_per_doc=80):
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    base = (
+        spark.range(n_docs)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(words_per_doc)),
+                    lambda i: F.element_at(
+                        vocab, (F.pmod(F.xxhash64(F.col("id"), i), 500) + 1).cast("int")
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+    # inject ~2% near-duplicates (one appended token ≈ jaccard 0.96)
+    dups = (
+        base.filter(F.pmod(F.col("doc_id"), 50) == 0)
+        .select(
+            (F.col("doc_id") + n_docs).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extradup")).alias("text"),
+        )
+    )
+    docs = base.unionByName(dups).persist()
+    total = docs.count()
+
+    t0 = time.perf_counter()
+    out = get_operator("dedup.minhash")(
+        spark, [docs],
+        {"id_col": "doc_id", "text_col": "text", "threshold": 0.8,
+         "num_hashes": 128, "bands": 16, "return_pairs": True},
+        {},
+    )
+    pairs = out["pairs"].count()
+    survivors = out["out"].count()
+    dt = time.perf_counter() - t0
+    print(f"PROBE docs: n={total} minhash_dedup={dt:.1f}s pairs={pairs} "
+          f"survivors={survivors} ({total/dt:,.0f} docs/s)")
+    docs.unpersist()
+
+
+def probe_ann(spark, n_vec=200_000, dim=64, n_q=100, k=10):
+    import array
+
+    def vec(seed_col):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.pmod(F.xxhash64(seed_col, i), 2000) - 1000).cast("float")
+            / 1000.0,
+        )
+
+    corpus = (
+        spark.range(n_vec)
+        .repartition(64)
+        .select(F.col("id").alias("vec_id"), vec(F.col("id")).alias("embedding"))
+        .persist()
+    )
+    corpus.count()
+    queries = corpus.filter(F.col("vec_id") < n_q)
+
+    cfg = {"id_col": "vec_id", "vec_col": "embedding",
+           "query_id_col": "vec_id", "query_vec_col": "embedding", "k": k}
+    for label, conf in (
+        ("bruteforce_expr", {**cfg}),
+        ("bruteforce_pandas", {**cfg, "method": "pandas"}),
+        ("lsh", {**cfg, "dim": dim, "lsh_tables": 8, "lsh_bits": 12}),
+    ):
+        op = "similarity.topk_lsh" if label == "lsh" else "similarity.topk_bruteforce"
+        t0 = time.perf_counter()
+        n = get_operator(op)(spark, [corpus, queries], conf, {}).count()
+        dt = time.perf_counter() - t0
+        print(f"PROBE ann {label}: corpus={n_vec} q={n_q} k={k} "
+              f"{dt:.1f}s rows={n} ({n_vec*n_q/dt:,.0f} cmp/s equiv)")
+    corpus.unpersist()
+
+
+def probe_skew(spark, n_left=20_000_000, n_right=500_000, salt=16):
+    left = spark.range(n_left).select(
+        F.when(F.pmod(F.col("id"), 10) < 9, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(n_right).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for label, conf in (
+            ("plain", {}),
+            ("salted", {"skew_salt": salt}),
+        ):
+            t0 = time.perf_counter()
+            n = get_operator("join")(
+                spark, [left, right],
+                {"how": "inner", "keys": ["k"],
+                 "select_left": ["k", "v"], "select_right": ["w"], **conf},
+                {},
+            ).count()
+            print(f"PROBE skew {label}: {time.perf_counter()-t0:.1f}s rows={n}")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = get_spark(
+        app_name="scale_probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    if which in ("docs", "all"):
+        probe_docs(spark)
+    if which in ("ann", "all"):
+        probe_ann(spark)
+    if which in ("skew", "all"):
+        probe_skew(spark)
+
+
+if __name__ == "__main__":
+    main()
