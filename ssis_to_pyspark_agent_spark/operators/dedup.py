@@ -384,24 +384,21 @@ def dedup_simhash(spark: SparkSession, inputs, config, context):
             for i in range(n_chunks)
         ]
     )
-    banded = base.select("_id", "_sh", F.posexplode(chunks).alias("_chunk", "_cv"))
-    l, r = banded.alias("l"), banded.alias("r")
+    base = base.persist()  # banded explode + verify both read it
+    banded = base.select("_id", F.posexplode(chunks).alias("_chunk", "_cv"))
+    cand = _bucket_pairs(
+        banded, ["_chunk", "_cv"], config.get("bucket_cap", 200)
+    ).persist()
+    fp = base.select("_id", "_sh")
     pairs = (
-        l.join(
-            r,
-            (F.col("l._chunk") == F.col("r._chunk"))
-            & (F.col("l._cv") == F.col("r._cv"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
+        cand.join(fp.select(F.col("_id").alias("a"), F.col("_sh").alias("fa")), "a")
+        .join(fp.select(F.col("_id").alias("b"), F.col("_sh").alias("fb")), "b")
         .select(
-            F.col("l._id").alias("a"),
-            F.col("r._id").alias("b"),
-            F.bit_count(
-                F.col("l._sh").bitwiseXOR(F.col("r._sh"))
-            ).alias("hamming"),
+            "a", "b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
         )
-        .dropDuplicates(["a", "b"])
         .filter(F.col("hamming") <= max_d)
+        .persist()
     )
     out = _keep_min_survivors(df, id_col, pairs)
     if config.get("return_pairs"):
@@ -507,31 +504,21 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
         dim = config.get("dim") or len(base.select("_v").first()["_v"])
         n_tables = config.get("lsh_tables", 4)
         n_bits = config.get("lsh_bits", 8)
+        base = base.persist()  # bucket explode + vector verify both read it
         bucketed = base.select(
             "_id",
-            "_v",
             F.posexplode(
                 _hyperplane_bucket(
                     F.col("_v"), dim, n_tables, n_bits, seed=config.get("seed", 42)
                 )
             ).alias("_table", "_bucket"),
         )
-        l, r = bucketed.alias("l"), bucketed.alias("r")
-        cand = (
-            l.join(
-                r,
-                (F.col("l._table") == F.col("r._table"))
-                & (F.col("l._bucket") == F.col("r._bucket"))
-                & (F.col("l._id") < F.col("r._id")),
-            )
-            .select(
-                F.col("l._id").alias("a"),
-                F.col("r._id").alias("b"),
-                F.col("l._v").alias("va"),
-                F.col("r._v").alias("vb"),
-            )
-            .dropDuplicates(["a", "b"])
-        )
+        ids = _bucket_pairs(
+            bucketed, ["_table", "_bucket"], config.get("bucket_cap", 200)
+        ).persist()
+        cand = ids.join(
+            base.select(F.col("_id").alias("a"), F.col("_v").alias("va")), "a"
+        ).join(base.select(F.col("_id").alias("b"), F.col("_v").alias("vb")), "b")
     pairs = cand.select(
         "a", "b", _cosine(F.col("va"), F.col("vb"), config.get("quantize")).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
