@@ -59,6 +59,33 @@ def stream_dedup(spark: SparkSession, inputs, config, context) -> DataFrame:
     )
 
 
+@operator("sink.stream_parquet")
+def stream_parquet_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Production-shaped streaming sink: foreachBatch writing parquet with
+    a checkpoint dir (exactly-once via batch-id idempotence; on Delta the
+    same foreachBatch does MERGE). Runs the bounded stream to completion
+    and returns the written data."""
+    path = config["path"]
+    checkpoint = config.get("checkpoint", path.rstrip("/") + "._checkpoint")
+    mode = config.get("mode", "append")
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode(mode).parquet(path)
+
+    q = (
+        inputs[0]
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(config.get("output_mode", "append"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(path)
+
+
 @operator("sink.memory_stream")
 def memory_stream_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Drive the streaming plan to completion into an in-memory table and

@@ -143,6 +143,50 @@ def fingerprint(spark: SparkSession, inputs, config, context) -> DataFrame:
     )
 
 
+@operator("text.classify")
+def classify(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Batched model-inference hook (SURVEY §2.12: "sentiment/classify via
+    pandas_udf batch model inference"). The plumbing — Arrow batches, label
+    + score columns, model loaded once per worker — is real; the MODEL is a
+    clearly-marked deterministic stub (no ML runtime in this container).
+    Swap `_load_model_stub` for an ONNX/torch session on a real cluster.
+
+    config: text_col, labels (default sentiment-ish), out prefix."""
+    import pandas as pd
+
+    df: DataFrame = inputs[0]
+    text_col = config["text_col"]
+    labels = config.get("labels", ["negative", "neutral", "positive"])
+    prefix = config.get("out", "cls")
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{prefix}_label string", f"{prefix}_score double"]
+    )
+
+    def _load_model_stub():
+        # MODEL HOOK (stub): deterministic pseudo-logits from a text hash.
+        import hashlib
+
+        def predict(texts: pd.Series) -> tuple[list[str], list[float]]:
+            ls, ss = [], []
+            for t in texts:
+                h = hashlib.md5((t or "").encode()).digest()
+                idx = h[0] % len(labels)
+                ls.append(labels[idx])
+                ss.append(round(0.5 + (h[1] / 255.0) / 2, 6))
+            return ls, ss
+
+        return predict
+
+    def batches(it):
+        model = _load_model_stub()  # once per task, like a real model load
+        for pdf in it:
+            lab, score = model(pdf[text_col])
+            yield pdf.assign(**{f"{prefix}_label": lab, f"{prefix}_score": score})
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 @operator("text.tfidf")
 def tfidf(spark: SparkSession, inputs, config, context) -> DataFrame:
     """TF-IDF over a text column with built-in ops only (no MLlib

@@ -497,3 +497,17 @@ class TestSimilarityPandasPath:
         ga = {(r.query_id, r.rank): r.corpus_id for r in a.collect()}
         gb = {(r.query_id, r.rank): r.corpus_id for r in b.collect()}
         assert ga == gb
+
+
+class TestTextClassify:
+    def test_deterministic_labels_scores(self, spark):
+        df = spark.createDataFrame(
+            [(1, "great product"), (2, "terrible"), (3, None)],
+            "id int, text string",
+        )
+        a = run("text.classify", spark, [df], text_col="text").collect()
+        b = run("text.classify", spark, [df], text_col="text").collect()
+        assert [(r.cls_label, r.cls_score) for r in a] == [
+            (r.cls_label, r.cls_score) for r in b
+        ]
+        assert all(0.5 <= r.cls_score <= 1.0 for r in a)

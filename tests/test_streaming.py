@@ -146,3 +146,20 @@ def test_streaming_pipeline_reuses_batch_operators(spark):
     batch = spark.read.parquet(EVENTS).filter("event_type != 'error'")
     assert got.agg(F.sum("n")).first()[0] == batch.count()
     assert "error" not in {r.event_type for r in got.select("event_type").distinct().collect()}
+
+
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    from ssis_to_pyspark_agent_spark.plans import Pipeline, run_pipeline
+
+    out = str(tmp_path / "stream_out")
+    p = (
+        Pipeline("stream_sink")
+        .step("src", "source.stream", path=EVENTS)
+        .step("flt", "filter", "src", predicate='[event_type] == "purchase"')
+        .step("w", "sink.stream_parquet", "flt", path=out,
+              checkpoint=str(tmp_path / "ckpt"))
+    )
+    res = run_pipeline(spark, p)
+    written = res.df("w")
+    want = spark.read.parquet(EVENTS).filter("event_type = 'purchase'").count()
+    assert written.count() == want
