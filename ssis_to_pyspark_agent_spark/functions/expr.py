@@ -173,22 +173,35 @@ def _datepart(arg: Typed) -> str:
 
 
 def _fn_dateadd(args: list[Typed]) -> Typed:
+    """DATEADD preserving time-of-day. NOTE: NOT ``F.add_months`` for the
+    month/year paths — add_months returns a DATE, silently zeroing the time
+    component (caught by the date round-trip fuzz); calendar-interval
+    addition clamps month-ends the same way AND keeps the time."""
     part, n, d = _datepart(args[0]), args[1].col, args[2].col
-    if part == "year":
-        return Typed(F.add_months(d, n * 12), "timestamp")
-    if part == "quarter":
-        return Typed(F.add_months(d, n * 3), "timestamp")
-    if part == "month":
-        return Typed(F.add_months(d, n), "timestamp")
-    secs = {"day": 86400, "week": 604800, "hour": 3600, "minute": 60, "second": 1}
+    zero = F.lit(0)
+    if part in ("year", "quarter", "month"):
+        months = {"year": 12, "quarter": 3, "month": 1}[part]
+        iv = F.make_interval(zero, (n * months).cast("int"), zero, zero, zero, zero)
+        return Typed(d + iv, "timestamp")
+    days = {"day": 1, "week": 7}
+    if part in days:
+        iv = F.make_interval(zero, zero, zero, (n * days[part]).cast("int"), zero, zero)
+        return Typed(d + iv, "timestamp")
+    secs = {"hour": 3600, "minute": 60, "second": 1}
     if part in secs:
-        return Typed(
-            F.timestamp_seconds(F.unix_timestamp(d) + n * secs[part]), "timestamp"
+        iv = F.make_interval(
+            zero, zero, zero, zero, zero, zero, (n * secs[part]).cast("decimal(18,6)")
         )
+        return Typed(d + iv, "timestamp")
     raise ExprError(f"DATEADD datepart {part} unsupported")
 
 
 def _fn_datediff(args: list[Typed]) -> Typed:
+    """DATEDIFF with T-SQL/SSIS semantics: the number of datepart BOUNDARIES
+    crossed between a and b — not elapsed time divided down (10:59 -> 11:01
+    is 1 hour). Implemented as exact arithmetic on truncated values.
+    Divergence kept deliberate: 'week' uses ISO (Monday) boundaries, not
+    T-SQL's Sunday."""
     part, a, b = _datepart(args[0]), args[1].col, args[2].col
     if part == "year":
         return Typed(F.year(b) - F.year(a), "int")
@@ -200,14 +213,24 @@ def _fn_datediff(args: list[Typed]) -> Typed:
         return Typed(
             (F.year(b) * 12 + F.month(b)) - (F.year(a) * 12 + F.month(a)), "int"
         )
-    secs = {"day": 86400, "week": 604800, "hour": 3600, "minute": 60, "second": 1}
     if part == "day":
         return Typed(F.datediff(F.to_date(b), F.to_date(a)), "int")
-    if part in secs:
+    if part == "week":
         return Typed(
-            ((F.unix_timestamp(b) - F.unix_timestamp(a)) / secs[part]).cast("bigint"),
-            "bigint",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", b)),
+                    F.to_date(F.date_trunc("week", a)),
+                )
+                / 7
+            ).cast("int"),
+            "int",
         )
+    secs = {"hour": 3600, "minute": 60, "second": 1}
+    if part in secs:
+        ta = F.unix_timestamp(F.date_trunc(part, a))
+        tb = F.unix_timestamp(F.date_trunc(part, b))
+        return Typed(((tb - ta) / secs[part]).cast("bigint"), "bigint")
     raise ExprError(f"DATEDIFF datepart {part} unsupported")
 
 

@@ -158,3 +158,82 @@ def test_fuzz_round_trip(spark, seed):
         if sv != dv:
             mismatches.append((nd.ssis, nd.sql, sv, dv))
     assert not mismatches, mismatches[:3]
+
+
+# ---------------------------------------------------------------------------
+# Date/time function round-trip: the SSIS datetime library vs DuckDB
+# equivalents over a timestamp column (dateparts are the classic
+# off-by-one/clamping minefield).
+# ---------------------------------------------------------------------------
+
+TS_ROWS = [
+    (1, "2024-01-31 10:30:00"),
+    (2, "2023-12-31 23:59:59"),
+    (3, "2024-02-29 00:00:00"),  # leap day
+    (4, "1999-06-15 06:00:01"),
+    (5, "2024-03-01 12:00:00"),
+]
+
+DATE_CASES = [
+    # (ssis expression, duckdb sql, result kind)
+    ('YEAR([ts])', "YEAR(ts)", "int"),
+    ('MONTH([ts])', "MONTH(ts)", "int"),
+    ('DAY([ts])', "DAY(ts)", "int"),
+    ('DATEPART("quarter", [ts])', "QUARTER(ts)", "int"),
+    ('DATEPART("hour", [ts])', "HOUR(ts)", "int"),
+    ('DATEPART("minute", [ts])', "MINUTE(ts)", "int"),
+    ('DATEPART("second", [ts])', "CAST(date_part('second', ts) AS INT)", "int"),
+    ('DATEPART("dayofyear", [ts])', "dayofyear(ts)", "int"),
+    ('DATEPART("week", [ts])', "weekofyear(ts)", "int"),
+    # add_months clamps month-end exactly like SQL interval month addition
+    ('DATEADD("month", 1, [ts])', "ts + INTERVAL 1 MONTH", "ts"),
+    ('DATEADD("month", -2, [ts])', "ts - INTERVAL 2 MONTH", "ts"),
+    ('DATEADD("year", 1, [ts])', "ts + INTERVAL 1 YEAR", "ts"),
+    ('DATEADD("day", 40, [ts])', "ts + INTERVAL 40 DAY", "ts"),
+    ('DATEADD("hour", -25, [ts])', "ts - INTERVAL 25 HOUR", "ts"),
+    ('DATEADD("minute", 90, [ts])', "ts + INTERVAL 90 MINUTE", "ts"),
+    ('DATEDIFF("day", [ts], (DT_DBTIMESTAMP)"2025-01-01")',
+     "date_diff('day', CAST(ts AS DATE), DATE '2025-01-01')", "int"),
+    # boundary-crossing semantics: DuckDB date_diff counts boundaries too
+    ('DATEDIFF("hour", [ts], (DT_DBTIMESTAMP)"2025-01-01")',
+     "date_diff('hour', ts, TIMESTAMP '2025-01-01')", "int"),
+    ('DATEDIFF("minute", [ts], (DT_DBTIMESTAMP)"2024-06-01 12:30:00")',
+     "date_diff('minute', ts, TIMESTAMP '2024-06-01 12:30:00')", "int"),
+    ('DATEDIFF("month", [ts], (DT_DBTIMESTAMP)"2025-06-15")',
+     "(2025 - YEAR(ts)) * 12 + 6 - MONTH(ts)", "int"),
+]
+
+
+def test_datetime_function_round_trip(spark):
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(TS_ROWS, columns=["id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    sdf = spark.createDataFrame(
+        TS_ROWS, "id int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    comp = ExpressionCompiler({"id": "int", "ts": "timestamp"})
+
+    cols = [comp.compile(ssis).alias(f"e{i}") for i, (ssis, _, _) in enumerate(DATE_CASES)]
+    spark_out = sdf.select("id", *cols).orderBy("id").toPandas()
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = "SELECT id, " + ", ".join(
+        f"{d} AS e{i}" for i, (_, d, _) in enumerate(DATE_CASES)
+    ) + " FROM t ORDER BY id"
+    duck_out = con.execute(sql).df()
+
+    bad = []
+    for i, (ssis, d, kind) in enumerate(DATE_CASES):
+        sv = spark_out[f"e{i}"].tolist()
+        dv = duck_out[f"e{i}"].tolist()
+        if kind == "int":
+            sv = [None if pd.isna(v) else int(v) for v in sv]
+            dv = [None if pd.isna(v) else int(v) for v in dv]
+        else:
+            sv = [pd.Timestamp(v) for v in sv]
+            dv = [pd.Timestamp(v) for v in dv]
+        if sv != dv:
+            bad.append((ssis, d, sv, dv))
+    assert not bad, bad[:2]
