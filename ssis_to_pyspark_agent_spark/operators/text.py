@@ -216,9 +216,11 @@ def tfidf(spark: SparkSession, inputs, config, context) -> DataFrame:
         "term",
         "tf",
         "df",
-        (
-            F.col("tf")
-            * (F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) + 1)
+        # round(6): Spark's Math.log and DuckDB's libm log differ by 1 ulp
+        # on some inputs — transcendental outputs must be quantized to be
+        # engine-comparable
+        F.round(
+            F.col("tf") * (F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) + 1), 6
         ).alias("tfidf"),
     )
 

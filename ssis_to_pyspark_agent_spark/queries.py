@@ -1849,7 +1849,7 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
               HAVING COUNT(*) >= 5),
     n AS (SELECT COUNT(*) AS n_docs FROM documents)
     SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-           tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1) AS tfidf
+           round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1), 6) AS tfidf
     FROM tf JOIN dfreq USING (term), n
     WHERE tf.doc_id % 10 = 0
     """,
