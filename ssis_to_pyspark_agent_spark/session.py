@@ -48,7 +48,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-mutable conf to an externally provided session.
 
     Used by ``__spark_entry__`` where the driver owns the builder: pins the
-    session timezone (oracle comparison) and ANSI-interval-free behavior.
+    session timezone (oracle comparison) and right-sizes shuffle
+    parallelism for the gate's data volumes (the 200 default wastes task
+    overhead at sf<=0.1; AQE still re-coalesces at runtime).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:
+        pass  # conf may be immutable on some deployments; defaults are fine
     return spark
