@@ -1892,3 +1892,67 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("prj", "select", "s", columns=["event_id", "user_id", "session_id"])
     )
     return run_pipeline(spark, p).df("prj")
+
+
+@query(
+    "q65_quality_gate",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_acctbal > 0 AND c_name IS NOT NULL
+      AND length(c_mktsegment) >= 4
+    """,
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: rows passing every rule (redirect mode's good
+    port)."""
+    p = (
+        _p("q65", sf_dir, "customer")
+        .step("qc", "quality_check", "customer", rules={
+            "acct_positive": "[c_acctbal] > 0",
+            "name_present": "!ISNULL([c_name])",
+            "segment_len": "LEN([c_mktsegment]) >= 4",
+        })
+        .step("prj", "select", "qc.out",
+              columns=["c_custkey", "c_name", "c_acctbal"])
+    )
+    return run_pipeline(spark, p).df("prj")
+
+
+@query(
+    "q66_incremental_load",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+    WHERE o_orderdate > TIMESTAMP '1998-06-01 00:00:00'
+    """,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark incremental load (the SSIS variable-driven WHERE):
+    context carries the watermark; the operator filters and advances it."""
+    p = Pipeline("q66", variables={"watermark": "1998-06-01 00:00:00"})
+    p.step("orders", "source.parquet", path=f"{sf_dir}/orders.parquet")
+    p.step("inc", "incremental_load", "orders", watermark_col="o_orderdate",
+           var="watermark", eager=False)
+    p.step("prj", "select", "inc",
+           columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    return run_pipeline(spark, p).df("prj")
+
+
+@query("q67_multimodal_plumbing")  # rows-only: payloads are synthesized
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing through the gate: text bytes as opaque
+    payloads -> magic-byte metadata -> Arrow-batched decode stub ->
+    deterministic pseudo-embedding. Proves schema/partitioning/UDF
+    signatures on real driver data (decode itself is stubbed — no codec
+    libs in the image)."""
+    p = (
+        _p("q67", sf_dir, "documents")
+        .step("bin", "derived_column", "documents",
+              columns={"payload": F.encode(F.col("text"), "utf-8")})
+        .step("meta", "media.attach_meta", "bin", binary_col="payload")
+        .step("dec", "media.decode", "meta", binary_col="payload")
+        .step("feat", "media.features", "dec", binary_col="payload", dim=8)
+        .step("prj", "select", "feat",
+              columns=["doc_id", "decoded_width", "decoded_height",
+                       "decode_ok", "features"])
+    )
+    return run_pipeline(spark, p).df("prj")
