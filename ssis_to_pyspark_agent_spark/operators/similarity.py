@@ -102,6 +102,37 @@ def _hyperplane_bucket(
     return F.array(*buckets)
 
 
+def _kmeans_centroids(
+    c: DataFrame, n_cent: int, sample_n: int, iters: int, seed: int
+) -> list[dict]:
+    """Lloyd's k-means on a seeded hash-sample of the corpus, driver-side
+    numpy (sample_n x dim floats — a few MB). Deterministic: hash-ordered
+    sample, hash-ordered init, fixed iteration count with early stop."""
+    import numpy as np
+
+    sample = (
+        c.orderBy(F.xxhash64(F.col("corpus_id").cast("string"), F.lit(seed)))
+        .limit(sample_n)
+        .select("_cv")
+        .collect()
+    )
+    x = np.array([list(r["_cv"]) for r in sample], dtype=np.float64)
+    cent = x[:n_cent].copy()  # init = first n hash-ordered sample rows
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new = np.array(
+            [
+                x[assign == j].mean(axis=0) if (assign == j).any() else cent[j]
+                for j in range(n_cent)
+            ]
+        )
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return [{"_centv": row.tolist()} for row in cent]
+
+
 def _topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
@@ -220,10 +251,12 @@ def topk_lsh(spark: SparkSession, inputs, config, context) -> DataFrame:
 
 @operator("similarity.topk_ivf")
 def topk_ivf(spark: SparkSession, inputs, config, context) -> DataFrame:
-    """IVF coarse quantization: centroids = a deterministic hash-sample of
-    the corpus (k-means would be better; sampling keeps it one-pass and
-    seed-stable). Corpus rows index to their nearest centroid; queries scan
-    only the `nprobe` nearest centroid lists.
+    """IVF coarse quantization. Centroids come from either a deterministic
+    hash-sample of the corpus (default: one-pass, seed-stable) or a real
+    k-means (`kmeans=True`: Lloyd's iterations on a seeded corpus sample,
+    numpy on the driver — centroid count x dim is tiny; better-balanced
+    lists => better recall at the same nprobe). Corpus rows index to their
+    nearest centroid; queries scan only the `nprobe` nearest lists.
 
     The assignment join shuffles on centroid_id — at 100 TB, write the
     assigned corpus partitioned by centroid_id once and amortize across
@@ -237,18 +270,21 @@ def topk_ivf(spark: SparkSession, inputs, config, context) -> DataFrame:
     c = corpus.select(
         F.col(config["id_col"]).alias("corpus_id"), F.col(config["vec_col"]).alias("_cv")
     )
-    # deterministic sample of n_cent rows as centroids
-    cent = (
-        c.orderBy(F.xxhash64(F.col("corpus_id").cast("string")))
-        .limit(n_cent)
-        .select(
-            F.monotonically_increasing_id().alias("_tmp"),
-            F.col("corpus_id").alias("centroid_src"),
-            F.col("_cv").alias("_centv"),
+    if config.get("kmeans"):
+        cent_rows = _kmeans_centroids(
+            c, n_cent,
+            sample_n=config.get("kmeans_sample", 10_000),
+            iters=config.get("kmeans_iters", 10),
+            seed=config.get("seed", 42),
         )
-        .drop("_tmp")
-    )
-    cent_rows = cent.collect()  # n_cent rows of dim floats: driver-safe
+    else:
+        # deterministic sample of n_cent rows as centroids
+        cent = (
+            c.orderBy(F.xxhash64(F.col("corpus_id").cast("string")))
+            .limit(n_cent)
+            .select(F.col("_cv").alias("_centv"))
+        )
+        cent_rows = cent.collect()  # n_cent rows of dim floats: driver-safe
     cent_arr = F.array(
         *[
             F.struct(

@@ -511,3 +511,44 @@ class TestTextClassify:
             (r.cls_label, r.cls_score) for r in b
         ]
         assert all(0.5 <= r.cls_score <= 1.0 for r in a)
+
+
+class TestIvfKmeans:
+    def test_full_probe_matches_bruteforce(self, spark):
+        import random
+
+        rng = random.Random(9)
+        # 4 well-separated clusters
+        centers = [[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0], [0, 0, 0, 10]]
+        data = [
+            (i, [c + rng.gauss(0, 0.5) for c in centers[i % 4]])
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+        q = df.filter("vec_id < 4")
+        cfg = dict(id_col="vec_id", vec_col="embedding",
+                   query_id_col="vec_id", query_vec_col="embedding", k=3)
+        bf = run("similarity.topk_bruteforce", spark, [df, q], **cfg)
+        ivf = run("similarity.topk_ivf", spark, [df, q], centroids=4,
+                  nprobe=4, kmeans=True, kmeans_sample=200, **cfg)
+        gb = {(r.query_id, r.rank): r.corpus_id for r in bf.collect()}
+        gi = {(r.query_id, r.rank): r.corpus_id for r in ivf.collect()}
+        assert gb == gi  # full probe == exact
+
+    def test_single_probe_recall_on_clustered_data(self, spark):
+        import random
+
+        rng = random.Random(10)
+        centers = [[10, 0], [0, 10]]
+        data = [
+            (i, [c + rng.gauss(0, 0.3) for c in centers[i % 2]])
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+        q = df.filter("vec_id < 2")
+        cfg = dict(id_col="vec_id", vec_col="embedding",
+                   query_id_col="vec_id", query_vec_col="embedding", k=1)
+        ivf = run("similarity.topk_ivf", spark, [df, q], centroids=2,
+                  nprobe=1, kmeans=True, kmeans_sample=100, **cfg)
+        top1 = {r.query_id: r.corpus_id for r in ivf.collect()}
+        assert top1 == {0: 0, 1: 1}  # self found even probing 1 list
