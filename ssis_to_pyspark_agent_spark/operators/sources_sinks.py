@@ -33,7 +33,10 @@ def parquet_source(spark: SparkSession, inputs, config, context) -> DataFrame:
         for c in nanos_cols:
             df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
     else:
-        df = spark.read.parquet(config["path"])
+        r = spark.read
+        for k, v in config.get("options", {}).items():
+            r = r.option(k, v)
+        df = r.parquet(config["path"])
     if cols := config.get("columns"):
         df = df.select(*cols)
     if pred := config.get("where"):
@@ -145,6 +148,8 @@ def parquet_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     """
     df: DataFrame = inputs[0]
     w = df.write.mode(config.get("mode", "append"))
+    for k, v in config.get("options", {}).items():
+        w = w.option(k, v)  # e.g. compression=zstd, parquet.block.size
     if pb := config.get("partition_by"):
         w = w.partitionBy(*pb)
     w.parquet(config["path"])

@@ -92,6 +92,16 @@ class Runner:
             outputs[name] = result
         return RunResult(outputs=outputs, context=context)
 
+    def explain(self, pipeline: Pipeline, ref: str, mode: str = "formatted") -> str:
+        """Run the pipeline (lazily) and return the physical plan of one
+        output — the `df.explain` convenience at pipeline level, for
+        checking pushdown/broadcast/shuffle shape of a whole flow."""
+        res = self.run(pipeline)
+        df = res.df(ref)
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+
     def unpersist_all(self) -> None:
         for df in self._persisted:
             df.unpersist()

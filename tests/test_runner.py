@@ -133,3 +133,16 @@ def test_pipeline_to_dot(spark):
     assert '"src" -> "split"' in dot
     assert '"split" -> "out" [label="a"]' in dot
     assert "cylinder" in dot  # sources/sinks visually distinct
+
+
+def test_runner_explain(spark, sf_dir):
+    from ssis_to_pyspark_agent_spark.plans import Runner
+
+    p = (
+        Pipeline("x")
+        .step("li", "source.parquet", path=f"{sf_dir}/lineitem.parquet")
+        .step("f", "filter", "li", predicate="[l_quantity] > 40.0")
+        .step("prj", "select", "f", columns=["l_orderkey", "l_quantity"])
+    )
+    plan = Runner(spark).explain(p, "prj")
+    assert "PushedFilters" in plan and "l_quantity" in plan

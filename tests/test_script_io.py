@@ -123,3 +123,16 @@ class TestFileSources:
     def test_xml_source_raises_not_implemented(self, spark):
         with pytest.raises(NotImplementedError, match="spark-xml"):
             run("source.xml", spark, [], path="/nonexistent.xml")
+
+
+class TestSinkOptions:
+    def test_compression_codec_passthrough(self, spark):
+        import os
+
+        path = os.path.join(SCRATCH, "zstd_out")
+        df = spark.range(1000)
+        run("sink.parquet", spark, [df], path=path, mode="overwrite",
+            options={"compression": "zstd"})
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert files and all(".zstd." in f for f in files)
+        assert spark.read.parquet(path).count() == 1000
