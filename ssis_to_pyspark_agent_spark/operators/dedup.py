@@ -96,6 +96,62 @@ def _minhash_band_hashes(base_hashes: Column, bands: int, rows: int) -> Column:
     )
 
 
+def _numpy_band_frame(
+    base: DataFrame, bands: int, rows: int, seed: int
+) -> DataFrame:
+    """(_id, _bh: array<bigint>) — MinHash band hashes computed in numpy
+    via mapInPandas (Arrow batches).
+
+    The per-shingle hashes (`_hs`, already computed JVM-side with
+    xxhash64) transfer to Python as int64 arrays; each doc's full
+    bands*rows signature is ONE vectorized broadcast
+    (shingles x num_hashes universal hashes, column-min), then rows-fold
+    into band hashes. Replaces the bands*rows Catalyst aggregate folds of
+    `_minhash_band_hashes` — same LSH semantics, different hash family
+    (multiply-add mod 2^64 instead of seeded xxhash64), so candidate sets
+    differ slightly pre-verification; the exact-Jaccard verify stage makes
+    the final output family-insensitive.
+
+    Scale note: this is the Arrow-vectorized path (NOT a row-at-a-time
+    UDF); per 10k-row batch the Python cost is one numpy kernel per doc.
+    An array-accumulator Catalyst fold was tried and rejected — see
+    NOTES.md (copy-on-write array per fold step, 19x slower).
+    """
+    import numpy as np
+    import pandas as pd
+
+    num = bands * rows
+    rng = np.random.RandomState(seed)
+    with np.errstate(over="ignore"):
+        A = rng.randint(1, _P, size=num).astype(np.uint64)
+        B = rng.randint(0, _P, size=num).astype(np.uint64)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    band_salt = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * mix
+    id_type = base.schema["_id"].dataType.simpleString()
+
+    def gen(batches):
+        empty_sig = np.full(num, np.iinfo(np.uint64).max, dtype=np.uint64)
+        for pdf in batches:
+            bhs = []
+            with np.errstate(over="ignore"):
+                for hs in pdf["_hs"]:
+                    x = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                    if x.size:
+                        sig = (x[:, None] * A[None, :] + B).min(axis=0)
+                    else:
+                        sig = empty_sig
+                    bv = sig.reshape(bands, rows)
+                    h = bv[:, 0] * mix
+                    for j in range(1, rows):
+                        h = (h ^ bv[:, j]) * mix
+                    bhs.append((h ^ band_salt).view(np.int64))
+            yield pd.DataFrame({"_id": pdf["_id"], "_bh": bhs})
+
+    return base.select("_id", "_hs").mapInPandas(
+        gen, schema=f"_id {id_type}, _bh array<bigint>"
+    )
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     return inter / (F.size(a) + F.size(b) - inter)
@@ -280,13 +336,25 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
         "_hs", F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(seed)))
     ).persist()
 
-    # Stage 2: band hashes straight off the cached _hs column; explode
-    # carries only (_id, band, band_hash) into the one shuffle.
-    banded = base.select(
-        "_id",
-        F.posexplode(_minhash_band_hashes(F.col("_hs"), bands, rows)).alias(
-            "_band", "_bh"
-        ),
+    # Stage 2: band hashes off the cached _hs column; explode carries only
+    # (_id, band, band_hash) into the one shuffle. Two implementations:
+    # 'numpy' (default) — Arrow-batched vectorized signatures via
+    # mapInPandas: measured ~2x faster at every size tried (2.0s vs 3.9s
+    # for q32 at sf0.1; 97s vs 174s at 510k docs, tools/scale_probe.py),
+    # because 128 universal hashes per shingle collapse into one
+    # broadcast-multiply numpy kernel per doc instead of 128 Catalyst
+    # folds re-walking the shingle array. 'expr' — pure-JVM Catalyst
+    # folds, kept for Python-worker-free deployments. (An adaptive
+    # count()-based switch was tried and rejected: the serial cache-
+    # materialization job cost more than either impl saved.)
+    if config.get("sig_impl", "numpy") == "numpy":
+        band_frame = _numpy_band_frame(base, bands, rows, seed)
+    else:
+        band_frame = base.select(
+            "_id", _minhash_band_hashes(F.col("_hs"), bands, rows).alias("_bh")
+        )
+    banded = band_frame.select(
+        "_id", F.posexplode("_bh").alias("_band", "_bh")
     )
 
     # Candidate pairs via bucket grouping, NOT a self-join: ONE shuffle on

@@ -216,6 +216,21 @@ class TestDedup:
         assert (1, 2) in pairs
         assert sorted(r.doc_id for r in out["out"].collect()) == [1, 3]
 
+    def test_minhash_sig_impls_agree(self, spark):
+        """numpy (Arrow/mapInPandas) and expr (Catalyst folds) signature
+        paths use different hash families, but after exact-Jaccard
+        verification the surviving pair sets must be identical on the
+        driver's planted near-dups."""
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = {}
+        for impl in ("numpy", "expr"):
+            out = run("dedup.minhash", spark, [df], id_col="doc_id",
+                      text_col="text", threshold=0.7, num_hashes=128,
+                      bands=16, return_pairs=True, sig_impl=impl)
+            got[impl] = {(r.a, r.b) for r in out["pairs"].collect()}
+            spark.catalog.clearCache()
+        assert got["numpy"] and got["numpy"] == got["expr"]
+
     def test_simhash_near_dup(self, spark):
         base = " ".join(f"tok{i}" for i in range(200))
         near = base.replace("tok5 ", "tok5x ")
