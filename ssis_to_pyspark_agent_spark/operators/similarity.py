@@ -169,20 +169,48 @@ def topk_bruteforce(spark: SparkSession, inputs, config, context) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        quant = config.get("quantize")
         q_rows = queries.select(
             F.col(qid).alias("query_id"), F.col(qv).alias("_qv")
         ).collect()  # a query batch is small by construction
         q_ids = [r.query_id for r in q_rows]
         qm = np.array([list(r._qv) for r in q_rows], dtype=np.float64)
-        qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+        def _qint(m):
+            # Spark's F.round(double, 0) is decimal HALF_UP; floor(v+0.5)
+            # reproduces it for half-away-from-zero on magnitudes where
+            # v+0.5 is exactly representable (|v| < 2^52; embeddings are
+            # unit-ish so |v*q| ~ q). Bit-equality with the expr path is
+            # pinned by test_pandas_quantized_matches_expr on the driver's
+            # actual embeddings tables.
+            v = m * quant
+            return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+                np.int64
+            )
+
+        if quant:
+            qmi = _qint(qm)  # int64: dot/norm sums are exact, like the oracle
+            q_norm = np.sqrt((qmi * qmi).sum(axis=1).astype(np.float64))
+        else:
+            qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
 
         def score(it):
             for pdf in it:
                 cm = np.array(list(map(list, pdf["_cv"])), dtype=np.float64)
-                cm_n = cm / np.maximum(
-                    np.linalg.norm(cm, axis=1, keepdims=True), 1e-12
-                )
-                sims = cm_n @ qm_n.T  # |batch| x |queries| in one BLAS call
+                if quant:
+                    cmi = _qint(cm)
+                    c_norm = np.sqrt((cmi * cmi).sum(axis=1).astype(np.float64))
+                    dots = (cmi @ qmi.T).astype(np.float64)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        # same IEEE ops in the same order as the expr path
+                        # (dot / (sqrt(na)*sqrt(nb))) — no epsilon guard, so
+                        # zero vectors give the identical Inf/NaN
+                        sims = dots / (c_norm[:, None] * q_norm[None, :])
+                else:
+                    cm_n = cm / np.maximum(
+                        np.linalg.norm(cm, axis=1, keepdims=True), 1e-12
+                    )
+                    sims = cm_n @ qm_n.T  # |batch| x |queries|, one BLAS call
                 out = pd.DataFrame(
                     {
                         "corpus_id": np.repeat(pdf["corpus_id"].values, len(q_ids)),

@@ -258,6 +258,21 @@ class TestSimilarity:
         top1 = {r.query_id: r.corpus_id for r in out.filter("rank = 1").collect()}
         assert top1 == {0: 0, 1: 1, 2: 2}  # self-similarity = 1.0
 
+    def test_pandas_quantized_matches_expr(self, spark):
+        """method='pandas' with quantize must be BIT-identical to the
+        oracle-exact expr path (int64 dot/norm sums; HALF_UP quantization
+        emulated with floor(v+0.5)) — on the driver's real embeddings."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qs = emb.filter("vec_id in (0, 7, 21)")
+        got = {}
+        for method in ("expr", "pandas"):
+            out = run("similarity.topk_bruteforce", spark, [emb, qs],
+                      id_col="vec_id", vec_col="embedding",
+                      query_id_col="vec_id", query_vec_col="embedding",
+                      k=5, quantize=10000, method=method)
+            got[method] = sorted(map(tuple, out.collect()))
+        assert got["expr"] == got["pandas"]
+
     def test_lsh_recall_vs_bruteforce(self, spark):
         import random
 
