@@ -1956,3 +1956,65 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "decode_ok", "features"])
     )
     return run_pipeline(spark, p).df("prj")
+
+
+@query(
+    "q68_datepart_sweep",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 12 MONTH   AS add_y,
+           o_orderdate + INTERVAL 9 MONTH    AS add_q,
+           o_orderdate + INTERVAL 14 DAY     AS add_w,
+           o_orderdate + INTERVAL 5 HOUR     AS add_hh,
+           o_orderdate + INTERVAL 90 MINUTE  AS add_mi,
+           o_orderdate + INTERVAL 3601 SECOND AS add_ss,
+           date_diff('year',    CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS diff_y,
+           date_diff('quarter', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS diff_q,
+           date_diff('month',   CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS diff_m,
+           date_diff('week',    CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS diff_w,
+           CAST(date_diff('hour',   CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS BIGINT) AS diff_hh,
+           CAST(date_diff('minute', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS BIGINT) AS diff_mi,
+           CAST(date_diff('second', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS BIGINT) AS diff_ss,
+           dayofyear(o_orderdate)      AS dp_doy,
+           weekofyear(o_orderdate)     AS dp_wk,
+           dayofweek(o_orderdate) + 1  AS dp_dw
+    FROM orders WHERE o_orderkey % 17 = 0
+    """,
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full datepart sweep for the SSIS date function library (SURVEY
+    §2.3: DATEADD/DATEDIFF/DATEPART dispatch, expression_translator.py:
+    25-29's single-function mapping widened to every T-SQL datepart we
+    support). DATEDIFF is boundary-crossing (T-SQL semantics), which is
+    exactly DuckDB's date_diff, so every part is oracle-exact; weekday
+    numbering differs by engine (Spark dayofweek: Sunday=1, DuckDB: 0) —
+    the oracle compensates."""
+    ts = '(DT_DBTIMESTAMP)"2025-03-15 12:30:45"'
+    p = (
+        _p("q68", sf_dir, "orders")
+        .step("flt", "filter", "orders", predicate="[o_orderkey] % 17 == 0")
+        .step("drv", "derived_column", "flt", columns={
+            "add_y": 'DATEADD("year", 1, [o_orderdate])',
+            "add_q": 'DATEADD("quarter", 3, [o_orderdate])',
+            "add_w": 'DATEADD("week", 2, [o_orderdate])',
+            "add_hh": 'DATEADD("hour", 5, [o_orderdate])',
+            "add_mi": 'DATEADD("minute", 90, [o_orderdate])',
+            "add_ss": 'DATEADD("second", 3601, [o_orderdate])',
+            "diff_y": f'DATEDIFF("year", [o_orderdate], {ts})',
+            "diff_q": f'DATEDIFF("quarter", [o_orderdate], {ts})',
+            "diff_m": f'DATEDIFF("month", [o_orderdate], {ts})',
+            "diff_w": f'DATEDIFF("week", [o_orderdate], {ts})',
+            "diff_hh": f'DATEDIFF("hour", [o_orderdate], {ts})',
+            "diff_mi": f'DATEDIFF("minute", [o_orderdate], {ts})',
+            "diff_ss": f'DATEDIFF("second", [o_orderdate], {ts})',
+            "dp_doy": 'DATEPART("dayofyear", [o_orderdate])',
+            "dp_wk": 'DATEPART("week", [o_orderdate])',
+            "dp_dw": 'DATEPART("weekday", [o_orderdate])',
+        })
+        .step("prj", "select", "drv", columns=[
+            "o_orderkey", "add_y", "add_q", "add_w", "add_hh", "add_mi",
+            "add_ss", "diff_y", "diff_q", "diff_m", "diff_w", "diff_hh",
+            "diff_mi", "diff_ss", "dp_doy", "dp_wk", "dp_dw",
+        ])
+    )
+    return run_pipeline(spark, p).df("prj")
