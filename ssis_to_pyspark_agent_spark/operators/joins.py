@@ -4,9 +4,11 @@ Scale positions:
 - Lookup reference sets are dimension-sized -> explicit ``F.broadcast`` on
   FULL cache (SSIS CacheType=0), matching the reference's Databricks
   template which relies on implicit broadcast
-  (enhanced_json_mapper.py:1845-1934). PARTIAL/NONE cache degrade to a
-  shuffle join — Spark's equivalent of row-at-a-time probing would be a
-  disaster; AQE still picks broadcast if the ref side is under threshold.
+  (enhanced_json_mapper.py:1845-1934). PARTIAL cache = restrict the
+  reference to the input's distinct probe keys (broadcast semi-join),
+  then broadcast — the set-based analogue of SSIS's probe-driven LRU
+  cache; row-at-a-time probing itself would be a disaster. NONE cache =
+  plain shuffle join; AQE still picks broadcast under threshold.
 - Merge Join requires *pre-sorted* inputs in SSIS; Spark's sort-merge join
   sorts shuffle partitions itself, so sortedness metadata (IsSorted /
   SortKeyPosition, Sample_Medium_Package.dtsx:93-96) is a no-op here.
@@ -44,7 +46,9 @@ def lookup(spark: SparkSession, inputs, config, context):
       no_match: 'fail' (CacheType NoMatchBehavior 0 -> inner join) |
                 'ignore' (1 -> left join) | 'redirect' (separate no-match
                 port, like SSIS error output)
-      cache: 'full' (default; broadcast) | 'partial' | 'none' (shuffle join)
+      cache: 'full' (default; broadcast reference) | 'partial' (reference
+             semi-joined down to the input's distinct probe keys, then
+             broadcast) | 'none' (shuffle join)
       split_match: True -> return {'match':…, 'nomatch':…} ports
     """
     left, ref = inputs[0], inputs[1]
@@ -61,8 +65,25 @@ def lookup(spark: SparkSession, inputs, config, context):
     ref_proj = ref_proj.select(
         *[F.col(c).alias(f"__ref_{c}") for c in ref_proj.columns]
     )
-    if config.get("cache", "full") == "full":
+    cache = config.get("cache", "full")
+    if cache == "full":
         ref_proj = F.broadcast(ref_proj)
+    elif cache == "partial":
+        # SSIS partial cache = only keys the input actually probes get
+        # cached. Set-based translation: restrict the reference to the
+        # input's distinct key set (broadcast semi-join — the key set is
+        # small whenever a partial cache would have been effective), then
+        # broadcast the now-small reference into the main join. Big
+        # reference + selective input never shuffles the reference; if the
+        # key set is genuinely huge, use cache='none' (plain shuffle join).
+        probe_keys = left.select(
+            *[left[l].alias(f"__ref_{r}") for l, r in keys.items()]
+        ).dropDuplicates()
+        ref_proj = F.broadcast(
+            ref_proj.join(
+                F.broadcast(probe_keys), list(probe_keys.columns), "left_semi"
+            )
+        )
 
     cond: Column | None = None
     for lcol, rcol in keys.items():

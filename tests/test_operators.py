@@ -404,6 +404,24 @@ class TestLookupCacheModes:
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
+    def test_cache_partial_restricts_then_matches_full(self, spark):
+        """partial cache: reference is semi-joined down to the probe keys
+        before the broadcast join; results identical to full cache."""
+        left = spark.range(10).select((F.col("id") * 3).alias("k"))
+        ref = spark.range(1000).select(
+            F.col("id").alias("rk"), (F.col("id") * 2).alias("lbl")
+        )
+        full = run("lookup", spark, [left, ref], keys={"k": "rk"},
+                   copy={"lbl": "lbl"})
+        part = run("lookup", spark, [left, ref], keys={"k": "rk"},
+                   copy={"lbl": "lbl"}, cache="partial")
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, part.collect())
+        )
+        # the reference side must be filtered by a semi-join in the plan
+        plan = part._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+
 
 class TestSampleModes:
     def test_random_seeded_repeatable(self, spark):
