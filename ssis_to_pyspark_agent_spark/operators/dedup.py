@@ -220,6 +220,15 @@ def dedup_cluster(spark: SparkSession, inputs, config, context):
 
     Returns {'components': (id, component), 'out': one surviving row per
     component (min id)}.
+
+    Scale shape: propagation runs ONLY over nodes that appear in an edge —
+    isolated nodes (at real dup rates, >99% of the corpus) can never
+    change label, so shuffling the full id table every round is pure
+    waste; they are re-attached with comp=id by one left join at the end.
+    The iterated frame is therefore proportional to the DUP volume, not
+    the corpus — at sf0.01 (500 docs) the wall time is unchanged (~3.7s,
+    all fixed per-round job overhead), but at a 100TB corpus with ~1%
+    dups this is the difference between shuffling TBs per round and MBs.
     """
     ids_df, pairs = inputs[0], inputs[1]
     id_col = config["id_col"]
@@ -231,8 +240,8 @@ def dedup_cluster(spark: SparkSession, inputs, config, context):
         .distinct()
         .persist()
     )
-    labels = ids_df.select(
-        F.col(id_col).alias("x"), F.col(id_col).alias("comp")
+    labels = (
+        edges.select("x").distinct().withColumn("comp", F.col("x"))
     ).localCheckpoint()
 
     for _ in range(max_rounds):
@@ -256,7 +265,16 @@ def dedup_cluster(spark: SparkSession, inputs, config, context):
             break
     edges.unpersist()
 
-    components = labels.select(F.col("x").alias(id_col), "comp")
+    # Re-attach isolated nodes (comp = own id) with one left join; the
+    # propagated label set is dup-volume-sized, so broadcast it.
+    propagated = labels.select(F.col("x").alias(id_col), "comp")
+    if config.get("broadcast_components", True):  # off for degenerate corpora
+        propagated = F.broadcast(propagated)
+    components = ids_df.select(id_col).join(
+        propagated, id_col, "left"
+    ).select(
+        id_col, F.coalesce("comp", F.col(id_col)).alias("comp")
+    )
     survivors = ids_df.join(
         components.filter(F.col(id_col) == F.col("comp")).select(id_col),
         id_col,
