@@ -243,6 +243,20 @@ class TestDedup:
         pairs = [(r.a, r.b) for r in out["pairs"].collect()]
         assert (1, 2) in pairs
 
+    def test_simhash_sig_impls_agree(self, spark):
+        """numpy and expr simhash paths must produce BIT-IDENTICAL
+        fingerprints (same xxhash64 token hashes, same sign rule), hence
+        identical verified pair sets."""
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = {}
+        for impl in ("numpy", "expr"):
+            out = run("dedup.simhash", spark, [df], id_col="doc_id",
+                      text_col="text", max_distance=3, return_pairs=True,
+                      sig_impl=impl)
+            got[impl] = sorted(map(tuple, out["pairs"].collect()))
+            spark.catalog.clearCache()
+        assert got["numpy"] and got["numpy"] == got["expr"]
+
 
 class TestSimilarity:
     def test_bruteforce_self_is_top1(self, spark):
