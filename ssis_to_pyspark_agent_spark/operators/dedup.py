@@ -623,14 +623,25 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
         n_tables = config.get("lsh_tables", 4)
         n_bits = config.get("lsh_bits", 8)
         base = base.persist()  # bucket explode + vector verify both read it
-        bucketed = base.select(
-            "_id",
-            F.posexplode(
-                _hyperplane_bucket(
-                    F.col("_v"), dim, n_tables, n_bits, seed=config.get("seed", 42)
-                )
-            ).alias("_table", "_bucket"),
-        )
+        if config.get("bucket_impl", "numpy") == "numpy":
+            from ssis_to_pyspark_agent_spark.operators.similarity import (
+                _bucket_frame,
+            )
+
+            bucketed = _bucket_frame(
+                base, "_id", "_v", dim, n_tables, n_bits,
+                config.get("seed", 42),
+            )
+        else:
+            bucketed = base.select(
+                "_id",
+                F.posexplode(
+                    _hyperplane_bucket(
+                        F.col("_v"), dim, n_tables, n_bits,
+                        seed=config.get("seed", 42),
+                    )
+                ).alias("_table", "_bucket"),
+            )
         ids = _bucket_pairs(
             bucketed, ["_table", "_bucket"], config.get("bucket_cap", 200)
         ).persist()

@@ -102,6 +102,64 @@ def _hyperplane_bucket(
     return F.array(*buckets)
 
 
+def _bucket_frame(
+    df: DataFrame,
+    id_name: str,
+    vec_name: str,
+    dim: int,
+    n_tables: int,
+    n_bits: int,
+    seed: int,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Exploded LSH bucket rows (id[, vec], _table, _bucket) via one BLAS
+    matmul per Arrow batch: (batch x dim) @ (dim x tables*bits) -> sign
+    bits -> bucket ids. Replaces the expr formulation (tables*bits
+    zip_with/aggregate dot folds per row, each allocating an intermediate
+    array) — measured 4.8s -> 0.8s at 200k x dim64 x 8x10. Sign rule
+    (dot >= 0, NaN -> 0) matches `_hyperplane_bucket`; bucket ids can
+    differ from the expr path only for dots within float-sum ulp of 0 —
+    candidate-set recall, not correctness, both paths verify with exact
+    cosine."""
+    import numpy as np
+    import pandas as pd
+
+    planes = _hyperplanes(dim, n_tables, n_bits, seed)
+    proj = np.array(
+        [
+            [planes[t][j][d] for d in range(dim)]
+            for t in range(n_tables)
+            for j in range(n_bits)
+        ]
+    ).T  # dim x (tables*bits)
+    pow2 = np.array([1 << j for j in range(n_bits)], dtype=np.int64)
+    id_type = df.schema[id_name].dataType.simpleString()
+    vec_type = df.schema[vec_name].dataType.simpleString()
+    schema = (
+        f"{id_name} {id_type}, "
+        + (f"{vec_name} {vec_type}, " if keep_vec else "")
+        + "_table int, _bucket long"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(map(list, pdf[vec_name])), dtype=np.float64)
+            signs = ((v @ proj) >= 0).reshape(len(pdf), n_tables, n_bits)
+            buckets = (signs.astype(np.int64) * pow2).sum(axis=2)
+            data = {id_name: np.repeat(pdf[id_name].values, n_tables)}
+            if keep_vec:
+                data[vec_name] = np.repeat(pdf[vec_name].values, n_tables)
+            data["_table"] = np.tile(
+                np.arange(n_tables, dtype=np.int32), len(pdf)
+            )
+            data["_bucket"] = buckets.ravel()
+            yield pd.DataFrame(data)
+
+    return df.select(id_name, vec_name).mapInPandas(gen, schema=schema)
+
+
 def _kmeans_centroids(
     c: DataFrame, n_cent: int, sample_n: int, iters: int, seed: int
 ) -> list[dict]:
@@ -250,20 +308,37 @@ def topk_lsh(spark: SparkSession, inputs, config, context) -> DataFrame:
     n_bits = config.get("lsh_bits", 10)
     seed = config.get("seed", 42)
 
-    c = corpus.select(
+    c_named = corpus.select(
         F.col(config["id_col"]).alias("corpus_id"),
         F.col(config["vec_col"]).alias("_cv"),
-        F.posexplode(
-            _hyperplane_bucket(F.col(config["vec_col"]), dim, n_tables, n_bits, seed)
-        ).alias("_table", "_bucket"),
     )
-    q = queries.select(
-        F.col(qid).alias("query_id"),
-        F.col(qv).alias("_qv"),
-        F.posexplode(
-            _hyperplane_bucket(F.col(qv), dim, n_tables, n_bits, seed)
-        ).alias("_table", "_bucket"),
+    q_named = queries.select(
+        F.col(qid).alias("query_id"), F.col(qv).alias("_qv")
     )
+    if config.get("bucket_impl", "numpy") == "numpy":
+        c = _bucket_frame(
+            c_named, "corpus_id", "_cv", dim, n_tables, n_bits, seed,
+            keep_vec=True,
+        )
+        q = _bucket_frame(
+            q_named, "query_id", "_qv", dim, n_tables, n_bits, seed,
+            keep_vec=True,
+        )
+    else:
+        c = c_named.select(
+            "corpus_id",
+            "_cv",
+            F.posexplode(
+                _hyperplane_bucket(F.col("_cv"), dim, n_tables, n_bits, seed)
+            ).alias("_table", "_bucket"),
+        )
+        q = q_named.select(
+            "query_id",
+            "_qv",
+            F.posexplode(
+                _hyperplane_bucket(F.col("_qv"), dim, n_tables, n_bits, seed)
+            ).alias("_table", "_bucket"),
+        )
     cand = (
         c.join(F.broadcast(q), ["_table", "_bucket"])
         .select("query_id", "corpus_id", "_cv", "_qv")

@@ -287,6 +287,21 @@ class TestSimilarity:
             got[method] = sorted(map(tuple, out.collect()))
         assert got["expr"] == got["pandas"]
 
+    def test_embedding_bucket_impls_agree(self, spark):
+        """numpy (BLAS matmul) and expr hyperplane buckets yield the same
+        verified pair set on the driver's embeddings (bucket ids can only
+        diverge for dots within float-sum ulp of 0; exact-cosine verify
+        makes the output candidate-insensitive on this data)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = {}
+        for impl in ("numpy", "expr"):
+            out = run("dedup.embedding", spark, [emb], id_col="vec_id",
+                      vec_col="embedding", threshold=0.35, quantize=10000,
+                      return_pairs=True, bucket_impl=impl)
+            got[impl] = sorted(map(tuple, out["pairs"].collect()))
+            spark.catalog.clearCache()
+        assert got["numpy"] and got["numpy"] == got["expr"]
+
     def test_lsh_recall_vs_bruteforce(self, spark):
         import random
 
