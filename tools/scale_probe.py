@@ -64,6 +64,52 @@ def probe_docs(spark, n_docs=500_000, words_per_doc=80):
     docs.unpersist()
 
 
+def probe_simhash(spark, n_docs=500_000, words_per_doc=80):
+    """Same corpus shape as probe_docs; exercises the numpy fingerprint
+    path (per-token xxhash64 JVM-side, 60-bit vote matrix per doc in one
+    numpy kernel) + pigeonhole chunk join."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    base = (
+        spark.range(n_docs)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(words_per_doc)),
+                    lambda i: F.element_at(
+                        vocab, (F.pmod(F.xxhash64(F.col("id"), i), 500) + 1).cast("int")
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+    dups = (
+        base.filter(F.pmod(F.col("doc_id"), 50) == 0)
+        .select(
+            (F.col("doc_id") + n_docs).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extradup")).alias("text"),
+        )
+    )
+    docs = base.unionByName(dups).persist()
+    total = docs.count()
+
+    t0 = time.perf_counter()
+    out = get_operator("dedup.simhash")(
+        spark, [docs],
+        {"id_col": "doc_id", "text_col": "text", "max_distance": 3,
+         "return_pairs": True},
+        {},
+    )
+    pairs = out["pairs"].count()
+    survivors = out["out"].count()
+    dt = time.perf_counter() - t0
+    print(f"PROBE simhash: n={total} dedup={dt:.1f}s pairs={pairs} "
+          f"survivors={survivors} ({total/dt:,.0f} docs/s)")
+    docs.unpersist()
+
+
 def probe_ann(spark, n_vec=200_000, dim=64, n_q=100, k=10):
     import array
 
@@ -133,6 +179,8 @@ def main():
     )
     if which in ("docs", "all"):
         probe_docs(spark)
+    if which in ("simhash", "all"):
+        probe_simhash(spark)
     if which in ("ann", "all"):
         probe_ann(spark)
     if which in ("skew", "all"):
