@@ -287,6 +287,20 @@ class TestSimilarity:
             got[method] = sorted(map(tuple, out.collect()))
         assert got["expr"] == got["pandas"]
 
+    def test_numpy_paths_handle_empty_input(self, spark):
+        """Zero-row inputs (and hence zero-row Arrow batches) must flow
+        through the mapInPandas signature/fingerprint/bucket paths."""
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        mh = run("dedup.minhash", spark, [docs], id_col="doc_id",
+                 text_col="text", return_pairs=True)
+        sh = run("dedup.simhash", spark, [docs], id_col="doc_id",
+                 text_col="text", return_pairs=True)
+        ed = run("dedup.embedding", spark, [vecs], id_col="vec_id",
+                 vec_col="embedding", dim=8, return_pairs=True)
+        for out in (mh, sh, ed):
+            assert out["pairs"].count() == 0 and out["out"].count() == 0
+
     def test_embedding_bucket_impls_agree(self, spark):
         """numpy (BLAS matmul) and expr hyperplane buckets yield the same
         verified pair set on the driver's embeddings (bucket ids can only
