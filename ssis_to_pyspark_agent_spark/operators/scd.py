@@ -44,10 +44,16 @@ def merge_upsert(spark: SparkSession, inputs, config, context) -> DataFrame:
     inputs: [target, updates]
     config: keys, when_matched (optional SQL condition on t./u. — e.g.
     'u.checksum != t.checksum'); columns updated = all shared columns.
+    broadcast_delta (default True): the delta side of a CDC flow is
+    normally tiny relative to the target — broadcasting it turns every
+    anti/semi join below into a BroadcastHashJoin, so the 100TB target
+    never shuffles. Set False when the update batch itself is huge.
     """
     target, updates = inputs[0], inputs[1]
     keys = config["keys"]
     updates = updates.dropDuplicates(keys)  # one update per key, like MERGE requires
+    if config.get("broadcast_delta", True):
+        updates = F.broadcast(updates)
 
     t, u = target.alias("t"), updates.alias("u")
     cond = _key_cond(keys)
@@ -75,11 +81,14 @@ def merge_delete(spark: SparkSession, inputs, config, context) -> DataFrame:
     removing (the fixture's DeletedFlag pattern)."""
     target, deletes = inputs[0], inputs[1]
     keys = config["keys"]
+    del_keys = deletes.select(*keys).distinct()
+    if config.get("broadcast_delta", True):  # see merge_upsert docstring
+        del_keys = F.broadcast(del_keys)
     if flag := config.get("soft"):
-        marked = target.join(deletes.select(*keys).distinct(), keys, "left_semi")
-        kept = target.join(deletes.select(*keys).distinct(), keys, "left_anti")
+        marked = target.join(del_keys, keys, "left_semi")
+        kept = target.join(del_keys, keys, "left_anti")
         return kept.unionByName(marked.withColumn(flag, F.lit(1)))
-    return target.join(deletes.select(*keys).distinct(), keys, "left_anti")
+    return target.join(del_keys, keys, "left_anti")
 
 
 @operator("scd2")
