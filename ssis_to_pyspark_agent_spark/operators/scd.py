@@ -122,6 +122,8 @@ def scd2(spark: SparkSession, inputs, config, context) -> DataFrame:
         else F.current_timestamp()
     )
     upd = upd.dropDuplicates(keys)
+    if config.get("broadcast_delta", True):  # see merge_upsert docstring
+        upd = F.broadcast(upd)
 
     cur = dim.filter(F.col(f_cur))
     hist = dim.filter(~F.col(f_cur))
@@ -138,6 +140,10 @@ def scd2(spark: SparkSession, inputs, config, context) -> DataFrame:
     changed_keys = t.join(u, join_cond & changed_cond, "left_semi").select(
         *[F.col(f"t.{k}") for k in keys]
     )
+    if config.get("broadcast_delta", True):
+        # bounded by |upd| — broadcast so the three consumers below probe
+        # the dimension without shuffling it
+        changed_keys = F.broadcast(changed_keys)
     # close-out: current rows for changed keys get end-dated
     closed = (
         cur.join(changed_keys, keys, "left_semi")
