@@ -212,14 +212,17 @@ def per_row_command(spark: SparkSession, inputs, config, context) -> DataFrame:
             context,
         )
     if config["action"] == "update":
-        # UPDATE only touches existing keys — unmatched command rows are
-        # dropped (an SSIS UPDATE of a missing key affects 0 rows)
-        existing_only = projected.join(
-            target.select(*keys).distinct(), keys, "left_semi"
-        )
+        # UPDATE only touches existing keys (an SSIS UPDATE of a missing
+        # key affects 0 rows) — the left join below already guarantees
+        # that: a command row whose key has no target row matches nothing.
+        # Command batches are per-row-rewrite sized -> broadcast, so the
+        # target is probed in place, never shuffled.
+        updates = projected
+        if config.get("broadcast_delta", True):
+            updates = F.broadcast(updates)
         # columns not named in the mapping keep their target values
         merged = target.alias("t").join(
-            existing_only.alias("u"), keys, "left"
+            updates.alias("u"), keys, "left"
         ).select(
             *[
                 F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
