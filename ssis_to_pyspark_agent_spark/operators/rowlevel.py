@@ -218,7 +218,7 @@ def per_row_command(spark: SparkSession, inputs, config, context) -> DataFrame:
         # Command batches are per-row-rewrite sized -> broadcast, so the
         # target is probed in place, never shuffled.
         updates = projected
-        if config.get("broadcast_delta", True):
+        if config.get("broadcast_delta", False):
             updates = F.broadcast(updates)
         # columns not named in the mapping keep their target values
         merged = target.alias("t").join(
