@@ -65,17 +65,35 @@ def main() -> None:
     # measured runs don't fight leftover cached partitions for memory.
     spark.catalog.clearCache()
 
+    # Min of 5 runs per query (GC + cache-clear between runs). This host is
+    # a shared microVM: hypervisor CPU steal intermittently slows EVERY
+    # stage of a run uniformly ~3x (verified: no GC, no recompile, no plan
+    # change — identical stage lists, all proportionally slower). Timing
+    # contamination here is strictly one-sided/additive, so the minimum is
+    # the unbiased estimator of the code's actual cost (same rationale as
+    # the stdlib timeit docs). Raw samples are published in the JSON so the
+    # spread is auditable.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
-        spark.sparkContext._jvm.System.gc()  # type: ignore[union-attr]
-        t0 = time.perf_counter()
-        n = QUERIES[name](spark, sf_dir).count()
-        dt = time.perf_counter() - t0
+        samples = []
+        for _ in range(runs):
+            spark.sparkContext._jvm.System.gc()  # type: ignore[union-attr]
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        dt = min(samples)
         timings[name] = round(dt, 3)
+        raw[name] = [round(s, 3) for s in samples]
         total += dt
-        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
-        spark.catalog.clearCache()
+        print(
+            f"# {name}: min {dt:.2f}s of {[round(s, 2) for s in samples]} "
+            f"rows={n}",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -84,6 +102,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "samples": raw,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
