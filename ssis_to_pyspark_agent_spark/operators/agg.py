@@ -83,6 +83,9 @@ def aggregate(spark: SparkSession, inputs, config, context) -> DataFrame:
         g = df.rollup(*keys)
     elif mode == "cube":
         g = df.cube(*keys)
+    elif mode == "grouping_sets":
+        sets = [list(s) for s in config["grouping_sets"]]
+        g = df.groupingSets(sets, *keys)
     else:
         raise ValueError(f"unknown aggregate mode {mode!r}")
     return g.agg(*aggs)

@@ -2018,3 +2018,297 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])
     )
     return run_pipeline(spark, p).df("prj")
+
+
+# ===========================================================================
+# Analytic-surface widening: grouping sets, window suite, exact statistics,
+# percentiles, classic TPC-H shapes, ordered string aggregation
+# ===========================================================================
+
+
+@query(
+    "q69_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the aggregate operator (SURVEY §2.7 row
+    'Grouping sets / cube / rollup' — not in the reference; Spark gives it
+    via DataFrame.groupingSets). Rolled-up keys surface as NULLs, which is
+    unambiguous here because the keys are non-null in the data."""
+    p = _p("q69", sf_dir, "lineitem").step(
+        "agg", "aggregate", "lineitem",
+        keys=["l_returnflag", "l_linestatus"],
+        mode="grouping_sets",
+        grouping_sets=[["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        aggs={"sum_qty": _dsum("l_quantity"), "n": ("count", "*")},
+    )
+    return run_pipeline(spark, p).df("agg")
+
+
+@query(
+    "q70_window_suite",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           row_number()   OVER w1 AS rn,
+           lag(o_totalprice)  OVER w1 AS lag_price,
+           lead(o_totalprice) OVER w1 AS lead_price,
+           ntile(4)       OVER w1 AS quartile,
+           count(*)       OVER (w1 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (w1 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS run_price,
+           first_value(o_totalprice) OVER (w1 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv,
+           last_value(o_totalprice)  OVER (w1 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+           rank()         OVER w2 AS rk,
+           dense_rank()   OVER w2 AS drk,
+           percent_rank() OVER w2 AS prk,
+           cume_dist()    OVER w2 AS cd
+    FROM orders WHERE o_orderkey % 7 = 0
+    WINDOW w1 AS (PARTITION BY o_orderstatus ORDER BY o_orderkey),
+           w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+    """,
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/offset/frame window functions as one suite through the
+    `window` operator (SURVEY §2.10: the reference has NO window functions;
+    first-class here). Offset functions are ordered by the unique order key
+    (total order -> deterministic); ranking functions are ordered by the
+    5-value priority so ties exercise rank vs dense_rank vs percent_rank.
+    The running SUM goes through DECIMAL(18,4) in both engines: windowed
+    double summation trees differ between engines, exact decimal does not."""
+    part, okey = ["o_orderstatus"], [("o_orderkey", "asc")]
+    p = (
+        _p("q70", sf_dir, "orders")
+        .step("flt", "filter", "orders", predicate="[o_orderkey] % 7 == 0")
+        .step("w1", "window", "flt", partition_by=part, order_by=okey,
+              columns={"rn": ("row_number",),
+                       "lag_price": ("lag", "o_totalprice"),
+                       "lead_price": ("lead", "o_totalprice"),
+                       "quartile": ("ntile", 4)})
+        .step("w2", "window", "w1", partition_by=part, order_by=okey,
+              frame=("rows", "unbounded", "current"),
+              columns={"run_cnt": ("count", "o_orderkey"),
+                       "_run_price_dec": ("sum", _dec("o_totalprice"))})
+        .step("w3", "window", "w2", partition_by=part, order_by=okey,
+              frame=("rows", "unbounded", "unbounded_following"),
+              columns={"fv": ("first", "o_totalprice"),
+                       "lv": ("last", "o_totalprice")})
+        .step("w4", "window", "w3", partition_by=part,
+              order_by=[("o_orderpriority", "asc")],
+              columns={"rk": ("rank",), "drk": ("dense_rank",),
+                       "prk": ("percent_rank",), "cd": ("cume_dist",)})
+        .step("drv", "derived_column", "w4", columns={
+            "run_price": F.col("_run_price_dec").cast("string").cast("double"),
+        })
+        .step("prj", "select", "drv", columns=[
+            "o_orderkey", "o_orderstatus", "rn", "lag_price", "lead_price",
+            "quartile", "run_cnt", "run_price", "fv", "lv", "rk", "drk",
+            "prk", "cd",
+        ])
+    )
+    return run_pipeline(spark, p).df("prj")
+
+
+@query(
+    "q71_stats_exact",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+             -- one side DECIMAL(24,4): DuckDB multiplies in the operands'
+             -- common storage type, and two int64 decimals overflow int64
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (sxx - (sx * sx) / n) / (n - 1) AS var_qty,
+           sqrt((sxx - (sx * sx) / n) / (n - 1)) AS stddev_qty,
+           (sxy - (sx * sy) / n) / (n - 1) AS covar_qty_price,
+           (n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    """,
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (variance / stddev / covariance / correlation)
+    computed from EXACT decimal power sums, then identical double
+    arithmetic in both engines — bit-exact where the built-in stddev/corr
+    would differ by summation order. This is also the scale-correct shape:
+    one map-side-combinable pass over the data (sums), O(1) post-math.
+    """
+    # DECIMAL(12,4) for the squared terms: wide enough for the values
+    # (~1e5 with 4 decimals), narrow enough that DuckDB's decimal multiply
+    # stays on the int128 path (18+18 digits overflows its int64 multiply).
+    dq = F.col("l_quantity").cast("decimal(12,4)")
+    de = F.col("l_extendedprice").cast("decimal(12,4)")
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    p = (
+        _p("q71", sf_dir, "lineitem")
+        .step("s", "aggregate", "lineitem", keys=["l_returnflag"], aggs={
+            "n": ("count", "*"),
+            "sx": _dsum("l_quantity"),
+            "sy": _dsum("l_extendedprice"),
+            "sxx": F.sum(dq * dq).cast("string").cast("double"),
+            "syy": F.sum(de * de).cast("string").cast("double"),
+            "sxy": F.sum(dq * de).cast("string").cast("double"),
+        })
+        .step("drv", "derived_column", "s", columns={
+            "var_qty": (sxx - (sx * sx) / n) / (n - 1),
+            "stddev_qty": F.sqrt((sxx - (sx * sx) / n) / (n - 1)),
+            "covar_qty_price": (sxy - (sx * sy) / n) / (n - 1),
+            "corr_qty_price": (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+        })
+        .step("prj", "select", "drv", columns=[
+            "l_returnflag", "n", "var_qty", "stddev_qty",
+            "covar_qty_price", "corr_qty_price",
+        ])
+    )
+    return run_pipeline(spark, p).df("prj")
+
+
+@query(
+    "q72_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.50) AS p50_qty,
+           quantile_cont(l_quantity, 0.75) AS p75_qty,
+           median(l_quantity) AS med_qty,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) + median. Oracle-exact
+    because l_quantity is integer-valued and the interpolation fractions
+    are dyadic (0/.25/.5/.75): both engines' a + f*(b-a) is exact. At
+    100 TB you'd flip these to approx_percentile (single-pass sketch) —
+    exposed as the 'percentile' agg spec; q58 covers the approx path."""
+    p = _p("q72", sf_dir, "lineitem").step(
+        "agg", "aggregate", "lineitem", keys=["l_returnflag"], aggs={
+            "p25_qty": F.percentile("l_quantity", 0.25),
+            "p50_qty": F.percentile("l_quantity", 0.50),
+            "p75_qty": F.percentile("l_quantity", 0.75),
+            "med_qty": ("median", "l_quantity"),
+            "min_qty": ("min", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+        },
+    )
+    return run_pipeline(spark, p).df("agg")
+
+
+@query(
+    "q73_shipping_priority",
+    oracle="""
+    SELECT l_orderkey, o_orderdate,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dim filter ->
+    big-big join -> grouped revenue -> ordered top-N. The customer side
+    collapses to a key list Catalyst/AQE broadcasts; the ordered LIMIT is
+    TakeOrderedAndProject (per-partition heap + driver merge — no global
+    sort shuffle). Ties broken by l_orderkey; revenue is decimal-exact."""
+    rev = F.sum(
+        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    ).cast("string").cast("double")
+    p = (
+        _p("q73", sf_dir, "customer", "orders", "lineitem")
+        .step("cust", "filter", "customer",
+              predicate='[c_mktsegment] == "BUILDING"')
+        .step("ord", "filter", "orders",
+              predicate='[o_orderdate] < (DT_DBTIMESTAMP)"1998-06-15"')
+        .step("li", "filter", "lineitem",
+              predicate='[l_shipdate] > (DT_DBTIMESTAMP)"1998-06-15"')
+        .step("co", "join", ["ord", "cust"], keys=[("o_custkey", "c_custkey")],
+              broadcast="right")
+        .step("col", "join", ["li", "co"], keys=[("l_orderkey", "o_orderkey")])
+        .step("agg", "aggregate", "col", keys=["l_orderkey", "o_orderdate"],
+              aggs={"revenue": rev})
+        .step("top", "limit", "agg", n=10,
+              keys=[("revenue", "desc"), ("l_orderkey", "asc")])
+    )
+    return run_pipeline(spark, p).df("top")
+
+
+@query(
+    "q74_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned items): fact-fact join + two broadcast
+    dims, grouped revenue, ordered top-20 with key tiebreak."""
+    rev = F.sum(
+        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    ).cast("string").cast("double")
+    p = (
+        _p("q74", sf_dir, "customer", "orders", "lineitem", "nation")
+        .step("ord", "filter", "orders",
+              predicate='[o_orderdate] >= (DT_DBTIMESTAMP)"1997-01-01" && '
+                        '[o_orderdate] < (DT_DBTIMESTAMP)"1997-07-01"')
+        .step("li", "filter", "lineitem", predicate='[l_returnflag] == "R"')
+        .step("lo", "join", ["li", "ord"], keys=[("l_orderkey", "o_orderkey")])
+        .step("loc", "join", ["lo", "customer"],
+              keys=[("o_custkey", "c_custkey")], broadcast="right")
+        .step("locn", "join", ["loc", "nation"],
+              keys=[("c_nationkey", "n_nationkey")], broadcast="right")
+        .step("agg", "aggregate", "locn",
+              keys=["c_custkey", "c_name", "n_name"],
+              aggs={"revenue": rev, "n_items": ("count", "*")})
+        .step("top", "limit", "agg", n=20,
+              keys=[("revenue", "desc"), ("c_custkey", "asc")])
+    )
+    return run_pipeline(spark, p).df("top")
+
+
+@query(
+    "q75_string_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
+           COUNT(DISTINCT o_orderpriority) AS n_prios
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct string aggregation: collect_set -> array_sort ->
+    array_join makes the concatenation order-insensitive to partitioning
+    (collect_list order is nondeterministic under parallelism — never
+    expose it unsorted)."""
+    p = _p("q75", sf_dir, "orders").step(
+        "agg", "aggregate", "orders", keys=["o_orderstatus"], aggs={
+            "priorities": F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), "|"
+            ),
+            "n_prios": ("count_distinct", "o_orderpriority"),
+        },
+    )
+    return run_pipeline(spark, p).df("agg")

@@ -123,6 +123,19 @@ class TestAggregateSortTopK:
         got = dict(rows(out, "g", "s"))
         assert got == {"a": 3, "b": 3, None: 6}
 
+    def test_grouping_sets(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)],
+            "g string, h string, v int",
+        )
+        out = run("aggregate", spark, [df], keys=["g", "h"],
+                  mode="grouping_sets",
+                  grouping_sets=[["g", "h"], ["g"], []],
+                  aggs={"s": ("sum", "v")})
+        got = set(rows(out, "g", "h", "s"))
+        assert got == {("a", "x", 1), ("a", "y", 2), ("b", "x", 3),
+                       ("a", None, 3), ("b", None, 3), (None, None, 6)}
+
     def test_sort_eliminate_duplicates(self, spark):
         df = spark.createDataFrame(
             [(1, "x"), (1, "y"), (2, "z")], "k int, v string"
