@@ -171,6 +171,55 @@ def probe_skew(spark, n_left=20_000_000, n_right=500_000, salt=16):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def probe_cdc(spark, n_dim=20_000_000, n_upd=200_000, n_del=100_000):
+    """The flagship (q50) CDC path at 1000x the bench dimension size:
+    merge_upsert / merge_delete / scd2 against a 20M-row dimension with a
+    1% update batch. The scale question: does the big dimension get
+    shuffled, or does AQE turn every delta join into a broadcast probe?"""
+    dim = spark.range(n_dim).repartition(32).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 1000).cast("int").alias("attr"),
+        F.xxhash64("id").alias("checksum"),
+    ).persist()
+    dim.count()
+    stride = n_dim // n_upd
+    upd = spark.range(n_upd).select(
+        (F.col("id") * stride).alias("k"),
+        ((F.col("id") + 1) % 1000).cast("int").alias("attr"),
+        F.xxhash64("id", F.lit(7)).alias("checksum"),
+    )
+    dels = spark.range(n_del).select(
+        (F.col("id") * (n_dim // n_del) + 1).alias("k")
+    )
+
+    t0 = time.perf_counter()
+    n = get_operator("merge_upsert")(
+        spark, [dim, upd],
+        {"keys": ["k"], "when_matched": "u.checksum != t.checksum"}, {},
+    ).count()
+    print(f"PROBE cdc merge_upsert: {time.perf_counter()-t0:.1f}s rows={n}")
+
+    t0 = time.perf_counter()
+    n = get_operator("merge_delete")(
+        spark, [dim, dels], {"keys": ["k"]}, {},
+    ).count()
+    print(f"PROBE cdc merge_delete: {time.perf_counter()-t0:.1f}s rows={n}")
+
+    dim2 = dim.withColumn(
+        "effective_from", F.to_timestamp(F.lit("2020-01-01"))
+    ).withColumn("effective_to", F.lit(None).cast("timestamp")).withColumn(
+        "is_current", F.lit(True)
+    )
+    t0 = time.perf_counter()
+    n = get_operator("scd2")(
+        spark, [dim2, upd],
+        {"keys": ["k"], "tracked": ["attr", "checksum"],
+         "as_of": "2025-06-01 00:00:00"}, {},
+    ).count()
+    print(f"PROBE cdc scd2: {time.perf_counter()-t0:.1f}s rows={n}")
+    dim.unpersist()
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(
@@ -185,6 +234,8 @@ def main():
         probe_ann(spark)
     if which in ("skew", "all"):
         probe_skew(spark)
+    if which in ("cdc", "all"):
+        probe_cdc(spark)
 
 
 if __name__ == "__main__":
