@@ -133,3 +133,80 @@ def _salted_aggregate(df: DataFrame, keys, aggs: dict, salt: int, seed: int):
     salted = df.withColumn("_salt", (F.rand(seed) * salt).cast("int"))
     partial = salted.groupBy(*keys, "_salt").agg(*phase1)
     return partial.groupBy(*keys).agg(*combine)
+
+
+@operator("profile")
+def profile(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Column profiler: ONE pass over the data, one output row per column
+    with (column, dtype, n_rows, n_nonnull, n_distinct, min/max, mean).
+
+    config:
+      columns: subset to profile (default: all)
+      exact_distinct: False (default) -> approx_count_distinct — the
+        single-pass HLL sketch is the only sane shape at 100 TB; True ->
+        exact countDistinct (adds the expand shuffle, oracle-able).
+
+    Output typing: numeric min/max/mean surface as DOUBLE (min_num /
+    max_num / mean); string and timestamp min/max surface as STRING
+    (min_str / max_str; timestamps via CAST->string, identical
+    'yyyy-MM-dd HH:mm:ss' rendering in Spark and DuckDB). The mean goes
+    through exact DECIMAL(25,4) sums -> string -> double (engine-exact);
+    min/max of doubles are original stored values, no arithmetic.
+
+    All statistics compile into a single groupBy().agg() — Catalyst
+    executes partial aggregation map-side, so the profile costs one scan
+    + one 1-row shuffle regardless of column count; the per-column pivot
+    to rows is a stack() over that single row (driver-free).
+    """
+    df: DataFrame = inputs[0]
+    cols = config.get("columns") or df.columns
+    exact = config.get("exact_distinct", False)
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double",
+               "decimal"}
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        is_num = dt.split("(")[0] in numeric
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"_nn_{c}"))
+        aggs.append(
+            (F.count_distinct(col) if exact
+             else F.approx_count_distinct(col)).alias(f"_nd_{c}")
+        )
+        if is_num:
+            aggs.append(F.min(col).cast("double").alias(f"_min_{c}"))
+            aggs.append(F.max(col).cast("double").alias(f"_max_{c}"))
+            aggs.append(
+                (F.sum(col.cast("decimal(25,4)")).cast("string")
+                 .cast("double") / F.count(col)).alias(f"_mean_{c}")
+            )
+        else:
+            aggs.append(F.min(col).cast("string").alias(f"_smin_{c}"))
+            aggs.append(F.max(col).cast("string").alias(f"_smax_{c}"))
+
+    one = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    parts: list[Column] = []
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        is_num = dt.split("(")[0] in numeric
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dt).alias("dtype"),
+                F.col("_n_rows").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nonnull"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                (F.col(f"_min_{c}") if is_num else null_d).alias("min_num"),
+                (F.col(f"_max_{c}") if is_num else null_d).alias("max_num"),
+                (F.col(f"_mean_{c}") if is_num else null_d).alias("mean"),
+                (null_s if is_num else F.col(f"_smin_{c}")).alias("min_str"),
+                (null_s if is_num else F.col(f"_smax_{c}")).alias("max_str"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*parts)).alias("_p")
+    ).select("_p.*")

@@ -2312,3 +2312,48 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return run_pipeline(spark, p).df("agg")
+
+
+_Q76_COL = """
+    SELECT '{c}' AS "column", '{dt}' AS dtype,
+           COUNT(*) AS n_rows, COUNT({c}) AS n_nonnull,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           {min_num} AS min_num, {max_num} AS max_num, {mean} AS mean,
+           {min_str} AS min_str, {max_str} AS max_str
+    FROM lineitem"""
+
+
+def _q76_oracle() -> str:
+    num = ("CAST(MIN({c}) AS DOUBLE)", "CAST(MAX({c}) AS DOUBLE)",
+           "CAST(CAST(SUM(CAST({c} AS DECIMAL(25,4))) AS VARCHAR) AS DOUBLE)"
+           " / COUNT({c})",
+           "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+    other = ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+             "CAST(NULL AS DOUBLE)",
+             "CAST(MIN({c}) AS VARCHAR)", "CAST(MAX({c}) AS VARCHAR)")
+    cols = [("l_orderkey", "bigint", num), ("l_linenumber", "int", num),
+            ("l_quantity", "double", num), ("l_extendedprice", "double", num),
+            ("l_returnflag", "string", other), ("l_shipdate", "timestamp_ntz", other)]
+    parts = []
+    for c, dt, (mn, mx, mean, smn, smx) in cols:
+        parts.append(_Q76_COL.format(
+            c=c, dt=dt, min_num=mn.format(c=c), max_num=mx.format(c=c),
+            mean=mean.format(c=c), min_str=smn.format(c=c),
+            max_str=smx.format(c=c)))
+    return " UNION ALL ".join(parts)
+
+
+@query("q76_profile", oracle=_q76_oracle())
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (training-data pipeline staple): a single
+    groupBy().agg() computes count/nulls/distinct/min/max/mean for every
+    profiled column — one scan + one 1-row shuffle regardless of column
+    count. exact_distinct=True here for oracle-ability; the default is the
+    approx_count_distinct HLL sketch (the 100 TB shape)."""
+    p = _p("q76", sf_dir, "lineitem").step(
+        "prof", "profile", "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_returnflag", "l_shipdate"],
+        exact_distinct=True,
+    )
+    return run_pipeline(spark, p).df("prof")

@@ -136,6 +136,19 @@ class TestAggregateSortTopK:
         assert got == {("a", "x", 1), ("a", "y", 2), ("b", "x", 3),
                        ("a", None, 3), ("b", None, 3), (None, None, 6)}
 
+    def test_profile_one_row_per_column(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, "b", 5.0), (2, None, 7.5)],
+            "k int, s string, v double",
+        )
+        out = run("profile", spark, [df], exact_distinct=True)
+        got = {r["column"]: r for r in out.collect()}
+        assert set(got) == {"k", "s", "v"}
+        assert got["k"]["n_rows"] == 3 and got["k"]["n_distinct"] == 2
+        assert got["k"]["min_num"] == 1.0 and got["k"]["max_num"] == 2.0
+        assert got["s"]["n_nonnull"] == 2 and got["s"]["min_str"] == "a"
+        assert got["v"]["mean"] == 6.25 and got["v"]["min_num"] == 5.0
+
     def test_sort_eliminate_duplicates(self, spark):
         df = spark.createDataFrame(
             [(1, "x"), (1, "y"), (2, "z")], "k int, v string"
