@@ -179,6 +179,17 @@ def csv_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     return df
 
 
+@operator("sink.json")
+def json_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Line-delimited JSON destination (pairs with source.json)."""
+    df: DataFrame = inputs[0]
+    w = df.write.mode(config.get("mode", "overwrite"))
+    for k, v in config.get("options", {}).items():
+        w = w.option(k, v)  # e.g. compression=gzip, timestampFormat
+    w.json(config["path"])
+    return df
+
+
 @operator("sink.view")
 def view_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Recordset Destination analogue: register a temp view instead of

@@ -59,6 +59,23 @@ def stream_dedup(spark: SparkSession, inputs, config, context) -> DataFrame:
     )
 
 
+@operator("stream.join")
+def stream_join(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Watermarked stream-stream join (equality keys + event-time range
+    bound — required for state eviction). inputs: [left, right]."""
+    from ssis_to_pyspark_agent_spark.streaming.runner import stream_stream_join
+
+    return stream_stream_join(
+        inputs[0], inputs[1],
+        keys=config["keys"],
+        left_ts=config["left_ts"],
+        right_ts=config["right_ts"],
+        how=config.get("how", "inner"),
+        watermark=config.get("watermark", "10 minutes"),
+        time_bound=config.get("time_bound", "10 minutes"),
+    )
+
+
 @operator("sink.stream_parquet")
 def stream_parquet_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Production-shaped streaming sink: foreachBatch writing parquet with

@@ -2357,3 +2357,96 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_distinct=True,
     )
     return run_pipeline(spark, p).df("prof")
+
+
+@query(
+    "q77_small_qty_revenue",
+    oracle="""
+    WITH th AS (
+      SELECT l_partkey,
+             0.2 * (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+                    / COUNT(l_quantity)) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem, part, th
+    WHERE p_partkey = lineitem.l_partkey AND th.l_partkey = p_partkey
+      AND p_brand = 'Brand#23' AND l_quantity < qty_threshold
+    """,
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated average-quantity subquery, decorrelated
+    into a per-key aggregate + join (the plan Catalyst's subquery
+    decorrelation would produce; the pipeline spells it out because the
+    operator DSL has no scalar subqueries). The brand filter semi-joins
+    the per-key aggregate input first: thresholds are computed over every
+    lineitem row of a partkey, but only for partkeys that survive the
+    (broadcast) brand filter — at 100 TB the aggregate's shuffle shrinks
+    by the brand selectivity (~1/25) instead of covering the full fact
+    table. The threshold itself is exact (decimal sum / count), so the
+    `quantity < 0.2*avg` cut is engine-exact."""
+    th = F.lit(0.2) * (
+        F.sum(_dec("l_quantity")).cast("string").cast("double")
+        / F.count("l_quantity")
+    )
+    rev = F.sum(_dec("l_extendedprice")).cast("string").cast("double") / F.lit(7.0)
+    p = (
+        _p("q77", sf_dir, "lineitem", "part")
+        .step("brand", "filter", "part", predicate='[p_brand] == "Brand#23"')
+        .step("li_brand", "join", ["lineitem", "brand"],
+              keys=[("l_partkey", "p_partkey")], how="left_semi")
+        .step("th", "aggregate", "li_brand", keys=["l_partkey"],
+              aggs={"qty_threshold": th})
+        .step("li_th", "join", ["li_brand", "th"], keys=["l_partkey"],
+              select_left=["l_quantity", "l_extendedprice"],
+              select_right=["qty_threshold"])
+        .step("small", "filter", "li_th",
+              predicate="l_quantity < qty_threshold", sql=True)
+        .step("agg", "aggregate", "small", keys=[],
+              aggs={"avg_yearly": rev, "n_small": ("count", "*")})
+    )
+    return run_pipeline(spark, p).df("agg")
+
+
+@query(
+    "q78_stream_stream_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS v_id, b.event_id AS b_id,
+           date_diff('second', v.ts, b.ts) AS lag_s
+    FROM events v, events b
+    WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+      AND v.user_id = b.user_id
+      AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actual stream-stream join run (two file-source streams, watermarked
+    equality+time-range join, append sink) vs the batch SQL oracle — the
+    inner join's output is exactly the batch join, while the watermark +
+    range bound is what lets Spark evict buffered state (append-mode
+    stream-stream joins REQUIRE the range condition for that reason).
+    The raw ts columns stay internal (nanos-vs-micros rendering);
+    outputs are ids + the integer second lag."""
+    p = (
+        Pipeline("q78")
+        .step("views0", "source.stream", path=f"{sf_dir}/events.parquet")
+        .step("views1", "filter", "views0", predicate='[event_type] == "view"')
+        .step("views", "select", "views1",
+              columns={"user_id": "user_id", "v_ts": "ts", "v_id": "event_id"})
+        .step("buys0", "source.stream", path=f"{sf_dir}/events.parquet")
+        .step("buys1", "filter", "buys0",
+              predicate='[event_type] == "purchase"')
+        .step("buys", "select", "buys1",
+              columns={"user_id": "user_id", "b_ts": "ts", "b_id": "event_id"})
+        .step("j", "stream.join", ["views", "buys"], keys=["user_id"],
+              left_ts="v_ts", right_ts="b_ts",
+              watermark="5 minutes", time_bound="10 minutes")
+        .step("out", "sink.memory_stream", "j", table="q78_out")
+    )
+    res = run_pipeline(spark, p).df("out")
+    return res.select(
+        "user_id", "v_id", "b_id",
+        (F.unix_timestamp("b_ts") - F.unix_timestamp("v_ts"))
+        .cast("bigint").alias("lag_s"),
+    )

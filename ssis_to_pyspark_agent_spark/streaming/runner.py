@@ -87,6 +87,43 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    how: str = "inner",
+    watermark: str = "10 minutes",
+    time_bound: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream join: equality on `keys` plus the
+    event-time range `left_ts <= right_ts <= left_ts + time_bound`.
+
+    Both sides buffer join state; the watermark + time-range condition is
+    what lets Spark EVICT that state (without it, state grows without
+    bound — Spark requires the range condition for append-mode
+    stream-stream joins precisely because it bounds the buffer to
+    watermark + time_bound per key). Outer variants emit the unmatched
+    side only once the watermark passes the bound.
+
+    Column-name hygiene: rename overlapping non-key columns on one side
+    before this step — the join keeps both sides' columns.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else cond & c
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    rng = (rt >= lt) & (rt <= lt + F.expr(f"INTERVAL {time_bound}"))
+    cond = rng if cond is None else cond & rng
+    joined = lw.join(rw, cond, how)
+    # drop the duplicated key columns from the right side
+    return joined.drop(*[F.col(f"r.{k}") for k in keys])
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:

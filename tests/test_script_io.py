@@ -99,6 +99,14 @@ class TestFileSources:
                  record_path="data.items")
         assert sorted((r.id, r.v) for r in df.collect()) == [(1, "x"), (2, "y")]
 
+    def test_json_roundtrip(self, spark):
+        path = os.path.join(SCRATCH, "json_out")
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        run("sink.json", spark, [df], path=path)
+        back = run("source.json", spark, [], path=path,
+                   schema="id int, s string")
+        assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+
     def test_parquet_sink_partitioned(self, spark):
         path = os.path.join(SCRATCH, "pq_part")
         df = spark.createDataFrame(

@@ -163,3 +163,46 @@ def test_foreachbatch_parquet_sink(spark, tmp_path):
     written = res.df("w")
     want = spark.read.parquet(EVENTS).filter("event_type = 'purchase'").count()
     assert written.count() == want
+
+
+def test_stream_stream_join_matches_batch(spark, batch_events):
+    """views joined to purchases by the same user within 10 minutes —
+    stream-stream inner join with watermark + time-range state eviction
+    must produce exactly the batch join's pairs."""
+    from ssis_to_pyspark_agent_spark.streaming.runner import stream_stream_join
+
+    def split(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("b_ts"),
+            F.col("event_id").alias("b_id"),
+        )
+        return views, buys
+
+    sv, sb = split(stream_events(spark, EVENTS, max_files_per_trigger=1))
+    joined = stream_stream_join(
+        sv, sb, keys=["user_id"], left_ts="v_ts", right_ts="b_ts",
+        watermark="5 minutes", time_bound="10 minutes",
+    )
+    run_stream_to_memory(joined, "t_ssj", output_mode="append")
+    got = {
+        (r["v_id"], r["b_id"])
+        for r in spark.table("t_ssj").select("v_id", "b_id").collect()
+    }
+
+    bv, bb = split(batch_events)
+    expected = {
+        (r["v_id"], r["b_id"])
+        for r in bv.join(bb, "user_id")
+        .filter(
+            (F.col("b_ts") >= F.col("v_ts"))
+            & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 minutes"))
+        )
+        .select("v_id", "b_id")
+        .collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
