@@ -64,6 +64,24 @@ class Foreach:
 
 
 @dataclass
+class ForLoop:
+    """SSIS For Loop container (parse data_engineering_parser.py:336-361,
+    FORLOOP at :345): InitExpression / EvalExpression / AssignExpression
+    over package variables, body re-run while eval holds.
+
+    init / assign: (variable, SSIS expression) pairs or None;
+    eval_expr: SSIS boolean expression over @[User::...] variables;
+    max_iterations: runaway guard (SSIS loops can be infinite; a pipeline
+    engine should fail loudly instead)."""
+
+    eval_expr: str
+    body: "TaskGraph | Pipeline"
+    init: tuple[str, str] | None = None
+    assign: tuple[str, str] | None = None
+    max_iterations: int = 10_000
+
+
+@dataclass
 class TaskGraph:
     name: str
     tasks: list[Task] = field(default_factory=list)
@@ -195,30 +213,59 @@ class ControlFlowRunner:
                 items = fe.items(context) if callable(fe.items) else fe.items
                 for item in items:
                     context[fe.var] = item
-                    if isinstance(fe.body, TaskGraph):
-                        body = TaskGraph(
-                            fe.body.name, fe.body.tasks, fe.body.edges,
-                            {**fe.body.variables, **context},
+                    self._run_body(fe.body, context)
+                return TaskResult(status="success")
+            if task.kind == "forloop":
+                fl: ForLoop = task.payload
+                if fl.init:
+                    context[fl.init[0]] = self._eval_scalar(fl.init[1], context)
+                it = 0
+                while _eval_condition(self.spark, fl.eval_expr, context):
+                    if it >= fl.max_iterations:
+                        raise ControlFlowError(
+                            f"for loop exceeded max_iterations="
+                            f"{fl.max_iterations} (eval: {fl.eval_expr!r})"
                         )
-                        _, inner_ctx = ControlFlowRunner(self.spark).run(body)
-                        context.update(
-                            {k: v for k, v in inner_ctx.items()
-                             if not k.startswith("_")}
-                        )
-                    else:
-                        merged = Pipeline(
-                            fe.body.name, steps=fe.body.steps,
-                            variables={**fe.body.variables, **context},
-                        )
-                        run = Runner(self.spark).run(merged)
-                        context.update(
-                            {k: v for k, v in run.context.items()
-                             if not k.startswith("_")}
+                    it += 1
+                    self._run_body(fl.body, context)
+                    if fl.assign:
+                        context[fl.assign[0]] = self._eval_scalar(
+                            fl.assign[1], context
                         )
                 return TaskResult(status="success")
             raise ValueError(f"unknown task kind {task.kind!r}")
         except Exception as exc:  # noqa: BLE001 — failure edges need the error
             return TaskResult(status="failure", error=exc)
+
+    def _run_body(self, body: "TaskGraph | Pipeline", context: dict[str, Any]):
+        """Run a container body (sub-graph or pipeline) with the current
+        context merged in; surviving variables flow back out."""
+        if isinstance(body, TaskGraph):
+            merged_graph = TaskGraph(
+                body.name, body.tasks, body.edges,
+                {**body.variables, **context},
+            )
+            _, inner_ctx = ControlFlowRunner(self.spark).run(merged_graph)
+            context.update(
+                {k: v for k, v in inner_ctx.items() if not k.startswith("_")}
+            )
+        else:
+            merged = Pipeline(
+                body.name, steps=body.steps,
+                variables={**body.variables, **context},
+            )
+            run = Runner(self.spark).run(merged)
+            context.update(
+                {k: v for k, v in run.context.items() if not k.startswith("_")}
+            )
+
+    def _eval_scalar(self, expr: str, context: dict[str, Any]):
+        """Evaluate an SSIS expression over package variables to a Python
+        scalar (the Expression Task / For Loop init+assign evaluator)."""
+        from ssis_to_pyspark_agent_spark.functions.expr import ExpressionCompiler
+
+        col = ExpressionCompiler(schema={}, variables=context).compile(expr)
+        return self.spark.range(1).select(col.alias("v")).first().v
 
     @staticmethod
     def _topo(tasks: dict[str, Task], incoming: dict[str, list[Edge]]) -> list[str]:

@@ -132,3 +132,36 @@ def test_expression_task_sets_variable(spark):
     results, ctx = run_task_graph(spark, g)
     assert ctx["Doubled"] == 21
     assert results["use"].status == "success"
+
+
+def test_for_loop_runs_until_eval_false(spark):
+    from ssis_to_pyspark_agent_spark.plans.control import ForLoop
+
+    body = Pipeline("body")
+    body.step("src", "source.dataframe", df=spark.range(10))
+    body.step("f", "filter", "src", predicate="[id] < @[User::i]")
+    body.step("rc", "row_count", "f", into="last_count", eager=True)
+
+    g = TaskGraph("pkg")
+    g.task("loop", "forloop", ForLoop(
+        init=("i", "1"), eval_expr="@[User::i] <= 3",
+        assign=("i", "@[User::i] + 1"), body=body,
+    ))
+    _, ctx = run_task_graph(spark, g)
+    assert ctx["i"] == 4          # incremented past the bound
+    assert ctx["last_count"] == 3  # final iteration filtered id < 3
+
+
+def test_for_loop_max_iterations_guard(spark):
+    from ssis_to_pyspark_agent_spark.plans.control import ForLoop
+
+    body = Pipeline("body")
+    body.step("src", "source.dataframe", df=spark.range(1))
+
+    g = TaskGraph("pkg")
+    g.task("loop", "forloop", ForLoop(
+        eval_expr="TRUE", body=body, max_iterations=3,
+    ))
+    with pytest.raises(ControlFlowError) as ei:
+        run_task_graph(spark, g)
+    assert "max_iterations" in str(ei.value.__cause__)
