@@ -669,3 +669,25 @@ class TestIvfKmeans:
                   nprobe=1, kmeans=True, kmeans_sample=100, **cfg)
         top1 = {r.query_id: r.corpus_id for r in ivf.collect()}
         assert top1 == {0: 0, 1: 1}  # self found even probing 1 list
+
+
+class TestProfileProperty:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(vals=st.lists(st.one_of(st.none(), st.integers(-10**6, 10**6)),
+                         min_size=1, max_size=30))
+    @settings(max_examples=12, deadline=None)
+    def test_profile_matches_python_reference(self, spark, vals):
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        row = run("profile", spark, [df], exact_distinct=True).collect()[0]
+        nn = [v for v in vals if v is not None]
+        assert row["n_rows"] == len(vals)
+        assert row["n_nonnull"] == len(nn)
+        assert row["n_distinct"] == len(set(nn))
+        if nn:
+            assert row["min_num"] == float(min(nn))
+            assert row["max_num"] == float(max(nn))
+            assert row["mean"] == sum(nn) / len(nn)
+        else:
+            assert row["min_num"] is None and row["mean"] is None
