@@ -340,10 +340,19 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
     threshold = config.get("threshold", 0.8)
     seed = config.get("seed", 42)
 
-    # Stage 1 (persisted barrier): shingle + hash every shingle string ONCE.
-    # The persist is load-bearing twice over: (a) the LSH self-join would
-    # recompute this narrow pipeline for both sides; (b) it stops Catalyst
-    # from inlining the _hs expression into the 128 minhash lambdas below.
+    # Stage 1: shingle + hash every shingle string. Whether to persist this
+    # corpus-sized frame depends on the signature impl:
+    # - 'expr': persist is load-bearing twice over — (a) the banded
+    #   self-join side would recompute the narrow pipeline, (b) it stops
+    #   Catalyst CollapseProject from inlining the _hs expression into the
+    #   128 minhash lambdas (>10x blowup, see NOTES.md).
+    # - 'numpy' (default): do NOT persist. _hs feeds mapInPandas exactly
+    #   once (no inlining hazard), the candidate frame downstream is
+    #   persisted anyway, and the only re-reader is the verify join, which
+    #   recomputes shingles for the (tiny, semi-filtered) candidate set
+    #   from a second pruned scan. Measured at sf0.1: 4.1-5.8s -> 2.5s
+    #   steady-state, and it removes the memory-∝-corpus cache that was
+    #   the listed 100TB risk (PLANS.md known-costs).
     # Signature compute is CPU-bound: spread it across the cluster even when
     # the input is a handful of parquet splits.
     src = _spread(spark, df)
@@ -352,7 +361,12 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
         _shingles(F.col(text_col), k).alias("_sh"),
     ).withColumn(
         "_hs", F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(seed)))
-    ).persist()
+    )
+    cache_base = config.get(
+        "cache_base", config.get("sig_impl", "numpy") != "numpy"
+    )
+    if cache_base:
+        base = base.persist()
 
     # Stage 2: band hashes off the cached _hs column; explode carries only
     # (_id, band, band_hash) into the one shuffle. Two implementations:
@@ -386,10 +400,10 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
     # consumer re-runs the whole signature+bucket pipeline
     cand = _bucket_pairs(banded, ["_band", "_bh"], bucket_cap).persist()
 
-    # Verification joins the (big, cached) shingle table to the (small)
-    # candidate set via broadcast — the shingle arrays never shuffle.
-    # Assumption: candidates fit the driver (bounded by true-dup volume x
-    # LSH precision); set verify_broadcast=False for degenerate corpora.
+    # Verification joins the shingle arrays to the (small) candidate set
+    # via broadcast — the arrays never shuffle. Assumption: candidates fit
+    # the driver (bounded by true-dup volume x LSH precision); set
+    # verify_broadcast=False for degenerate corpora.
     sh = base.select("_id", "_sh")
     if config.get("verify_broadcast", True):
         cand_ids = (
@@ -397,7 +411,22 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
             .unionByName(cand.select(F.col("b").alias("_id")))
             .distinct()
         )
-        sh = sh.join(F.broadcast(cand_ids), "_id", "left_semi")
+        if cache_base:
+            sh = sh.join(F.broadcast(cand_ids), "_id", "left_semi")
+        else:
+            # Uncached base: semi-filter the RAW source by candidate id
+            # BEFORE shingling. Catalyst will not hoist the semi-join
+            # above the shingle Project on its own (verified in the
+            # physical plan), so spelling it out is the difference between
+            # an O(|candidates|) and an O(corpus) recompute.
+            pruned = src.join(
+                F.broadcast(cand_ids.select(F.col("_id").alias(id_col))),
+                id_col, "left_semi",
+            )
+            sh = pruned.select(
+                F.col(id_col).alias("_id"),
+                _shingles(F.col(text_col), k).alias("_sh"),
+            )
         cand = F.broadcast(cand)
     pairs = (
         cand.join(sh.select(F.col("_id").alias("a"), F.col("_sh").alias("sha")), "a")
