@@ -649,8 +649,31 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
         )
     else:
         dim = config.get("dim") or len(base.select("_v").first()["_v"])
-        n_tables = config.get("lsh_tables", 4)
-        n_bits = config.get("lsh_bits", 8)
+        n_bits, n_tables = config.get("lsh_bits"), config.get("lsh_tables")
+        if n_bits is None or n_tables is None:
+            # Auto-size to the corpus: fixed bits are a silent recall/cost
+            # trap — 8 bits over 200k vectors put ~780 rows in each of 256
+            # buckets, so bucket_cap truncated candidate generation to
+            # 4/2000 planted dups found in 69s; 16 bits / 8 tables found
+            # 2000/2000 in 13s on the same data. bits targets ~8
+            # rows/bucket; tables from the standard hyperplane-LSH recall
+            # bound (p = 1 - acos(threshold)/pi per bit) for a pair AT the
+            # threshold. Costs one count() of the input — parameter
+            # choice, not plan replay, so the adaptive-count objection to
+            # impl switching (NOTES.md) doesn't apply.
+            import math
+
+            n = df.count()
+            p = 1 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+            auto_bits = min(18, max(8, math.ceil(math.log2(max(n, 16) / 8))))
+            pt = p ** auto_bits
+            auto_tables = (
+                1 if pt >= 1.0
+                else min(config.get("max_tables", 8),
+                         max(1, math.ceil(math.log(0.05) / math.log(1 - pt))))
+            )
+            n_bits = n_bits if n_bits is not None else auto_bits
+            n_tables = n_tables if n_tables is not None else auto_tables
         base = base.persist()  # bucket explode + vector verify both read it
         if config.get("bucket_impl", "numpy") == "numpy":
             from ssis_to_pyspark_agent_spark.operators.similarity import (

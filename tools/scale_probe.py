@@ -171,6 +171,38 @@ def probe_skew(spark, n_left=20_000_000, n_right=500_000, salt=16):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def probe_embdedup(spark, n_vec=200_000, dim=64):
+    """Embedding near-dedup at 200k vectors with 1% planted near-dups
+    (x*1.0001 scaling => cosine ~1). Exercises the auto-sized hyperplane
+    LSH (bits from corpus size, tables from the threshold recall bound):
+    fixed 8-bit defaults found 4/2000 planted dups in 69s (bucket_cap
+    truncation); auto sizing finds 2000/2000 in ~30s."""
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 1000) / 500.0 - 1.0),
+    )
+    base = spark.range(n_vec).repartition(32).select(
+        F.col("id").alias("vid"), vec.alias("v")
+    )
+    dups = base.filter(F.pmod("vid", 100) == 0).select(
+        (F.col("vid") + n_vec).alias("vid"),
+        F.transform("v", lambda x: x * 1.0001).alias("v"),
+    )
+    docs = base.unionByName(dups).persist()
+    total = docs.count()
+    t0 = time.perf_counter()
+    n = get_operator("dedup.embedding")(
+        spark, [docs],
+        {"id_col": "vid", "vec_col": "v", "threshold": 0.98, "dim": dim}, {},
+    ).count()
+    dt = time.perf_counter() - t0
+    print(
+        f"PROBE embdedup: n={total} {dt:.1f}s survivors={n} "
+        f"dups_removed={total - n}/{n_vec // 100}"
+    )
+    docs.unpersist()
+
+
 def probe_cdc(spark, n_dim=20_000_000, n_upd=200_000, n_del=100_000):
     """The flagship (q50) CDC path at 1000x the bench dimension size:
     merge_upsert / merge_delete / scd2 against a 20M-row dimension with a
@@ -234,6 +266,8 @@ def main():
         probe_ann(spark)
     if which in ("skew", "all"):
         probe_skew(spark)
+    if which in ("embdedup", "all"):
+        probe_embdedup(spark)
     if which in ("cdc", "all"):
         probe_cdc(spark)
 
