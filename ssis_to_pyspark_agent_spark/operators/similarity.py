@@ -305,7 +305,18 @@ def topk_lsh(spark: SparkSession, inputs, config, context) -> DataFrame:
     qv = config.get("query_vec_col", config["vec_col"])
     dim = config.get("dim") or len(corpus.select(config["vec_col"]).first()[0])
     n_tables = config.get("lsh_tables", 8)
-    n_bits = config.get("lsh_bits", 10)
+    n_bits = config.get("lsh_bits")
+    if n_bits is None:
+        # Auto-size bucket granularity to the corpus (~8 rows/bucket):
+        # fixed bit-widths are a silent cost/recall trap — too few bits
+        # puts hundreds of rows per bucket (candidate explosion +
+        # bucket_cap truncation), too many splits true neighbors. Tables
+        # stay the recall knob (more tables = more chances to collide).
+        # One count() of the corpus; see dedup.embedding for the measured
+        # failure mode.
+        import math
+
+        n_bits = min(18, max(8, math.ceil(math.log2(max(corpus.count(), 16) / 8))))
     seed = config.get("seed", 42)
 
     c_named = corpus.select(
