@@ -311,6 +311,26 @@ def dedup_exact(spark: SparkSession, inputs, config, context) -> DataFrame:
     return df.dropDuplicates(list(cols))
 
 
+def _auto_bands(num_hashes: int, threshold: float) -> int:
+    """Match LSH banding to the Jaccard threshold.
+
+    The s-curve midpoint (1/b)^(1/r) is where a pair's candidate
+    probability crosses 50%. Pick the divisor pair with the largest
+    midpoint not meaningfully ABOVE the threshold (0.02 tolerance: a
+    midpoint within it counts as "at" the threshold). A midpoint well
+    above the threshold misses true pairs; one far below floods verify —
+    measured 7.7x slower with 32x4 at a 0.7 threshold (NOTES.md), where
+    the right answer is 16x8 (midpoint 0.707). 0.8 -> 16x8; 0.9 -> 8x16.
+    """
+    candidates = [b for b in (4, 8, 16, 32, 64) if num_hashes % b == 0]
+
+    def midpoint(b: int) -> float:
+        return (1.0 / b) ** (b / num_hashes)
+
+    allowed = [b for b in candidates if midpoint(b) <= threshold + 0.02]
+    return max(allowed, key=midpoint) if allowed else min(candidates, key=midpoint)
+
+
 @operator("dedup.minhash")
 def dedup_minhash(spark: SparkSession, inputs, config, context):
     """MinHash + LSH near-dedup over a text column.
@@ -335,9 +355,11 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
     id_col, text_col = config["id_col"], config["text_col"]
     k = config.get("shingle_k", 3)
     num_hashes = config.get("num_hashes", 128)
-    bands = config.get("bands", 16)
-    rows = num_hashes // bands
     threshold = config.get("threshold", 0.8)
+    bands = config.get("bands")
+    if bands is None:
+        bands = _auto_bands(num_hashes, threshold)
+    rows = num_hashes // bands
     seed = config.get("seed", 42)
 
     # Stage 1: shingle + hash every shingle string. Whether to persist this

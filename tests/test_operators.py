@@ -691,3 +691,13 @@ class TestProfileProperty:
             assert row["mean"] == sum(nn) / len(nn)
         else:
             assert row["min_num"] is None and row["mean"] is None
+
+
+def test_minhash_auto_band_selection():
+    from ssis_to_pyspark_agent_spark.operators.dedup import _auto_bands
+
+    assert _auto_bands(128, 0.8) == 16   # classic 16x8, midpoint 0.707
+    assert _auto_bands(128, 0.7) == 16   # midpoint 0.707 counts as "at"
+    assert _auto_bands(128, 0.9) == 8    # midpoint 0.878
+    assert _auto_bands(128, 0.5) == 32   # midpoint 0.420
+    assert _auto_bands(128, 0.05) == 64  # nothing below: loosest banding
