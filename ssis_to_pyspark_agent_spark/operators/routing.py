@@ -91,4 +91,24 @@ def sample(spark: SparkSession, inputs, config, context) -> DataFrame:
         # use method='hash' when the key distribution is clumpy)
         key = F.col(config["key"][0])
         return df.filter(key % config["n"] == config.get("r", 0))
+    if method == "stratified":
+        # per-stratum sampling rates (down/up-weighting data mixtures —
+        # the training-data rebalancing primitive). fractions: stratum
+        # value -> rate. Pure filter: no shuffle, pushdown-friendly, same
+        # shape at 100 TB. mod=True selects on the integer key (engine-
+        # neutral, oracle-able); default hashes the key (robust to clumpy
+        # ids). Strata absent from `fractions` fall back to
+        # `default_fraction` (0 = drop).
+        strata = F.col(config["strata_col"])
+        buckets = config.get("buckets", 10_000)
+        key = F.col(config["key"][0])
+        slot = (
+            key % buckets if config.get("mod")
+            else F.pmod(F.xxhash64(key.cast("string"), strata.cast("string")),
+                        F.lit(buckets))
+        )
+        rate = F.lit(config.get("default_fraction", 0.0))
+        for value, frac in config["fractions"].items():
+            rate = F.when(strata == value, F.lit(float(frac))).otherwise(rate)
+        return df.filter(slot < rate * buckets)
     raise ValueError(f"unknown sample method {method!r}")

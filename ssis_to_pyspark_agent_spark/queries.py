@@ -2450,3 +2450,34 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("b_ts") - F.unix_timestamp("v_ts"))
         .cast("bigint").alias("lag_s"),
     )
+
+
+@query(
+    "q79_stratified_sample",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           COUNT(DISTINCT o_orderkey) AS n_keys
+    FROM orders
+    WHERE o_orderkey % 10000 < (CASE o_orderstatus WHEN 'F' THEN 0.5
+                                                   WHEN 'O' THEN 0.1
+                                                   ELSE 0.02 END) * 10000
+    GROUP BY o_orderstatus
+    """,
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: per-stratum rates (the training-data mixture
+    rebalancing primitive — e.g. downweight boilerplate-heavy domains).
+    Pure filter, no shuffle, survives pushdown at 100 TB. The mod variant
+    here is engine-neutral for the oracle; production uses the hashed
+    default (robust to clumpy key distributions)."""
+    p = (
+        _p("q79", sf_dir, "orders")
+        .step("s", "sample", "orders", method="stratified",
+              strata_col="o_orderstatus", key=["o_orderkey"], mod=True,
+              fractions={"F": 0.5, "O": 0.1}, default_fraction=0.02)
+        .step("agg", "aggregate", "s", keys=["o_orderstatus"], aggs={
+            "n": ("count", "*"),
+            "n_keys": ("count_distinct", "o_orderkey"),
+        })
+    )
+    return run_pipeline(spark, p).df("agg")

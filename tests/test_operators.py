@@ -701,3 +701,23 @@ def test_minhash_auto_band_selection():
     assert _auto_bands(128, 0.9) == 8    # midpoint 0.878
     assert _auto_bands(128, 0.5) == 32   # midpoint 0.420
     assert _auto_bands(128, 0.05) == 64  # nothing below: loosest banding
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(1000)],
+        "id long, s string",
+    )
+    out = run("sample", spark, [df], method="stratified", strata_col="s",
+              key=["id"], mod=True, buckets=1000,
+              fractions={"a": 1.0, "b": 0.0})
+    got = {r["s"] for r in out.collect()}
+    assert got == {"a"} and out.count() == 500
+    # hashed variant: approximate rate, deterministic across runs
+    h1 = run("sample", spark, [df], method="stratified", strata_col="s",
+             key=["id"], fractions={"a": 0.5, "b": 0.1})
+    h2 = run("sample", spark, [df], method="stratified", strata_col="s",
+             key=["id"], fractions={"a": 0.5, "b": 0.1})
+    assert sorted(r.id for r in h1.collect()) == sorted(r.id for r in h2.collect())
+    na = h1.filter("s = 'a'").count()
+    assert 200 < na < 300  # ~250 expected at 0.5 over 500
