@@ -721,3 +721,14 @@ def test_stratified_sample_rates(spark):
     assert sorted(r.id for r in h1.collect()) == sorted(r.id for r in h2.collect())
     na = h1.filter("s = 'a'").count()
     assert 200 < na < 300  # ~250 expected at 0.5 over 500
+
+
+def test_profile_and_stratified_empty_input(spark):
+    empty = spark.createDataFrame([], "k int, s string")
+    prof = run("profile", spark, [empty], exact_distinct=True)
+    got = {r["column"]: r for r in prof.collect()}
+    assert got["k"]["n_rows"] == 0 and got["k"]["n_distinct"] == 0
+    assert got["k"]["min_num"] is None and got["s"]["min_str"] is None
+    samp = run("sample", spark, [empty], method="stratified", strata_col="s",
+               key=["k"], fractions={"a": 0.5})
+    assert samp.count() == 0
