@@ -19,19 +19,37 @@ from pyspark.sql import functions as F
 from ssis_to_pyspark_agent_spark.operators import operator
 
 
+def normalize_event_time(df: DataFrame, cols) -> DataFrame:
+    """Normalize event-time columns to Spark TIMESTAMP regardless of how the
+    parquet writer encoded them. The testdata has shipped both TIMESTAMP(NANOS)
+    (readable only as long nanos via ``nanosAsLong``) and plain timestamp[us]
+    (read as TIMESTAMP_NTZ); branch on the actual dtype instead of assuming:
+
+    - ``bigint``        -> epoch nanos, truncate to micros (lossy <1us by design)
+    - ``timestamp_ntz`` -> reinterpret as session-local TIMESTAMP
+    - ``timestamp``     -> no-op
+    """
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 @operator("source.parquet")
 def parquet_source(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Parquet scan (reference OLE DB Source table mode ->
     ``spark.table``, enhanced_json_mapper.py:1601-1608). Columnar +
     predicate pushdown; `columns` prunes the read schema explicitly."""
     if nanos_cols := config.get("nanos_ts_cols"):
-        # Parquet TIMESTAMP(NANOS) is unreadable by Spark's converter
-        # (PARQUET_TYPE_ILLEGAL); read as long nanos and truncate to micros
-        # (Spark timestamp precision). Lossy below 1us by design.
+        # nanosAsLong is harmless when the file is already micros precision;
+        # it only changes how TIMESTAMP(NANOS) columns are surfaced.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(config["path"])
-        for c in nanos_cols:
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        df = normalize_event_time(df, nanos_cols)
     else:
         r = spark.read
         for k, v in config.get("options", {}).items():

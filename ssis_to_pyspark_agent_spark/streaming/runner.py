@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ssis_to_pyspark_agent_spark.operators.agg import build_aggs
+from ssis_to_pyspark_agent_spark.operators.sources_sinks import normalize_event_time
 
 
 def stream_events(
@@ -45,10 +46,9 @@ def stream_events(
         r = r.option("pathGlobFilter", fname)
         path = base
     df = r.parquet(path)
-    for c in nanos_ts_cols:
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
-    return df
+    # dtype-branching normalization (bigint nanos / TIMESTAMP_NTZ / TIMESTAMP):
+    # withWatermark requires a true TIMESTAMP column, so NTZ must be converted.
+    return normalize_event_time(df, [c for c in nanos_ts_cols if c in df.columns])
 
 
 def windowed_agg(

@@ -19,11 +19,12 @@ EVENTS = "/root/testdata/sf0.001/events.parquet"
 
 @pytest.fixture(scope="module")
 def batch_events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(EVENTS)
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    from ssis_to_pyspark_agent_spark.operators.sources_sinks import (
+        normalize_event_time,
     )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_time(spark.read.parquet(EVENTS), ["ts"])
 
 
 def test_tumbling_stream_matches_batch(spark, batch_events):
