@@ -57,8 +57,16 @@ def main() -> None:
     # first-call janino compilation (~10s for the wide minhash expression).
     # Warming at a smaller sf is not enough: AQE picks different join
     # strategies per size, so the compiled variant differs.
+    # Per-query fault isolation everywhere: one broken query must never take
+    # down the whole bench (round-1 lesson — a source crash during warmup
+    # left the driver with no bench number at all).
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        QUERIES[name](spark, sf_dir).count()
+        try:
+            QUERIES[name](spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# WARMUP ERR {name}: {errors[name]}", file=sys.stderr)
         spark.catalog.clearCache()
 
     # Queries are independent; drop operator-internal caches from warmup so
@@ -78,13 +86,23 @@ def main() -> None:
     raw: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
+        if name in errors:
+            continue  # already failed warmup; keep its err field, skip timing
         samples = []
+        n = -1
         for _ in range(runs):
             spark.sparkContext._jvm.System.gc()  # type: ignore[union-attr]
             t0 = time.perf_counter()
-            n = QUERIES[name](spark, sf_dir).count()
+            try:
+                n = QUERIES[name](spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"# RUN ERR {name}: {errors[name]}", file=sys.stderr)
+                break
             samples.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+        if not samples:
+            continue
         dt = min(samples)
         timings[name] = round(dt, 3)
         raw[name] = [round(s, 3) for s in samples]
@@ -95,19 +113,32 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "samples": raw,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "samples": raw,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — always emit a parseable line
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "error": f"{type(exc).__name__}: {exc}"[:500],
+                }
+            )
+        )
+        raise SystemExit(1)
