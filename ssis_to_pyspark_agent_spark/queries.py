@@ -644,7 +644,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_data_conversion",
     oracle="""
     SELECT l_orderkey, CAST(TRUNC(l_quantity) AS INT) AS qty_int,
-           CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
            CAST(l_linenumber AS SMALLINT) AS line_small,
            CAST(l_shipdate AS DATE) AS ship_date
     FROM lineitem WHERE l_orderkey % 100 = 1
@@ -660,7 +660,13 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             "line_small": ("l_linenumber", "DT_I2"),
             "ship_date": ("l_shipdate", "DT_DBDATE"),
         })
-        .step("prj", "select", "dc",
+        # exit the decimal to double: Spark->pandas keeps Decimal objects
+        # while DuckDB fetchdf gives float64, so the driver's value hash
+        # diverges on repr alone. The DT_NUMERIC conversion itself (the
+        # 2-dp quantization) still happens at the decimal step above.
+        .step("dc2", "data_conversion", "dc",
+              casts={"price_dec": ("price_dec", "DT_R8")})
+        .step("prj", "select", "dc2",
               columns=["l_orderkey", "qty_int", "price_dec", "line_small",
                        "ship_date"])
     )
@@ -1118,7 +1124,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM x GROUP BY user_id
     """,
 )
@@ -1149,7 +1155,7 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q43_events_json_props",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )
@@ -1316,7 +1322,7 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(o_totalprice / 1000) AS BIGINT)           AS price_k_ceil,
            CAST(floor(o_totalprice / 1000) AS BIGINT)          AS price_k_floor,
            sqrt(o_totalprice)                                  AS price_sqrt,
-           sign(o_totalprice - 200000)                         AS price_sign
+           CAST(sign(o_totalprice - 200000) AS DOUBLE)         AS price_sign
     FROM orders WHERE o_orderkey % 13 = 0
     """,
 )
@@ -1600,7 +1606,7 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM x GROUP BY user_id
     """,
 )
@@ -1876,8 +1882,9 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT event_id, user_id,
-           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
     FROM x
     """,
 )

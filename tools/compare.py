@@ -77,12 +77,53 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_class(col: pd.Series) -> str:
+    """Coarse representation class for driver-hash compatibility checks."""
+    import decimal
+
+    if pd.api.types.is_bool_dtype(col):
+        return "bool"
+    if pd.api.types.is_integer_dtype(col):
+        return "int"
+    if pd.api.types.is_float_dtype(col):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(col):
+        return "ts"
+    if col.dtype == object:
+        import datetime
+
+        for v in col:
+            if v is None:
+                continue
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                return "ts"  # driver canonicalizes date/timestamp reprs
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            return type(v).__name__ if not isinstance(v, str) else "str"
+    return str(col.dtype)
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if len(sdf) != len(odf):
         problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+    if problems:
+        return problems
+    # The driver's hash is repr-strict: Decimal-vs-float or double-vs-int
+    # columns hash differently even when numerically identical (round-1
+    # q22/q49 lesson). Flag representation-class drift before value compare.
+    for c in sorted(sdf.columns):
+        sk, ok = _dtype_class(sdf[c]), _dtype_class(odf[c])
+        if sk != ok:
+            problems.append(f"col {c}: repr-class spark={sk} oracle={ok}")
     if problems:
         return problems
     s, o = normalize(sdf), normalize(odf)
