@@ -229,12 +229,23 @@ def tfidf(spark: SparkSession, inputs, config, context) -> DataFrame:
 def term_lookup(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Term Lookup (reference :1119): count occurrences of reference terms
     in each row's text. inputs: [docs, terms]; terms broadcast; output adds
-    `term` + `term_count` rows per (doc, matched term) — SSIS semantics."""
+    `term` + `term_count` rows per (doc, matched term) — SSIS semantics.
+
+    Explode + broadcast equi-join, NOT a crossJoin: compute is linear in
+    token count instead of O(docs x |terms| x doc_len), so a 10k-term
+    dictionary at 100 TB costs one narrow explode + one BroadcastHashJoin;
+    the only shuffle is the groupBy over matched occurrences (terms that
+    never match never leave the map side). `passthrough` bounds the
+    shuffled payload — at scale pass the doc key, not the text column.
+    """
     docs, terms = inputs[0], inputs[1]
     text_col, term_col = config["text_col"], config["term_col"]
     t = F.broadcast(terms.select(F.lower(F.col(term_col)).alias("_term")).distinct())
-    words = _words(F.col(text_col))
-    joined = docs.crossJoin(t).withColumn(
-        "term_count", F.size(F.filter(words, lambda w: w == F.col("_term")))
+    pt = config.get("passthrough") or docs.columns
+    exploded = docs.select(*pt, F.explode(_words(F.col(text_col))).alias("_w"))
+    return (
+        exploded.join(t, F.col("_w") == F.col("_term"))
+        .groupBy(*pt, "_term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .withColumnRenamed("_term", "term")
     )
-    return joined.filter(F.col("term_count") > 0).withColumnRenamed("_term", "term")

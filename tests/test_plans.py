@@ -68,6 +68,15 @@ class TestJoinStrategies:
         df = QUERIES["q05_merge_join_full"](spark, SF)
         assert "FullOuter" in plan_of(df)
 
+    def test_term_lookup_is_equi_join_not_cartesian(self, spark):
+        # explode + broadcast equi-join: linear in tokens; a crossJoin here
+        # would be O(docs x terms x doc_len) — a 100 TB scale-killer
+        df = QUERIES["q53_term_lookup"](spark, SF)
+        p = plan_of(df)
+        assert "BroadcastHashJoin" in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+
     def test_semi_anti_strategies(self, spark):
         semi = QUERIES["q06_join_semi"](spark, SF)
         anti = QUERIES["q07_join_anti"](spark, SF)
