@@ -90,8 +90,14 @@ def quality_check(spark: SparkSession, inputs, config, context):
     """Row-level data-quality gate. `rules`: name -> SQL/SSIS predicate a
     GOOD row satisfies. Modes: 'redirect' (default) returns
     {'out': passing, 'error': failing rows + `_failed_rules` array),
-    'fail' raises if any row violates, 'flag' adds boolean columns only.
-    Counts per rule land in context as quality.<name> when `eager`."""
+    'fail' raises if any row violates, 'flag' adds the array column only.
+
+    `into=<name>` attaches per-rule violation counts as an ``observe``
+    metric (CollectMetrics rides the sink's own action — zero extra scans
+    at 100 TB, same discipline as row_count); read them from
+    ``RunResult.metrics()``. 'fail' mode must act now by definition, but
+    uses one short-circuiting ``take(3)`` (stops at the first matches)
+    instead of a full count + collect pair."""
     from ssis_to_pyspark_agent_spark.functions.expr import (
         ExpressionCompiler,
         schema_of,
@@ -118,15 +124,32 @@ def quality_check(spark: SparkSession, inputs, config, context):
         lambda x: x.isNotNull(),
     )
     flagged = df.withColumn("_failed_rules", failed)
+    if var := config.get("into"):
+        from pyspark.sql import Observation
+
+        obs = Observation(var)
+        flagged = flagged.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(F.when(~c | c.isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(n)
+                for n, c in checks.items()
+            ],
+        )
+        context.setdefault("_observations", {})[var] = obs
     mode = config.get("mode", "redirect")
     if mode == "flag":
         return flagged
     good = flagged.filter(F.size("_failed_rules") == 0).drop("_failed_rules")
     bad = flagged.filter(F.size("_failed_rules") > 0)
     if mode == "fail":
-        n_bad = bad.count()
-        if n_bad:
-            sample = [r["_failed_rules"] for r in bad.limit(3).collect()]
-            raise ValueError(f"quality_check: {n_bad} rows failed, e.g. {sample}")
+        sample = bad.select("_failed_rules").take(3)
+        if sample:
+            raise ValueError(
+                "quality_check: rows failed rules, e.g. "
+                f"{[r['_failed_rules'] for r in sample]}"
+            )
         return good
     return {"out": good, "error": bad}

@@ -105,3 +105,21 @@ class TestQualityCheck:
         out = run("quality_check", spark, [clean],
                   rules={"amount_positive": "[amount] > 0"}, mode="fail")
         assert out.count() == 2
+
+    def test_observe_counts_ride_the_action(self, spark, df):
+        # per-rule counts come from CollectMetrics on the flagged frame —
+        # resolved by the output's own action, no extra scan
+        ctx: dict = {}
+        out = get_operator("quality_check")(
+            spark, [df],
+            {"rules": {"name_not_null": "!ISNULL([name])",
+                       "amount_positive": "[amount] > 0"},
+             "into": "quality"},
+            ctx,
+        )
+        assert "CollectMetrics" in out["out"]._jdf.queryExecution().toString()
+        assert out["out"].count() == 2  # the one and only action
+        got = ctx["_observations"]["quality"].get
+        assert got["n_rows"] == 4
+        assert got["name_not_null"] == 1
+        assert got["amount_positive"] == 1
