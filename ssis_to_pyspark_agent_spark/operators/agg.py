@@ -55,7 +55,15 @@ def build_aggs(aggs: dict) -> list[Column]:
             continue
         col = colspec if isinstance(colspec, Column) else F.col(colspec)
         if fn == "percentile":
-            out.append(F.percentile_approx(col, list(extra) or 0.5).alias(name))
+            # exact percentile (sort-based; interpolating like SQL
+            # percentile_cont). Use percentile_approx for the 100 TB
+            # single-pass sketch path.
+            out.append(F.percentile(col, list(extra)[0] if extra else 0.5).alias(name))
+            continue
+        if fn == "percentile_approx":
+            out.append(
+                F.percentile_approx(col, list(extra)[0] if extra else 0.5).alias(name)
+            )
             continue
         out.append(_AGG_FNS[fn](col, *extra).alias(name))
     return out

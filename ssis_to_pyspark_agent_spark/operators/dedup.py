@@ -483,6 +483,19 @@ def dedup_simhash(spark: SparkSession, inputs, config, context):
     df = _spread(spark, df)
     tokens = _words(F.col(text_col))
 
+    # hash_fn='md5' is the engine-neutral variant: 15 hex chars of md5 =
+    # 60 bits, computable identically in DuckDB (CAST('0x'||substr(md5,1,15)
+    # AS BIGINT)) so the whole fingerprint is oracle-checkable. xxhash64
+    # (default) is the fast JVM path for production corpora.
+    if config.get("hash_fn", "xxhash64") == "md5":
+        def _tok_hash(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        def _tok_hash(t):
+            # wrapped: F.xxhash64's *cols signature can't be passed to
+            # higher-order functions (F.transform) directly
+            return F.xxhash64(t)
+
     if config.get("sig_impl", "numpy") == "numpy":
         # Arrow-batched fingerprints: hash each token ONCE JVM-side, then
         # one (tokens x 60) bit-matrix vote per doc in numpy. Bit-identical
@@ -498,7 +511,7 @@ def dedup_simhash(spark: SparkSession, inputs, config, context):
         id_type = df.schema[id_col].dataType.simpleString()
         tok = df.select(
             F.col(id_col).alias("_id"),
-            F.transform(tokens, lambda t: F.xxhash64(t)).alias("_hs"),
+            F.transform(tokens, _tok_hash).alias("_hs"),
         )
 
         def gen(batches):
@@ -526,7 +539,7 @@ def dedup_simhash(spark: SparkSession, inputs, config, context):
                 F.array(
                     *[
                         F.when(
-                            F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
+                            F.shiftright(_tok_hash(t), j).bitwiseAND(F.lit(1)) == 1,
                             F.lit(1),
                         ).otherwise(F.lit(-1))
                         for j in range(n_bits)

@@ -85,18 +85,46 @@ def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int) -> list[list[l
     ]
 
 
+def _md5_int_planes(dim: int, n_tables: int, n_bits: int, seed: int) -> list[list[list[int]]]:
+    """Engine-neutral INTEGER hyperplanes: w = md5(seed:t:b:d) mod 2001
+    - 1000. Reproducible in plain SQL (DuckDB: CAST('0x'||substr(md5(..),
+    1,15) AS BIGINT) % 2001 - 1000), so an oracle can re-derive the exact
+    same LSH tables. Combined with integer-quantized vectors the bucket
+    bits are exact integer arithmetic — no float-sum sign flips between
+    engines, in any summation order."""
+    import hashlib
+
+    def w(t: int, b: int, d: int) -> int:
+        h = hashlib.md5(f"{seed}:{t}:{b}:{d}".encode()).hexdigest()
+        return int(h[:15], 16) % 2001 - 1000
+
+    return [
+        [[w(t, b, d) for d in range(dim)] for b in range(n_bits)]
+        for t in range(n_tables)
+    ]
+
+
 def _hyperplane_bucket(
-    vec: Column, dim: int, n_tables: int, n_bits: int, seed: int = 42
+    vec: Column,
+    dim: int,
+    n_tables: int,
+    n_bits: int,
+    seed: int = 42,
+    planes: list | None = None,
+    quantize: int | None = None,
 ) -> Column:
     """array<bigint> of bucket ids, one per table: sign-bit signature of the
-    vector against each table's hyperplanes."""
-    planes = _hyperplanes(dim, n_tables, n_bits, seed)
+    vector against each table's hyperplanes. With integer `planes` +
+    `quantize`, the dot is exact integer arithmetic (oracle-reproducible)."""
+    if planes is None:
+        planes = _hyperplanes(dim, n_tables, n_bits, seed)
+    v = F.transform(vec, lambda x: _q(x, quantize)) if quantize else vec
     buckets = []
     for t in range(n_tables):
         bucket = F.lit(0).cast("long")
         for j in range(n_bits):
-            plane = F.array(*[F.lit(v) for v in planes[t][j]])
-            bit = F.when(_dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+            plane = F.array(*[F.lit(w) for w in planes[t][j]])
+            bit = F.when(_dot(v, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
             bucket = bucket + (bit.cast("long") * F.lit(1 << j))
         buckets.append(bucket)
     return F.array(*buckets)
@@ -111,6 +139,8 @@ def _bucket_frame(
     n_bits: int,
     seed: int,
     keep_vec: bool = False,
+    planes: list | None = None,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Exploded LSH bucket rows (id[, vec], _table, _bucket) via one BLAS
     matmul per Arrow batch: (batch x dim) @ (dim x tables*bits) -> sign
@@ -124,13 +154,15 @@ def _bucket_frame(
     import numpy as np
     import pandas as pd
 
-    planes = _hyperplanes(dim, n_tables, n_bits, seed)
+    if planes is None:
+        planes = _hyperplanes(dim, n_tables, n_bits, seed)
     proj = np.array(
         [
             [planes[t][j][d] for d in range(dim)]
             for t in range(n_tables)
             for j in range(n_bits)
-        ]
+        ],
+        dtype=np.float64,
     ).T  # dim x (tables*bits)
     pow2 = np.array([1 << j for j in range(n_bits)], dtype=np.int64)
     id_type = df.schema[id_name].dataType.simpleString()
@@ -146,6 +178,13 @@ def _bucket_frame(
             if not len(pdf):
                 continue
             v = np.array(list(map(list, pdf[vec_name])), dtype=np.float64)
+            if quantize:
+                # HALF_UP like Spark's F.round / SQL round() — np.round
+                # would banker's-round ties the other way
+                v = v * quantize
+                v = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+            # int-valued float64 products stay < 2^53 -> the matmul is
+            # exact integer arithmetic in any order (oracle-identical)
             signs = ((v @ proj) >= 0).reshape(len(pdf), n_tables, n_bits)
             buckets = (signs.astype(np.int64) * pow2).sum(axis=2)
             data = {id_name: np.repeat(pdf[id_name].values, n_tables)}
@@ -318,6 +357,14 @@ def topk_lsh(spark: SparkSession, inputs, config, context) -> DataFrame:
 
         n_bits = min(18, max(8, math.ceil(math.log2(max(corpus.count(), 16) / 8))))
     seed = config.get("seed", 42)
+    # hyperplanes='md5': engine-neutral integer planes + quantized vectors
+    # -> bucket assignment reproducible in plain SQL (exact oracle for the
+    # whole approximate pipeline, not just the re-rank)
+    if config.get("hyperplanes") == "md5":
+        planes = _md5_int_planes(dim, n_tables, n_bits, seed)
+        plane_quant = config.get("quantize", 10000)
+    else:
+        planes, plane_quant = None, None
 
     c_named = corpus.select(
         F.col(config["id_col"]).alias("corpus_id"),
@@ -329,25 +376,27 @@ def topk_lsh(spark: SparkSession, inputs, config, context) -> DataFrame:
     if config.get("bucket_impl", "numpy") == "numpy":
         c = _bucket_frame(
             c_named, "corpus_id", "_cv", dim, n_tables, n_bits, seed,
-            keep_vec=True,
+            keep_vec=True, planes=planes, quantize=plane_quant,
         )
         q = _bucket_frame(
             q_named, "query_id", "_qv", dim, n_tables, n_bits, seed,
-            keep_vec=True,
+            keep_vec=True, planes=planes, quantize=plane_quant,
         )
     else:
         c = c_named.select(
             "corpus_id",
             "_cv",
             F.posexplode(
-                _hyperplane_bucket(F.col("_cv"), dim, n_tables, n_bits, seed)
+                _hyperplane_bucket(F.col("_cv"), dim, n_tables, n_bits,
+                                   seed, planes, plane_quant)
             ).alias("_table", "_bucket"),
         )
         q = q_named.select(
             "query_id",
             "_qv",
             F.posexplode(
-                _hyperplane_bucket(F.col("_qv"), dim, n_tables, n_bits, seed)
+                _hyperplane_bucket(F.col("_qv"), dim, n_tables, n_bits,
+                                   seed, planes, plane_quant)
             ).alias("_table", "_bucket"),
         )
     cand = (
@@ -356,7 +405,9 @@ def topk_lsh(spark: SparkSession, inputs, config, context) -> DataFrame:
         .dropDuplicates(["query_id", "corpus_id"])
     )
     scored = cand.select(
-        "query_id", "corpus_id", _cosine(F.col("_cv"), F.col("_qv")).alias("cosine")
+        "query_id",
+        "corpus_id",
+        _cosine(F.col("_cv"), F.col("_qv"), config.get("quantize")).alias("cosine"),
     )
     return _topk(scored, "query_id", config.get("k", 10)).select(
         "query_id", "corpus_id", "cosine", "rank"
@@ -392,9 +443,15 @@ def topk_ivf(spark: SparkSession, inputs, config, context) -> DataFrame:
             seed=config.get("seed", 42),
         )
     else:
-        # deterministic sample of n_cent rows as centroids
+        # deterministic sample of n_cent rows as centroids. Order key:
+        # xxhash64 (default) or md5 hex string (engine-neutral — the same
+        # ORDER BY md5(CAST(id AS VARCHAR)) works in any SQL oracle).
+        if config.get("centroid_order") == "md5":
+            key = F.md5(F.col("corpus_id").cast("string"))
+        else:
+            key = F.xxhash64(F.col("corpus_id").cast("string"))
         cent = (
-            c.orderBy(F.xxhash64(F.col("corpus_id").cast("string")))
+            c.orderBy(key)
             .limit(n_cent)
             .select(F.col("_cv").alias("_centv"))
         )
@@ -410,10 +467,13 @@ def topk_ivf(spark: SparkSession, inputs, config, context) -> DataFrame:
     )
 
     def nearest(vec: Column, n: int) -> Column:
+        # quantized cosine here too: list assignment must be reproducible
+        # by the oracle, not just the final re-rank
         scored = F.transform(
             cent_arr,
             lambda s: F.struct(
-                (-_cosine(vec, s["v"])).alias("neg"), s["cid"].alias("cid")
+                (-_cosine(vec, s["v"], config.get("quantize"))).alias("neg"),
+                s["cid"].alias("cid"),
             ),
         )
         return F.slice(F.array_sort(scored), 1, n)
@@ -429,7 +489,11 @@ def topk_ivf(spark: SparkSession, inputs, config, context) -> DataFrame:
     scored = (
         c_assigned.join(F.broadcast(q), "_cid")
         .select(
-            "query_id", "corpus_id", _cosine(F.col("_cv"), F.col("_qv")).alias("cosine")
+            "query_id",
+            "corpus_id",
+            _cosine(
+                F.col("_cv"), F.col("_qv"), config.get("quantize")
+            ).alias("cosine"),
         )
         .dropDuplicates(["query_id", "corpus_id"])
     )

@@ -871,7 +871,31 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_pipeline(spark, p).df("dd.pairs")
 
 
-@query("q32_dedup_minhash_lsh")  # no oracle: LSH banding isn't SQL-expressible
+@query(
+    "q32_dedup_minhash_lsh",
+    # Exact oracle: survivors after removing every doc that has an exact
+    # shingle-Jaccard >= 0.7 partner with a smaller id, computed by brute
+    # force in SQL. The engine's 16x8 LSH banding at threshold 0.7 has
+    # measured full recall on this corpus (PLANS.md probe; verify stage is
+    # exact Jaccard), so LSH output == brute-force output. The length-
+    # ratio prefilter in the oracle join is exact-preserving:
+    # J(A,B) <= min|A|,|B| / max|A|,|B|, so ratio < 0.7 implies J < 0.7.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+                  FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM docs),
+    dominated AS (
+      SELECT DISTINCT b.doc_id AS b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       AND least(len(a.shingles), len(b.shingles)) * 1.0
+           / greatest(len(a.shingles), len(b.shingles)) >= 0.7
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.7)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT b FROM dominated)
+    """,
+)
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _p("q32", sf_dir, "documents").step(
         "dd", "dedup.minhash", "documents",
@@ -885,13 +909,40 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("doc_id", "lang", "source")
 
 
-@query("q33_dedup_simhash")  # no oracle: 64-bit simhash pigeonhole banding
+@query(
+    "q33_dedup_simhash",
+    # Exact oracle, no banding shortcut: the 60-bit md5-based simhash is
+    # computed from scratch in SQL (per-bit majority vote over token
+    # hashes) and ALL pairs are hamming-checked. The engine's pigeonhole
+    # banding (max_d+1 chunks) has guaranteed full recall for
+    # hamming <= max_d, so the two definitions coincide exactly.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(t.w), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+            FROM documents) d,
+           UNNEST(d.words) AS t(w)),
+    bits AS (
+      SELECT doc_id, r.b,
+             CASE WHEN SUM(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN CAST(1 AS BIGINT) << r.b ELSE 0 END AS bit
+      FROM tok CROSS JOIN range(60) r(b) GROUP BY doc_id, r.b),
+    fp AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS sh FROM bits
+           GROUP BY doc_id)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _p("q33", sf_dir, "documents").step(
         "dd", "dedup.simhash", "documents",
         id_col="doc_id", text_col="text", max_distance=3, return_pairs=True,
+        hash_fn="md5",  # engine-neutral fingerprint -> exact DuckDB oracle
     )
-    return run_pipeline(spark, p).df("dd.pairs")
+    df = run_pipeline(spark, p).df("dd.pairs")
+    return df.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 @query(
@@ -1034,7 +1085,50 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("rank", F.col("rank").cast("long"))
 
 
-@query("q38_ann_lsh_topk")  # no oracle: LSH candidate set is engine-specific
+@query(
+    "q38_ann_lsh_topk",
+    # Exact oracle for the ENTIRE approximate pipeline: hyperplanes='md5'
+    # makes the LSH tables integer-valued and re-derivable in SQL
+    # (md5(seed:t:b:d) % 2001 - 1000), and quantized vectors make every
+    # bucket bit exact integer arithmetic — so DuckDB reproduces the same
+    # candidate set, re-rank, and ties, bit for bit.
+    oracle=f"""
+    WITH hyp AS (
+      SELECT t.t, b.b, d.d,
+             CAST(concat('0x', substr(md5(concat('42:', t.t, ':', b.b, ':',
+                  d.d)), 1, 15)) AS BIGINT) % 2001 - 1000 AS w
+      FROM range(8) t(t), range(8) b(b), range(64) d(d)),
+    vq AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+           FROM embeddings),
+    dots AS (
+      SELECT v.vec_id, h.t, h.b, SUM(v.q[h.d + 1] * h.w) AS dot
+      FROM vq v, hyp h GROUP BY v.vec_id, h.t, h.b),
+    buckets AS (
+      SELECT vec_id, t,
+             SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << b
+                      ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id, t),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+      FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE q.vec_id < 5),
+    scored AS (
+      SELECT cand.query_id, cand.corpus_id,
+             {_QCOS_SQL.replace("a[i]", "qe.embedding[i]")
+                       .replace("b[i]", "ce.embedding[i]")
+                       .replace("(a,", "(qe.embedding,")
+                       .replace("(b,", "(ce.embedding,")} AS cosine
+      FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                JOIN embeddings ce ON ce.vec_id = cand.corpus_id)
+    SELECT query_id, corpus_id, cosine, rank FROM (
+      SELECT query_id, corpus_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, corpus_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
 def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         _p("q38", sf_dir, "embeddings")
@@ -1042,13 +1136,62 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("topk", "similarity.topk_lsh", ["embeddings", "qs"],
               id_col="vec_id", vec_col="embedding",
               query_id_col="vec_id", query_vec_col="embedding",
-              k=5, dim=64, lsh_tables=8, lsh_bits=8)
+              k=5, dim=64, lsh_tables=8, lsh_bits=8,
+              hyperplanes="md5", quantize=10000)
     )
     df = run_pipeline(spark, p).df("topk")
     return df.withColumn("rank", F.col("rank").cast("long"))
 
 
-@query("q39_ann_ivf_topk")  # no oracle: IVF probe set is engine-specific
+@query(
+    "q39_ann_ivf_topk",
+    # Exact oracle for the IVF pipeline: centroid sampling is ORDER BY
+    # md5(CAST(id AS VARCHAR)) LIMIT 16 (engine-neutral string sort),
+    # list assignment + probe selection + re-rank all use the quantized
+    # integer cosine, so the whole approximate result is reproducible.
+    oracle=f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+               AS cid,
+             embedding AS cv
+      FROM embeddings
+      QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16),
+    assign AS (
+      SELECT vec_id AS corpus_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_QCOS_SQL.replace("a[i]", "e.embedding[i]")
+                           .replace("b[i]", "c.cv[i]")
+                           .replace("(a,", "(e.embedding,")
+                           .replace("(b,", "(c.cv,")} DESC, c.cid) AS rn
+        FROM embeddings e, cents c) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_QCOS_SQL.replace("a[i]", "e.embedding[i]")
+                           .replace("b[i]", "c.cv[i]")
+                           .replace("(a,", "(e.embedding,")
+                           .replace("(b,", "(c.cv,")} DESC, c.cid) AS rn
+        FROM embeddings e, cents c WHERE e.vec_id < 5) WHERE rn <= 4),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.corpus_id
+      FROM probes p JOIN assign a ON p.cid = a.cid),
+    scored AS (
+      SELECT cand.query_id, cand.corpus_id,
+             {_QCOS_SQL.replace("a[i]", "qe.embedding[i]")
+                       .replace("b[i]", "ce.embedding[i]")
+                       .replace("(a,", "(qe.embedding,")
+                       .replace("(b,", "(ce.embedding,")} AS cosine
+      FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                JOIN embeddings ce ON ce.vec_id = cand.corpus_id)
+    SELECT query_id, corpus_id, cosine, rank FROM (
+      SELECT query_id, corpus_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, corpus_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         _p("q39", sf_dir, "embeddings")
@@ -1056,7 +1199,8 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("topk", "similarity.topk_ivf", ["embeddings", "qs"],
               id_col="vec_id", vec_col="embedding",
               query_id_col="vec_id", query_vec_col="embedding",
-              k=5, centroids=16, nprobe=4)
+              k=5, centroids=16, nprobe=4,
+              centroid_order="md5", quantize=10000)
     )
     df = run_pipeline(spark, p).df("topk")
     return df.withColumn("rank", F.col("rank").cast("long"))
@@ -1692,19 +1836,42 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_pipeline(spark, p).df("agg")
 
 
-@query("q58_approx_distinct")  # no oracle: HLL sketches are engine-specific
+@query(
+    "q58_approx_distinct",
+    # Sketch values are engine-specific, so the oracle checks exact anchors
+    # plus bounded-error flags: the HLL estimate must sit within 10% of the
+    # exact distinct (measured 2.5-2.7% at sf0.001-0.1, rsd default 0.05)
+    # and percentile_approx within 2%/1% of the exact percentile (measured
+    # <=0.05%). Deterministic: both sketches are order-insensitive.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_parts_ok, TRUE AS p50_ok, TRUE AS p95_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB substitutes for exact distincts
-    and exact percentiles (single-pass sketches, no expand shuffle).
-    Rows-only check: values are engine-specific by nature."""
+    and exact percentiles (single-pass sketches, no expand shuffle)."""
     p = _p("q58", sf_dir, "lineitem").step(
         "agg", "aggregate", "lineitem", keys=["l_returnflag"], aggs={
+            "exact_parts": ("count_distinct", "l_partkey"),
             "approx_parts": ("approx_count_distinct", "l_partkey"),
             "p50_qty": ("percentile", "l_quantity", 0.5),
+            "p50_qty_approx": ("percentile_approx", "l_quantity", 0.5),
             "p95_price": ("percentile", "l_extendedprice", 0.95),
+            "p95_price_approx": ("percentile_approx", "l_extendedprice", 0.95),
         },
     )
-    return run_pipeline(spark, p).df("agg")
+    df = run_pipeline(spark, p).df("agg")
+    rel = lambda a, b: F.abs(F.col(a) - F.col(b)) / F.abs(F.col(b))  # noqa: E731
+    return df.select(
+        "l_returnflag",
+        "exact_parts",
+        (rel("approx_parts", "exact_parts") <= 0.10).alias("approx_parts_ok"),
+        (rel("p50_qty_approx", "p50_qty") <= 0.02).alias("p50_ok"),
+        (rel("p95_price_approx", "p95_price") <= 0.01).alias("p95_ok"),
+    )
 
 
 # STRING (not VARCHAR): the one spelling both Spark SQL and DuckDB accept
