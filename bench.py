@@ -25,12 +25,12 @@ HEADLINE = [
     "q08_join_theta_range",         # big-big join
     "q09_conditional_split_route",  # single-pass routing
     "q15_topk_per_group",           # window shuffle
-    "q19_rollup",                   # multi-level agg
+    "q19_multilevel_aggregates",    # rollup+cube+grouping sets
     "q30_dedup_exact_digest",       # digest dedup shuffle
     "q32_dedup_minhash_lsh",        # signature + band self-join
-    "q34_text_tokens_fingerprint",  # regex/array narrow pass
+    "q34_text_features",            # regex/array narrow pass
     "q37_ann_bruteforce_topk",      # vector math
-    "q41_events_tumbling_window",   # time windows
+    "q41_events_windows_json",      # time windows + json props
     "q42_sessionization",           # window lag + agg
     "q50_medium_package_flow",      # flagship: full SSIS change-detection DAG
     "q57_bigjoin_revenue",          # big-big shuffle join

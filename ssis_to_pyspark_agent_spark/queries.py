@@ -106,49 +106,6 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q02_derived_expressions",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(o_totalprice > 200000 AS INT)                        AS big_flag,
-           CASE WHEN o_orderstatus = 'O' THEN 'OPEN' ELSE 'OTHER' END AS status_label,
-           UPPER(SUBSTR(o_orderpriority, 1, 3))                      AS prio3,
-           CAST(TRUNC(o_totalprice) AS INT)                          AS price_int,
-           YEAR(o_orderdate)                                         AS order_year,
-           o_orderpriority || '/' || o_orderstatus                   AS prio_status,
-           LENGTH(TRIM(o_orderpriority))                             AS prio_len,
-           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING')           AS status_np
-    FROM orders WHERE o_orderkey % 7 = 0
-    """,
-)
-def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q02", sf_dir, "orders")
-        .step("flt", "filter", "orders", predicate="o_orderkey % 7 == 0")
-        .step(
-            "drv", "derived_column", "flt",
-            columns={
-                "big_flag": "[o_totalprice] > 200000 ? 1 : 0",
-                "status_label": '[o_orderstatus] == "O" ? "OPEN" : "OTHER"',
-                "prio3": "UPPER(SUBSTRING([o_orderpriority], 1, 3))",
-                "price_int": "(DT_I4)[o_totalprice]",
-                "order_year": "YEAR([o_orderdate])",
-                "prio_status": '[o_orderpriority] + "/" + [o_orderstatus]',
-                "prio_len": "LEN(TRIM([o_orderpriority]))",
-                "status_np": '[o_orderstatus] == "P" ? "PENDING" : [o_orderstatus]',
-            },
-        )
-        .step(
-            "prj", "select", "drv",
-            columns=[
-                "o_orderkey", "big_flag", "status_label", "prio3", "price_int",
-                "order_year", "prio_status", "prio_len", "status_np",
-            ],
-        )
-    )
-    return run_pipeline(spark, p).df("prj")
-
-
 # ---------------------------------------------------------------------------
 # Lookup (§2.5)
 # ---------------------------------------------------------------------------
@@ -156,62 +113,53 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q03_lookup_chain",
+    # Merged q03+q04 (round-2 consolidation: every query must sit inside
+    # the driver's 50-query window): the chained-lookup match path AND the
+    # no-match redirect port of a partial lookup, as one tagged union.
     oracle="""
+    WITH n AS (SELECT * FROM nation WHERE n_nationkey < 10)
     SELECT c.c_custkey, c.c_name, c.c_acctbal,
-           n.n_name AS nation_name, r.r_name AS region_name
+           n.n_name AS nation_name, r.r_name AS region_name,
+           'match' AS port
     FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.c_acctbal,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'nomatch'
+    FROM customer c LEFT JOIN n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_nationkey IS NULL
     """,
 )
 def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         _p("q03", sf_dir, "customer", "nation", "region")
+        .step("small_n", "filter", "nation", predicate="[n_nationkey] < 10")
         .step(
-            "ln", "lookup", ["customer", "nation"],
+            "ln", "lookup", ["customer", "small_n"],
             keys={"c_nationkey": "n_nationkey"},
             copy={"nation_name": "n_name", "_rk": "n_regionkey"},
-            no_match="fail",
+            split_match=True,
         )
         .step(
-            "lr", "lookup", ["ln", "region"],
+            "lr", "lookup", ["ln.match", "region"],
             keys={"_rk": "r_regionkey"},
             copy={"region_name": "r_name"},
             no_match="fail",
         )
-        .step(
-            "prj", "select", "lr",
-            columns=["c_custkey", "c_name", "c_acctbal", "nation_name", "region_name"],
-        )
     )
-    return run_pipeline(spark, p).df("prj")
-
-
-@query(
-    "q04_lookup_nomatch_split",
-    oracle="""
-    SELECT c_custkey, c_name, c_nationkey
-    FROM customer c LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 10) n
-      ON c.c_nationkey = n.n_nationkey
-    WHERE n.n_nationkey IS NULL
-    """,
-)
-def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q04", sf_dir, "customer", "nation")
-        .step("small_n", "filter", "nation", predicate="[n_nationkey] < 10")
-        .step(
-            "lkp", "lookup", ["customer", "small_n"],
-            keys={"c_nationkey": "n_nationkey"},
-            copy={"nation_name": "n_name"},
-            split_match=True,
-        )
-        .step(
-            "prj", "select", "lkp.nomatch",
-            columns=["c_custkey", "c_name", "c_nationkey"],
-        )
+    r = run_pipeline(spark, p)
+    cols = ["c_custkey", "c_name", "c_acctbal"]
+    matched = r.df("lr").select(
+        *cols, "nation_name", "region_name", F.lit("match").alias("port")
     )
-    return run_pipeline(spark, p).df("prj")
+    nomatch = r.df("ln.nomatch").select(
+        *cols,
+        F.lit(None).cast("string").alias("nation_name"),
+        F.lit(None).cast("string").alias("region_name"),
+        F.lit("nomatch").alias("port"),
+    )
+    return matched.unionByName(nomatch)
 
 
 # ---------------------------------------------------------------------------
@@ -256,39 +204,33 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q06_join_semi",
+    "q06_join_semi_anti",
+    # Merged q06+q07: LeftSemi and LeftAnti joins as one tagged union.
     oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    SELECT c_custkey, c_name, 'has_big_order' AS port FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    UNION ALL
+    SELECT c_custkey, c_name, 'no_orders' FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
 def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         _p("q06", sf_dir, "customer", "orders")
         .step("big", "filter", "orders", predicate="[o_totalprice] > 300000")
-        .step("j", "join", ["customer", "big"], how="left_semi",
+        .step("semi", "join", ["customer", "big"], how="left_semi",
               keys=[("c_custkey", "o_custkey")],
               select_left=["c_custkey", "c_name"])
-    )
-    return run_pipeline(spark, p).df("j")
-
-
-@query(
-    "q07_join_anti",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q07", sf_dir, "customer", "orders")
-        .step("j", "join", ["customer", "orders"], how="left_anti",
+        .step("semi_t", "derived_column", "semi",
+              columns={"port": '"has_big_order"'})
+        .step("anti", "join", ["customer", "orders"], how="left_anti",
               keys=[("c_custkey", "o_custkey")],
               select_left=["c_custkey", "c_name"])
+        .step("anti_t", "derived_column", "anti", columns={"port": '"no_orders"'})
+        .step("u", "union_all", ["semi_t", "anti_t"])
     )
-    return run_pipeline(spark, p).df("j")
+    return run_pipeline(spark, p).df("u")
 
 
 @query(
@@ -327,55 +269,38 @@ _SPLIT_ORACLE_ROUTE = """
 
 @query(
     "q09_conditional_split_route",
+    # Merged q09+q10: every routed row with its port tag — row-level
+    # verification of first-match-wins exclusivity across ALL four ports
+    # (strictly stronger than the old one-port rows + per-port counts).
     oracle=f"""
-    SELECT o_orderkey, o_orderstatus, o_totalprice
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           {_SPLIT_ORACLE_ROUTE} AS route
     FROM orders
-    WHERE {_SPLIT_ORACLE_ROUTE} = 'open_or_big'
     """,
 )
 def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q09", sf_dir, "orders")
-        .step("split", "conditional_split", "orders", outputs={
-            "huge": "[o_totalprice] > 300000",
-            "open_or_big": '[o_orderstatus] == "O" || [o_totalprice] > 200000',
-            "urgent": '[o_orderpriority] == "1-URGENT"',
-        })
-        .step("prj", "select", "split.open_or_big",
-              columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
-    )
-    return run_pipeline(spark, p).df("prj")
-
-
-@query(
-    "q10_split_branch_counts",
-    oracle=f"""
-    SELECT {_SPLIT_ORACLE_ROUTE} AS route, COUNT(*) AS n,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
-    FROM orders GROUP BY 1
-    """,
-)
-def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multicast + split + per-branch aggregate + union (the Medium-package
-    row-count-per-branch pattern)."""
-    p = _p("q10", sf_dir, "orders").step(
-        "split", "conditional_split", "orders", outputs={
+    p = _p("q09", sf_dir, "orders")
+    # prune BEFORE the split: the fan-out persist materializes its input,
+    # so projecting first keeps the cached relation (and the scan) at the
+    # 4 needed columns instead of the full table width
+    p.step("prj0", "select", "orders",
+           columns=["o_orderkey", "o_orderstatus", "o_totalprice",
+                    "o_orderpriority"])
+    p.step(
+        "split", "conditional_split", "prj0", outputs={
             "huge": "[o_totalprice] > 300000",
             "open_or_big": '[o_orderstatus] == "O" || [o_totalprice] > 200000',
             "urgent": '[o_orderpriority] == "1-URGENT"',
         },
     )
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
     for port in ("huge", "open_or_big", "urgent", "default"):
-        p.step(f"agg_{port}", "aggregate", f"split.{port}", keys=[], aggs={
-            "n": ("count", "*"),
-            "total": F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("string").cast("double"),
-        })
-        p.step(f"lab_{port}", "derived_column", f"agg_{port}",
+        p.step(f"t_{port}", "derived_column", f"split.{port}",
                columns={"route": F.lit(port)})
+        p.step(f"p_{port}", "select", f"t_{port}", columns=cols + ["route"])
     p.step("u", "union_all",
-           ["lab_huge", "lab_open_or_big", "lab_urgent", "lab_default"])
-    p.step("prj", "select", "u", columns=["route", "n", "total"])
-    return run_pipeline(spark, p).df("prj")
+           ["p_huge", "p_open_or_big", "p_urgent", "p_default"])
+    return run_pipeline(spark, p).df("u")
 
 
 # ---------------------------------------------------------------------------
@@ -384,59 +309,37 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q11_union_all",
+    "q11_set_ops",
+    # Merged q11+q12+q13: UNION ALL / INTERSECT / EXCEPT as one tagged
+    # union over the same two inputs.
     oracle="""
-    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    SELECT c_nationkey AS nationkey, 'customer' AS op FROM customer
     UNION ALL
-    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    SELECT s_nationkey, 'supplier' FROM supplier
+    UNION ALL
+    SELECT nationkey, 'intersect' FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nationkey, 'except' FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       EXCEPT SELECT s_nationkey FROM supplier)
     """,
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         _p("q11", sf_dir, "customer", "supplier")
         .step("c", "select", "customer", columns={"nationkey": "c_nationkey"})
-        .step("cl", "derived_column", "c", columns={"side": '"customer"'})
+        .step("cl", "derived_column", "c", columns={"op": '"customer"'})
         .step("s", "select", "supplier", columns={"nationkey": "s_nationkey"})
-        .step("sl", "derived_column", "s", columns={"side": '"supplier"'})
-        .step("u", "union_all", ["cl", "sl"])
+        .step("sl", "derived_column", "s", columns={"op": '"supplier"'})
+        .step("i", "intersect", ["c", "s"])
+        .step("il", "derived_column", "i", columns={"op": '"intersect"'})
+        .step("e", "except", ["c", "s"])
+        .step("el", "derived_column", "e", columns={"op": '"except"'})
+        .step("u", "union_all", ["cl", "sl", "il", "el"])
     )
     return run_pipeline(spark, p).df("u")
-
-
-@query(
-    "q12_intersect",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q12", sf_dir, "customer", "supplier")
-        .step("c", "select", "customer", columns={"nationkey": "c_nationkey"})
-        .step("s", "select", "supplier", columns={"nationkey": "s_nationkey"})
-        .step("i", "intersect", ["c", "s"])
-    )
-    return run_pipeline(spark, p).df("i")
-
-
-@query(
-    "q13_except",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q13", sf_dir, "customer", "supplier")
-        .step("c", "select", "customer", columns={"nationkey": "c_nationkey"})
-        .step("s", "select", "supplier", columns={"nationkey": "s_nationkey"})
-        .step("e", "except", ["c", "s"])
-    )
-    return run_pipeline(spark, p).df("e")
 
 
 # ---------------------------------------------------------------------------
@@ -488,43 +391,63 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q16_window_running_total",
+    "q16_window_suite",
     oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_total,
-           LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey
-                                    ORDER BY o_orderdate, o_orderkey) AS prev_order,
-           ROW_NUMBER() OVER (PARTITION BY o_custkey
-                              ORDER BY o_orderdate, o_orderkey) AS seq
-    FROM orders WHERE o_custkey % 10 = 3
+    SELECT o_orderkey, o_orderstatus,
+           row_number()   OVER w1 AS rn,
+           lag(o_totalprice)  OVER w1 AS lag_price,
+           lead(o_totalprice) OVER w1 AS lead_price,
+           ntile(4)       OVER w1 AS quartile,
+           count(*)       OVER (w1 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (w1 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS run_price,
+           first_value(o_totalprice) OVER (w1 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv,
+           last_value(o_totalprice)  OVER (w1 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+           rank()         OVER w2 AS rk,
+           dense_rank()   OVER w2 AS drk,
+           percent_rank() OVER w2 AS prk,
+           cume_dist()    OVER w2 AS cd
+    FROM orders WHERE o_orderkey % 7 = 0
+    WINDOW w1 AS (PARTITION BY o_orderstatus ORDER BY o_orderkey),
+           w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
     """,
 )
-def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/offset/frame window functions as one suite through the
+    `window` operator (SURVEY §2.10: the reference has NO window functions;
+    first-class here). Offset functions are ordered by the unique order key
+    (total order -> deterministic); ranking functions are ordered by the
+    5-value priority so ties exercise rank vs dense_rank vs percent_rank.
+    The running SUM goes through DECIMAL(18,4) in both engines: windowed
+    double summation trees differ between engines, exact decimal does not."""
+    part, okey = ["o_orderstatus"], [("o_orderkey", "asc")]
     p = (
         _p("q16", sf_dir, "orders")
-        .step("flt", "filter", "orders", predicate="[o_custkey] % 10 == 3")
-        .step("dec", "derived_column", "flt",
-              columns={"price_dec": F.col("o_totalprice").cast("decimal(18,4)")})
-        .step("w", "window", "dec",
-              partition_by=["o_custkey"],
-              order_by=[("o_orderdate", "asc"), ("o_orderkey", "asc")],
-              frame=("rows", "unbounded_preceding", "current"),
-              columns={"running_dec": ("sum", "price_dec")})
-        .step("w2", "window", "w",
-              partition_by=["o_custkey"],
-              order_by=[("o_orderdate", "asc"), ("o_orderkey", "asc")],
-              columns={"prev_order": ("lag", "o_orderkey", 1),
-                       "seq": ("row_number",)})
-        .step("drv", "derived_column", "w2",
-              columns={"running_total": F.col("running_dec").cast("double"),
-                       "seq2": F.col("seq").cast("long")})
-        .step("prj", "select", "drv",
-              columns={"o_custkey": "o_custkey", "o_orderkey": "o_orderkey",
-                       "running_total": "running_total",
-                       "prev_order": "prev_order", "seq": "seq2"})
+        .step("flt", "filter", "orders", predicate="[o_orderkey] % 7 == 0")
+        .step("w1", "window", "flt", partition_by=part, order_by=okey,
+              columns={"rn": ("row_number",),
+                       "lag_price": ("lag", "o_totalprice"),
+                       "lead_price": ("lead", "o_totalprice"),
+                       "quartile": ("ntile", 4)})
+        .step("w2", "window", "w1", partition_by=part, order_by=okey,
+              frame=("rows", "unbounded", "current"),
+              columns={"run_cnt": ("count", "o_orderkey"),
+                       "_run_price_dec": ("sum", _dec("o_totalprice"))})
+        .step("w3", "window", "w2", partition_by=part, order_by=okey,
+              frame=("rows", "unbounded", "unbounded_following"),
+              columns={"fv": ("first", "o_totalprice"),
+                       "lv": ("last", "o_totalprice")})
+        .step("w4", "window", "w3", partition_by=part,
+              order_by=[("o_orderpriority", "asc")],
+              columns={"rk": ("rank",), "drk": ("dense_rank",),
+                       "prk": ("percent_rank",), "cd": ("cume_dist",)})
+        .step("drv", "derived_column", "w4", columns={
+            "run_price": F.col("_run_price_dec").cast("string").cast("double"),
+        })
+        .step("prj", "select", "drv", columns=[
+            "o_orderkey", "o_orderstatus", "rn", "lag_price", "lead_price",
+            "quartile", "run_cnt", "run_price", "fv", "lv", "rk", "drk",
+            "prk", "cd",
+        ])
     )
     return run_pipeline(spark, p).df("prj")
 
@@ -535,13 +458,19 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q17_pivot",
+    "q17_pivot_unpivot_roundtrip",
+    # Merged q17+q18: pivot to wide (status columns, zero-filled), then
+    # unpivot the SAME frame back to long — one query exercises both
+    # reshape operators, and the roundtrip makes fill_value visible
+    # (absent (year,status) combinations come back as explicit zeros).
     oracle="""
-    SELECT YEAR(o_orderdate) AS order_year,
-           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
-           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
-           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
-    FROM orders GROUP BY 1
+    WITH y AS (SELECT DISTINCT YEAR(o_orderdate) AS order_year FROM orders),
+    m(status) AS (VALUES ('O'), ('F'), ('P')),
+    cnt AS (SELECT YEAR(o_orderdate) AS order_year, o_orderstatus AS status,
+                   COUNT(*) AS n FROM orders GROUP BY 1, 2)
+    SELECT y.order_year, m.status, COALESCE(cnt.n, 0) AS n
+    FROM y CROSS JOIN m
+    LEFT JOIN cnt ON cnt.order_year = y.order_year AND cnt.status = m.status
     """,
 )
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,68 +480,48 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
               columns={"order_year": "YEAR([o_orderdate])"})
         .step("pv", "pivot", "drv", keys=["order_year"], pivot_col="o_orderstatus",
               values=["O", "F", "P"], aggs={"n": ("count", "*")}, fill_value=0)
-    )
-    return run_pipeline(spark, p).df("pv")
-
-
-@query(
-    "q18_unpivot",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
-           l_quantity AS value FROM lineitem WHERE l_orderkey % 50 = 0
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'discount', l_discount
-    FROM lineitem WHERE l_orderkey % 50 = 0
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'tax', l_tax
-    FROM lineitem WHERE l_orderkey % 50 = 0
-    """,
-)
-def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q18", sf_dir, "lineitem")
-        .step("flt", "filter", "lineitem", predicate="[l_orderkey] % 50 == 0")
-        .step("prj", "select", "flt",
-              columns={"l_orderkey": "l_orderkey", "l_linenumber": "l_linenumber",
-                       "quantity": "l_quantity", "discount": "l_discount",
-                       "tax": "l_tax"})
-        .step("up", "unpivot", "prj", ids=["l_orderkey", "l_linenumber"],
-              values=["quantity", "discount", "tax"],
-              var_col="measure", value_col="value")
+        .step("up", "unpivot", "pv", ids=["order_year"],
+              values=["O", "F", "P"], var_col="status", value_col="n")
     )
     return run_pipeline(spark, p).df("up")
 
 
 @query(
-    "q19_rollup",
+    "q19_multilevel_aggregates",
+    # Merged q19+q20+q69: ROLLUP, CUBE, and an explicit GROUPING SETS
+    # (one set — (l_linestatus) — not reachable by rollup/cube order) over
+    # the same keys/aggs, tagged and unioned.
     oracle="""
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+    SELECT 'rollup' AS mode, l_returnflag, l_linestatus, COUNT(*) AS n,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube', l_returnflag, l_linestatus, COUNT(*),
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'gsets', l_returnflag, l_linestatus, COUNT(*),
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
     """,
 )
 def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _p("q19", sf_dir, "lineitem").step(
-        "agg", "aggregate", "lineitem", keys=["l_returnflag", "l_linestatus"],
-        mode="rollup",
-        aggs={"n": ("count", "*"), "sum_qty": _dsum("l_quantity")},
-    )
-    return run_pipeline(spark, p).df("agg")
-
-
-@query(
-    "q20_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _p("q20", sf_dir, "orders").step(
-        "agg", "aggregate", "orders", keys=["o_orderstatus", "o_orderpriority"],
-        mode="cube", aggs={"n": ("count", "*")},
-    )
-    return run_pipeline(spark, p).df("agg")
+    keys = ["l_returnflag", "l_linestatus"]
+    aggs = {"n": ("count", "*"), "sum_qty": _dsum("l_quantity")}
+    p = _p("q19", sf_dir, "lineitem")
+    p.step("ru", "aggregate", "lineitem", keys=keys, mode="rollup", aggs=aggs)
+    p.step("ru_t", "derived_column", "ru", columns={"mode": '"rollup"'})
+    p.step("cu", "aggregate", "lineitem", keys=keys, mode="cube", aggs=aggs)
+    p.step("cu_t", "derived_column", "cu", columns={"mode": '"cube"'})
+    p.step("gs", "aggregate", "lineitem", keys=keys, mode="grouping_sets",
+           grouping_sets=[["l_returnflag", "l_linestatus"], ["l_linestatus"]],
+           aggs=aggs)
+    p.step("gs_t", "derived_column", "gs", columns={"mode": '"gsets"'})
+    p.step("u", "union_all", ["ru_t", "cu_t", "gs_t"])
+    p.step("prj", "select", "u",
+           columns=["mode", "l_returnflag", "l_linestatus", "n", "sum_qty"])
+    return run_pipeline(spark, p).df("prj")
 
 
 # ---------------------------------------------------------------------------
@@ -640,13 +549,28 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_pipeline(spark, p).df("prj")
 
 
+def _q22_script(pdf):
+    """Script Component body (merged q54): vectorized pandas arithmetic."""
+    return pdf.assign(
+        qty_price=pdf.qty_int * pdf.price_dec,
+        qty_centered=pdf.qty_int - 25.0,
+    )
+
+
 @query(
-    "q22_data_conversion",
+    "q22_data_conversion_script",
+    # Merged q22+q54: SSIS Data Conversion casts plus the Script Component
+    # (Arrow-vectorized pandas batch) in one pipeline; the script's
+    # arithmetic is IEEE-exact so the oracle stays bit-green.
     oracle="""
     SELECT l_orderkey, CAST(TRUNC(l_quantity) AS INT) AS qty_int,
            CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
            CAST(l_linenumber AS SMALLINT) AS line_small,
-           CAST(l_shipdate AS DATE) AS ship_date
+           CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(TRUNC(l_quantity) AS INT)
+             * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+             AS qty_price,
+           CAST(TRUNC(l_quantity) AS INT) - 25.0 AS qty_centered
     FROM lineitem WHERE l_orderkey % 100 = 1
     """,
 )
@@ -669,19 +593,45 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("prj", "select", "dc2",
               columns=["l_orderkey", "qty_int", "price_dec", "line_small",
                        "ship_date"])
+        .step("sc", "script", "prj", fn=_q22_script,
+              schema="l_orderkey bigint, qty_int int, price_dec double, "
+                     "line_small smallint, ship_date date, "
+                     "qty_price double, qty_centered double")
     )
-    return run_pipeline(spark, p).df("prj")
+    return run_pipeline(spark, p).df("sc")
 
 
 @query(
-    "q23_sample_mod",
-    oracle="SELECT * FROM orders WHERE o_orderkey % 20 = 7",
+    "q23_sampling_modes",
+    # Merged q23+q79: deterministic mod sampling AND per-stratum-rate
+    # stratified sampling, row-exact, as one tagged union. Both are pure
+    # pushdown-friendly filters — no shuffle at any scale.
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, 'mod' AS mode FROM orders
+    WHERE o_orderkey % 20 = 7
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, 'stratified' FROM orders
+    WHERE o_orderkey % 10000 < (CASE o_orderstatus WHEN 'F' THEN 0.5
+                                                   WHEN 'O' THEN 0.1
+                                                   ELSE 0.02 END) * 10000
+    """,
 )
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _p("q23", sf_dir, "orders").step(
-        "s", "sample", "orders", method="mod", key=["o_orderkey"], n=20, r=7
+    cols = ["o_orderkey", "o_orderstatus"]
+    p = (
+        _p("q23", sf_dir, "orders")
+        .step("m", "sample", "orders", method="mod", key=["o_orderkey"],
+              n=20, r=7)
+        .step("m_t", "derived_column", "m", columns={"mode": '"mod"'})
+        .step("m_p", "select", "m_t", columns=cols + ["mode"])
+        .step("s", "sample", "orders", method="stratified",
+              strata_col="o_orderstatus", key=["o_orderkey"], mod=True,
+              fractions={"F": 0.5, "O": 0.1}, default_fraction=0.02)
+        .step("s_t", "derived_column", "s", columns={"mode": '"stratified"'})
+        .step("s_p", "select", "s_t", columns=cols + ["mode"])
+        .step("u", "union_all", ["m_p", "s_p"])
     )
-    return run_pipeline(spark, p).df("s")
+    return run_pipeline(spark, p).df("u")
 
 
 # ---------------------------------------------------------------------------
@@ -690,22 +640,30 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q24_merge_upsert",
+    "q24_merge_dml",
+    # Merged q24+q25: set-based UPSERT then DELETE against the same target
+    # in one pipeline (the OLE DB Command replacement chain: upsert the
+    # feed, then purge keys flagged for deletion).
     oracle="""
     WITH target AS (SELECT c_custkey, c_name, c_acctbal FROM customer
                     WHERE c_custkey % 3 = 0),
          updates AS (SELECT c_custkey, c_name,
                             CAST(c_acctbal + 1000 AS DOUBLE) AS c_acctbal
-                     FROM customer WHERE c_custkey % 2 = 0)
-    SELECT t.c_custkey, t.c_name, t.c_acctbal FROM target t
-    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = t.c_custkey)
-    UNION ALL
-    SELECT * FROM updates
+                     FROM customer WHERE c_custkey % 2 = 0),
+         upserted AS (
+           SELECT t.c_custkey, t.c_name, t.c_acctbal FROM target t
+           WHERE NOT EXISTS (SELECT 1 FROM updates u
+                             WHERE u.c_custkey = t.c_custkey)
+           UNION ALL
+           SELECT * FROM updates)
+    SELECT * FROM upserted
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'F' AND o_totalprice > 350000)
     """,
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
-        _p("q24", sf_dir, "customer")
+        _p("q24", sf_dir, "customer", "orders")
         .step("t0", "filter", "customer", predicate="[c_custkey] % 3 == 0")
         .step("target", "select", "t0", columns=["c_custkey", "c_name", "c_acctbal"])
         .step("u0", "filter", "customer", predicate="[c_custkey] % 2 == 0")
@@ -714,28 +672,12 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
               columns={"c_custkey": "c_custkey", "c_name": "c_name",
                        "c_acctbal": "acct2"})
         .step("m", "merge_upsert", ["target", "updates"], keys=["c_custkey"])
-    )
-    return run_pipeline(spark, p).df("m")
-
-
-@query(
-    "q25_merge_delete",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
-                            WHERE o_orderstatus = 'F' AND o_totalprice > 350000)
-    """,
-)
-def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q25", sf_dir, "customer", "orders")
-        .step("t", "select", "customer", columns=["c_custkey", "c_name"])
         .step("d0", "filter", "orders",
               predicate='[o_orderstatus] == "F" && [o_totalprice] > 350000')
         .step("dels", "select", "d0", columns={"c_custkey": "o_custkey"})
-        .step("m", "merge_delete", ["t", "dels"], keys=["c_custkey"])
+        .step("md", "merge_delete", ["m", "dels"], keys=["c_custkey"])
     )
-    return run_pipeline(spark, p).df("m")
+    return run_pipeline(spark, p).df("md")
 
 
 @query(
@@ -837,38 +779,69 @@ _SHINGLE_SQL = """
 
 
 @query(
-    "q31_dedup_ngram_pairs",
+    "q31_dedup_ngram_cluster",
+    # Merged q31+q62: exact n-gram-Jaccard near-dup PAIRS (engine-neutral
+    # length-bucket blocking) plus the connected-components clustering of
+    # those pairs (transitive closure vs a recursive-CTE reachability
+    # oracle), as one tagged union: ('pair', a, b, jaccard) rows and
+    # ('comp', doc_id, comp, NULL) rows.
     oracle=f"""
-    WITH docs AS (
-      SELECT doc_id, n_chars,
-             string_split({_NORM_SQL}, ' ') AS words
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, n_chars, string_split({_NORM_SQL}, ' ') AS words
       FROM documents),
-    sh AS (SELECT doc_id, n_chars, {_SHINGLE_SQL} AS shingles FROM docs)
-    SELECT a.doc_id AS a, b.doc_id AS b,
-           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           / (len(a.shingles) + len(b.shingles)
-              - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-    FROM sh a JOIN sh b
-      ON a.doc_id < b.doc_id
-     AND floor(a.n_chars / 64) - floor(b.n_chars / 64) BETWEEN -1 AND 1
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    sh AS (SELECT doc_id, n_chars, {_SHINGLE_SQL} AS shingles FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+       AND floor(a.n_chars / 64) - floor(b.n_chars / 64) BETWEEN -1 AND 1
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    edges AS (SELECT a AS x, b AS y FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+    comp AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.y), d.doc_id)) AS comp
+      FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+      GROUP BY d.doc_id)
+    SELECT 'pair' AS kind, a, b, jaccard FROM pairs
+    UNION ALL
+    SELECT 'comp', doc_id, comp, CAST(NULL AS DOUBLE) FROM comp
     """,
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs with engine-neutral multi-probe
     length-bucket blocking (each doc lands in buckets k and k+1, so any
-    pair within 64 chars of each other shares a block — near-dup edits
-    move length by a few chars only). Fully oracle-checkable, unlike
-    minhash banding."""
-    p = _p("q31", sf_dir, "documents").step(
-        "dd", "dedup.ngram_jaccard", "documents",
-        id_col="doc_id", text_col="text", shingle_k=3, threshold=0.5,
-        block_exprs=["floor(n_chars / 64)", "floor(n_chars / 64) + 1"],
-        return_pairs=True,
+    pair within 64 chars of each other shares a block), then iterative
+    min-label connected components over those pairs."""
+    p = (
+        _p("q31", sf_dir, "documents")
+        .step("dd", "dedup.ngram_jaccard", "documents",
+              id_col="doc_id", text_col="text", shingle_k=3, threshold=0.5,
+              block_exprs=["floor(n_chars / 64)", "floor(n_chars / 64) + 1"],
+              return_pairs=True)
+        .step("cc", "dedup.cluster", ["documents", "dd.pairs"],
+              id_col="doc_id")
     )
-    return run_pipeline(spark, p).df("dd.pairs")
+    r = run_pipeline(spark, p)
+    pairs = r.df("dd.pairs").select(
+        F.lit("pair").alias("kind"), F.col("a"), F.col("b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+    comps = r.df("cc.components").select(
+        F.lit("comp").alias("kind"), F.col("doc_id").alias("a"),
+        F.col("comp").alias("b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return pairs.unionByName(comps)
 
 
 @query(
@@ -945,64 +918,7 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("hamming", F.col("hamming").cast("int"))
 
 
-@query(
-    "q34_text_tokens_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
-           len(regexp_extract_all(trim(text), '\\S+')) AS ws_tokens,
-           CAST(list_sum(list_transform(
-               regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'),
-               p -> CAST(ceil(length(p) / 4.0) AS BIGINT))) AS BIGINT)
-             AS bpe_tokens,
-           MD5({_NORM_SQL}) AS fp_md5
-    FROM documents
-    """,
-)
-def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q34", sf_dir, "documents")
-        .step("tc", "text.token_count", "documents", text_col="text")
-        .step("fp", "text.fingerprint", "tc", text_col="text")
-        .step("prj", "select", "fp",
-              columns=["doc_id", "ws_tokens", "bpe_tokens", "fp_md5"])
-    )
-    return run_pipeline(spark, p).df("prj")
-
-
 _EN_SW = "['the','and','of','to','a','in','is','that','it','for','was','on','with','as','are']"
-
-
-@query(
-    "q35_text_quality",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, text, {_WORDS_SQL} AS words,
-             GREATEST(length(regexp_replace(text, '\\s', '', 'g')), 1) AS nonspace
-      FROM documents)
-    SELECT doc_id,
-           length(text) AS n_chars,
-           len(words) AS n_words,
-           CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
-             / GREATEST(len(words), 1) AS mean_word_len,
-           CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
-             / nonspace AS punct_ratio,
-           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-             / nonspace AS digit_ratio,
-           CAST(len(list_filter(words, w -> list_contains({_EN_SW}, w))) AS DOUBLE)
-             / GREATEST(len(words), 1) AS stopword_ratio
-    FROM base
-    """,
-)
-def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q35", sf_dir, "documents")
-        .step("q", "text.quality", "documents", text_col="text")
-        .step("prj", "select", "q",
-              columns=["doc_id", "n_chars", "n_words", "mean_word_len",
-                       "punct_ratio", "digit_ratio", "stopword_ratio"])
-    )
-    return run_pipeline(spark, p).df("prj")
-
 
 _LANGS_SQL = {
     "en": _EN_SW,
@@ -1014,31 +930,70 @@ _LANGS_SQL = {
 
 
 @query(
-    "q36_text_lang_id",
+    "q34_text_features",
+    # Merged q34+q35+q36: token counts, md5 fingerprint, quality metrics,
+    # and n-gram-heuristic language ID — all per-doc 1:1 operators chained
+    # in one pipeline, one narrow pass, one combined projection.
     oracle=f"""
-    WITH base AS (
-      SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
-    scored AS (
+    WITH tok AS (
+      SELECT doc_id,
+             len(regexp_extract_all(trim(text), '\\S+')) AS ws_tokens,
+             CAST(list_sum(list_transform(
+                 regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'),
+                 p -> CAST(ceil(length(p) / 4.0) AS BIGINT))) AS BIGINT)
+               AS bpe_tokens,
+             MD5({_NORM_SQL}) AS fp_md5
+      FROM documents),
+    qbase AS (
+      SELECT doc_id, text, {_WORDS_SQL} AS words,
+             GREATEST(length(regexp_replace(text, '\\s', '', 'g')), 1) AS nonspace
+      FROM documents),
+    qual AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(words) AS n_words,
+             CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+               / GREATEST(len(words), 1) AS mean_word_len,
+             CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+               / nonspace AS punct_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / nonspace AS digit_ratio,
+             CAST(len(list_filter(words, w -> list_contains({_EN_SW}, w))) AS DOUBLE)
+               / GREATEST(len(words), 1) AS stopword_ratio
+      FROM qbase),
+    lbase AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    lscored AS (
       SELECT doc_id, lang, CAST(hits AS DOUBLE) / GREATEST(len(words), 1) AS score
-      FROM base, LATERAL (VALUES
+      FROM lbase, LATERAL (VALUES
         {", ".join(f"('{lg}', len(list_filter(words, w -> list_contains({sw}, w))))" for lg, sw in _LANGS_SQL.items())}
       ) t(lang, hits)),
-    best AS (
-      SELECT doc_id, lang, score,
+    lbest AS (
+      SELECT doc_id,
+             CASE WHEN score <= 0 THEN 'und' ELSE lang END AS lang_pred,
+             score AS lang_score,
              ROW_NUMBER() OVER (PARTITION BY doc_id
                                 ORDER BY score DESC, lang DESC) AS rn
-      FROM scored)
-    SELECT doc_id,
-           CASE WHEN score <= 0 THEN 'und' ELSE lang END AS lang_pred,
-           score AS lang_score
-    FROM best WHERE rn = 1
+      FROM lscored)
+    SELECT t.doc_id, t.ws_tokens, t.bpe_tokens, t.fp_md5,
+           q.n_chars, q.n_words, q.mean_word_len, q.punct_ratio,
+           q.digit_ratio, q.stopword_ratio, l.lang_pred, l.lang_score
+    FROM tok t
+    JOIN qual q ON q.doc_id = t.doc_id
+    JOIN (SELECT * FROM lbest WHERE rn = 1) l ON l.doc_id = t.doc_id
     """,
 )
-def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
-        _p("q36", sf_dir, "documents")
-        .step("l", "text.lang_id", "documents", text_col="text")
-        .step("prj", "select", "l", columns=["doc_id", "lang_pred", "lang_score"])
+        _p("q34", sf_dir, "documents")
+        .step("tc", "text.token_count", "documents", text_col="text")
+        .step("fp", "text.fingerprint", "tc", text_col="text")
+        .step("q", "text.quality", "fp", text_col="text")
+        .step("l", "text.lang_id", "q", text_col="text")
+        .step("prj", "select", "l",
+              columns=["doc_id", "ws_tokens", "bpe_tokens", "fp_md5",
+                       "n_chars", "n_words", "mean_word_len", "punct_ratio",
+                       "digit_ratio", "stopword_ratio", "lang_pred",
+                       "lang_score"])
     )
     return run_pipeline(spark, p).df("prj")
 
@@ -1085,14 +1040,7 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("rank", F.col("rank").cast("long"))
 
 
-@query(
-    "q38_ann_lsh_topk",
-    # Exact oracle for the ENTIRE approximate pipeline: hyperplanes='md5'
-    # makes the LSH tables integer-valued and re-derivable in SQL
-    # (md5(seed:t:b:d) % 2001 - 1000), and quantized vectors make every
-    # bucket bit exact integer arithmetic — so DuckDB reproduces the same
-    # candidate set, re-rank, and ties, bit for bit.
-    oracle=f"""
+_Q38_LSH_SQL = f"""
     WITH hyp AS (
       SELECT t.t, b.b, d.d,
              CAST(concat('0x', substr(md5(concat('42:', t.t, ':', b.b, ':',
@@ -1127,29 +1075,9 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY cosine DESC, corpus_id) AS rank
       FROM scored) WHERE rank <= 5
-    """,
-)
-def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q38", sf_dir, "embeddings")
-        .step("qs", "filter", "embeddings", predicate="[vec_id] < 5")
-        .step("topk", "similarity.topk_lsh", ["embeddings", "qs"],
-              id_col="vec_id", vec_col="embedding",
-              query_id_col="vec_id", query_vec_col="embedding",
-              k=5, dim=64, lsh_tables=8, lsh_bits=8,
-              hyperplanes="md5", quantize=10000)
-    )
-    df = run_pipeline(spark, p).df("topk")
-    return df.withColumn("rank", F.col("rank").cast("long"))
+    """
 
-
-@query(
-    "q39_ann_ivf_topk",
-    # Exact oracle for the IVF pipeline: centroid sampling is ORDER BY
-    # md5(CAST(id AS VARCHAR)) LIMIT 16 (engine-neutral string sort),
-    # list assignment + probe selection + re-rank all use the quantized
-    # integer cosine, so the whole approximate result is reproducible.
-    oracle=f"""
+_Q38_IVF_SQL = f"""
     WITH cents AS (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
                AS cid,
@@ -1190,19 +1118,43 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY cosine DESC, corpus_id) AS rank
       FROM scored) WHERE rank <= 5
+    """
+
+
+@query(
+    "q38_ann_indexed_topk",
+    # Merged q38+q39: both index-accelerated ANN paths (hyperplane LSH and
+    # IVF coarse quantization) as one tagged union. Each side keeps its
+    # full-algorithm oracle: md5-derived integer hyperplanes / md5-ordered
+    # centroids + quantized cosine make the approximate candidate sets
+    # bit-reproducible in SQL.
+    oracle=f"""
+    SELECT 'lsh' AS method, * FROM ({_Q38_LSH_SQL})
+    UNION ALL
+    SELECT 'ivf', * FROM ({_Q38_IVF_SQL})
     """,
 )
-def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
-        _p("q39", sf_dir, "embeddings")
+        _p("q38", sf_dir, "embeddings")
         .step("qs", "filter", "embeddings", predicate="[vec_id] < 5")
-        .step("topk", "similarity.topk_ivf", ["embeddings", "qs"],
+        .step("lsh", "similarity.topk_lsh", ["embeddings", "qs"],
+              id_col="vec_id", vec_col="embedding",
+              query_id_col="vec_id", query_vec_col="embedding",
+              k=5, dim=64, lsh_tables=8, lsh_bits=8,
+              hyperplanes="md5", quantize=10000)
+        .step("lsh_t", "derived_column", "lsh", columns={"method": '"lsh"'})
+        .step("ivf", "similarity.topk_ivf", ["embeddings", "qs"],
               id_col="vec_id", vec_col="embedding",
               query_id_col="vec_id", query_vec_col="embedding",
               k=5, centroids=16, nprobe=4,
               centroid_order="md5", quantize=10000)
+        .step("ivf_t", "derived_column", "ivf", columns={"method": '"ivf"'})
+        .step("u", "union_all", ["lsh_t", "ivf_t"])
+        .step("prj", "select", "u",
+              columns=["method", "query_id", "corpus_id", "cosine", "rank"])
     )
-    df = run_pipeline(spark, p).df("topk")
+    df = run_pipeline(spark, p).df("prj")
     return df.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -1233,12 +1185,20 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q41_events_tumbling_window",
+    "q41_events_windows_json",
+    # Merged q41+q43: batch tumbling-window aggregation and JSON property
+    # extraction + aggregation over the events table, tagged and unioned.
     oracle="""
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+    SELECT 'tumble' AS kind,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type, COUNT(*) AS n,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1, 2
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS val
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'json_props', CAST(NULL AS TIMESTAMP), event_type,
+           CAST(NULL AS BIGINT),
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+    FROM events GROUP BY event_type
     """,
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1247,29 +1207,53 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         nanos_ts_cols=["ts"],
     )
     events = run_pipeline(spark, p).df("events")
-    return (
+    tumble = (
         events.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("string").cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("string")
+            .cast("double").alias("val"),
         )
         .select(
-            F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
+            F.lit("tumble").alias("kind"),
+            F.col("window.start").alias("window_start"), "event_type", "n",
+            "val",
         )
     )
+    jprops = (
+        events.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("bigint")
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("double").alias("val"))
+        .select(
+            F.lit("json_props").alias("kind"),
+            F.lit(None).cast("timestamp").alias("window_start"),
+            "event_type",
+            F.lit(None).cast("bigint").alias("n"),
+            "val",
+        )
+    )
+    return tumble.unionByName(jprops)
 
 
 @query(
     "q42_sessionization",
+    # Merged q42+q64: the per-event session index (sessionize operator) is
+    # strictly stronger than per-user session counts — the counts are
+    # max(session_id) per user, so row-level ids verify both.
     oracle="""
     WITH x AS (
-      SELECT user_id, ts,
+      SELECT event_id, user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS new_session
+                  THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
-    FROM x GROUP BY user_id
+    SELECT event_id, user_id,
+           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+    FROM x
     """,
 )
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1277,72 +1261,105 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
         Pipeline("q42")
         .step("events", "source.parquet", path=f"{sf_dir}/events.parquet",
               nanos_ts_cols=["ts"])
-        .step("w", "window", "events", partition_by=["user_id"],
-              order_by=[("ts", "asc"), ("event_id", "asc")],
-              columns={"prev_ts": ("lag", "ts", 1)})
-        .step("drv", "derived_column", "w", columns={
-            "new_session": F.when(
-                F.col("prev_ts").isNull()
-                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
-                F.lit(1),
-            ).otherwise(F.lit(0))
-        })
-        .step("agg", "aggregate", "drv", keys=["user_id"], aggs={
-            "n_sessions": ("sum", "new_session"),
-            "n_events": ("count", "*"),
-        })
+        .step("s", "sessionize", "events", key=["user_id"], ts_col="ts",
+              gap_seconds=1800, order_tiebreak="event_id")
+        .step("prj", "select", "s",
+              columns=["event_id", "user_id", "session_id"])
     )
-    return run_pipeline(spark, p).df("agg")
+    return run_pipeline(spark, p).df("prj")
 
 
 @query(
-    "q43_events_json_props",
+    "q43_streaming_windows",
+    # Merged q44+q55+q56: an ACTUAL Structured Streaming tumbling-window
+    # run (file source -> watermarked agg -> memory sink) plus batch-mode
+    # sliding and session windows, unified to (kind, k1, k2, n) and
+    # unioned. Late-data semantics don't bite: the bounded input is fully
+    # replayed and the sink is complete-mode.
     oracle="""
-    SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-    FROM events GROUP BY event_type
+    SELECT 'tumble' AS kind,
+           CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS k1,
+           event_type AS k2, COUNT(*) AS n
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'slide', CAST(window_start AS VARCHAR), event_type, COUNT(*)
+    FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR, event_type
+      FROM events) starts
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'session', CAST(user_id AS VARCHAR), m.measure,
+           CASE m.measure WHEN 'n_sessions' THEN CAST(SUM(new_session) AS BIGINT)
+                          ELSE COUNT(*) END
+    FROM (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) x
+    CROSS JOIN (VALUES ('n_sessions'), ('n_events')) m(measure)
+    GROUP BY user_id, m.measure
     """,
 )
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        Pipeline("q43")
-        .step("events", "source.parquet", path=f"{sf_dir}/events.parquet",
-              nanos_ts_cols=["ts"])
-        .step("drv", "derived_column", "events", columns={
-            "k": F.get_json_object("props", "$.k").cast("bigint")
-        })
-        .step("agg", "aggregate", "drv", keys=["event_type"],
-              aggs={"sum_k": ("sum", "k")})
-    )
-    return run_pipeline(spark, p).df("agg")
-
-
-@query(
-    "q44_streaming_tumbling",
-    oracle="""
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-           event_type, COUNT(*) AS n
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Actual Structured Streaming run (file source -> watermarked tumbling
-    window -> memory sink), compared against the batch oracle. Late-data
-    semantics don't bite because the bounded input is fully replayed."""
     from ssis_to_pyspark_agent_spark.streaming import (
         run_stream_to_memory,
         stream_events,
         windowed_agg,
     )
 
-    events = stream_events(spark, f"{sf_dir}/events.parquet",
-                           max_files_per_trigger=1)
-    agg = windowed_agg(events, "ts", "1 hour", {"n": ("count", "*")},
+    sevents = stream_events(spark, f"{sf_dir}/events.parquet",
+                            max_files_per_trigger=1)
+    agg = windowed_agg(sevents, "ts", "1 hour", {"n": ("count", "*")},
                        keys=["event_type"], watermark="2 hours")
     # complete mode: append would hold back the trailing windows still
     # inside the watermark horizon when the bounded stream ends
-    run_stream_to_memory(agg, "q44_out", output_mode="complete")
-    return spark.table("q44_out").select("window_start", "event_type", "n")
+    run_stream_to_memory(agg, "q43_out", output_mode="complete")
+    tumble = spark.table("q43_out").select(
+        F.lit("tumble").alias("kind"),
+        F.col("window_start").cast("string").alias("k1"),
+        F.col("event_type").alias("k2"),
+        "n",
+    )
+
+    p = Pipeline("q43").step(
+        "events", "source.parquet", path=f"{sf_dir}/events.parquet",
+        nanos_ts_cols=["ts"],
+    )
+    ev = run_pipeline(spark, p).df("events")
+    slide = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("slide").alias("kind"),
+            F.col("window.start").cast("string").alias("k1"),
+            F.col("event_type").alias("k2"),
+            "n",
+        )
+    )
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.sum("n").alias("n_events"))
+    )
+    s1 = sess.select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit("n_sessions").alias("k2"),
+        F.col("n_sessions").alias("n"),
+    )
+    s2 = sess.select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit("n_events").alias("k2"),
+        F.col("n_events").alias("n"),
+    )
+    return tumble.unionByName(slide).unionByName(s1).unionByName(s2)
 
 
 # -- fuzzy lookup, merge-sorted, multicast/rowcount, variables, functions ---
@@ -1432,28 +1449,53 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q48_variables_binding",
+    # Merged q48+q66: package variables bound as plan-time literals AND
+    # the variable-driven high-watermark incremental load, in one
+    # pipeline (the SSIS "WHERE col > @[User::watermark]" pattern).
     oracle="""
-    SELECT o_orderkey, o_totalprice, 250000.0 AS threshold_used
-    FROM orders WHERE o_totalprice > 250000.0 AND o_orderstatus = 'F'
+    SELECT o_orderkey, o_totalprice, o_orderdate, 250000.0 AS threshold_used
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
+      AND o_totalprice > 250000.0 AND o_orderstatus = 'F'
     """,
 )
 def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SSIS package variables (@[User::X]) bound as plan-time literals."""
-    p = Pipeline("q48", variables={"PriceThreshold": 250000.0, "Status": "F"})
+    """SSIS package variables (@[User::X]) bound as plan-time literals;
+    the incremental_load step filters on, then advances, the watermark
+    variable."""
+    p = Pipeline("q48", variables={"PriceThreshold": 250000.0, "Status": "F",
+                                   "watermark": "1997-06-01 00:00:00"})
     p.step("orders", "source.parquet", path=f"{sf_dir}/orders.parquet")
-    p.step("flt", "filter", "orders",
+    p.step("inc", "incremental_load", "orders", watermark_col="o_orderdate",
+           var="watermark", eager=False)
+    p.step("flt", "filter", "inc",
            predicate="[o_totalprice] > @[User::PriceThreshold] && [o_orderstatus] == @[User::Status]")
     p.step("drv", "derived_column", "flt",
            columns={"threshold_used": "@[User::PriceThreshold]"})
     p.step("prj", "select", "drv",
-           columns=["o_orderkey", "o_totalprice", "threshold_used"])
+           columns=["o_orderkey", "o_totalprice", "o_orderdate",
+                    "threshold_used"])
     return run_pipeline(spark, p).df("prj")
 
 
 @query(
     "q49_scalar_function_library",
+    # Merged q02+q49+q68: the full scalar expression surface — derived-
+    # column expressions, string/math functions, and the complete
+    # DATEADD/DATEDIFF/DATEPART sweep — as one wide projection over one
+    # row set (orders, o_orderkey % 7 = 0). DATEDIFF is boundary-crossing
+    # (T-SQL semantics) = DuckDB date_diff; Spark dayofweek (Sunday=1)
+    # differs from DuckDB (Sunday=0) so the oracle compensates.
     oracle="""
     SELECT o_orderkey,
+           CAST(o_totalprice > 200000 AS INT)                        AS big_flag,
+           CASE WHEN o_orderstatus = 'O' THEN 'OPEN' ELSE 'OTHER' END AS status_label,
+           UPPER(SUBSTR(o_orderpriority, 1, 3))                      AS prio3,
+           CAST(TRUNC(o_totalprice) AS INT)                          AS price_int,
+           YEAR(o_orderdate)                                         AS order_year,
+           o_orderpriority || '/' || o_orderstatus                   AS prio_status,
+           LENGTH(TRIM(o_orderpriority))                             AS prio_len,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING')           AS status_np,
            o_orderdate + INTERVAL 2 MONTH                      AS plus2m,
            date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS days_to_2025,
            quarter(o_orderdate)                                AS qtr,
@@ -1466,15 +1508,40 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(o_totalprice / 1000) AS BIGINT)           AS price_k_ceil,
            CAST(floor(o_totalprice / 1000) AS BIGINT)          AS price_k_floor,
            sqrt(o_totalprice)                                  AS price_sqrt,
-           CAST(sign(o_totalprice - 200000) AS DOUBLE)         AS price_sign
-    FROM orders WHERE o_orderkey % 13 = 0
+           CAST(sign(o_totalprice - 200000) AS DOUBLE)         AS price_sign,
+           o_orderdate + INTERVAL 12 MONTH   AS add_y,
+           o_orderdate + INTERVAL 9 MONTH    AS add_q,
+           o_orderdate + INTERVAL 14 DAY     AS add_w,
+           o_orderdate + INTERVAL 5 HOUR     AS add_hh,
+           o_orderdate + INTERVAL 90 MINUTE  AS add_mi,
+           o_orderdate + INTERVAL 3601 SECOND AS add_ss,
+           date_diff('year',    CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS diff_y,
+           date_diff('quarter', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS diff_q,
+           date_diff('month',   CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS diff_m,
+           date_diff('week',    CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS diff_w,
+           CAST(date_diff('hour',   CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS BIGINT) AS diff_hh,
+           CAST(date_diff('minute', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS BIGINT) AS diff_mi,
+           CAST(date_diff('second', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS BIGINT) AS diff_ss,
+           dayofyear(o_orderdate)      AS dp_doy,
+           weekofyear(o_orderdate)     AS dp_wk,
+           dayofweek(o_orderdate) + 1  AS dp_dw
+    FROM orders WHERE o_orderkey % 7 = 0
     """,
 )
 def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = '(DT_DBTIMESTAMP)"2025-03-15 12:30:45"'
     p = (
         _p("q49", sf_dir, "orders")
-        .step("flt", "filter", "orders", predicate="[o_orderkey] % 13 == 0")
+        .step("flt", "filter", "orders", predicate="[o_orderkey] % 7 == 0")
         .step("drv", "derived_column", "flt", columns={
+            "big_flag": "[o_totalprice] > 200000 ? 1 : 0",
+            "status_label": '[o_orderstatus] == "O" ? "OPEN" : "OTHER"',
+            "prio3": "UPPER(SUBSTRING([o_orderpriority], 1, 3))",
+            "price_int": "(DT_I4)[o_totalprice]",
+            "order_year": "YEAR([o_orderdate])",
+            "prio_status": '[o_orderpriority] + "/" + [o_orderstatus]',
+            "prio_len": "LEN(TRIM([o_orderpriority]))",
+            "status_np": '[o_orderstatus] == "P" ? "PENDING" : [o_orderstatus]',
             "plus2m": 'DATEADD("month", 2, [o_orderdate])',
             "days_to_2025": 'DATEDIFF("day", [o_orderdate], (DT_DBTIMESTAMP)"2025-01-01")',
             "qtr": 'DATEPART("quarter", [o_orderdate])',
@@ -1488,11 +1555,32 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_k_floor": "FLOOR([o_totalprice] / 1000)",
             "price_sqrt": "SQRT([o_totalprice])",
             "price_sign": "SIGN([o_totalprice] - 200000)",
+            "add_y": 'DATEADD("year", 1, [o_orderdate])',
+            "add_q": 'DATEADD("quarter", 3, [o_orderdate])',
+            "add_w": 'DATEADD("week", 2, [o_orderdate])',
+            "add_hh": 'DATEADD("hour", 5, [o_orderdate])',
+            "add_mi": 'DATEADD("minute", 90, [o_orderdate])',
+            "add_ss": 'DATEADD("second", 3601, [o_orderdate])',
+            "diff_y": f'DATEDIFF("year", [o_orderdate], {ts})',
+            "diff_q": f'DATEDIFF("quarter", [o_orderdate], {ts})',
+            "diff_m": f'DATEDIFF("month", [o_orderdate], {ts})',
+            "diff_w": f'DATEDIFF("week", [o_orderdate], {ts})',
+            "diff_hh": f'DATEDIFF("hour", [o_orderdate], {ts})',
+            "diff_mi": f'DATEDIFF("minute", [o_orderdate], {ts})',
+            "diff_ss": f'DATEDIFF("second", [o_orderdate], {ts})',
+            "dp_doy": 'DATEPART("dayofyear", [o_orderdate])',
+            "dp_wk": 'DATEPART("week", [o_orderdate])',
+            "dp_dw": 'DATEPART("weekday", [o_orderdate])',
         })
         .step("prj", "select", "drv", columns=[
-            "o_orderkey", "plus2m", "days_to_2025", "qtr", "left1", "right3",
+            "o_orderkey", "big_flag", "status_label", "prio3", "price_int",
+            "order_year", "prio_status", "prio_len", "status_np",
+            "plus2m", "days_to_2025", "qtr", "left1", "right3",
             "underscored", "dash_pos", "rev_status", "abs_diff",
             "price_k_ceil", "price_k_floor", "price_sqrt", "price_sign",
+            "add_y", "add_q", "add_w", "add_hh", "add_mi", "add_ss",
+            "diff_y", "diff_q", "diff_m", "diff_w", "diff_hh", "diff_mi",
+            "diff_ss", "dp_doy", "dp_wk", "dp_dw",
         ])
     )
     return run_pipeline(spark, p).df("prj")
@@ -1629,14 +1717,16 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q51_agg_distinct",
+    "q51_agg_distinct_stringagg",
     oracle="""
     SELECT o_orderstatus,
            COUNT(DISTINCT o_custkey) AS n_custs,
            COUNT(DISTINCT o_orderpriority) AS n_prios,
            CAST(CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS sum_distinct_price,
-           MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+           MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|')
+             AS priorities
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -1650,6 +1740,10 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("string").cast("double"),
             "first_order": ("min", "o_orderdate"),
             "last_order": ("max", "o_orderdate"),
+            # sorted distinct concat: order-insensitive under parallelism
+            "priorities": F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), "|"
+            ),
         },
     )
     return run_pipeline(spark, p).df("agg")
@@ -1685,15 +1779,34 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q53_term_lookup",
-    oracle="""
+    "q53_term_text_stats",
+    # Merged q53+q63: Term Lookup (dictionary occurrence counts via
+    # explode + broadcast equi-join) and exact TF-IDF, as one tagged
+    # union over (doc_id, term) rows.
+    oracle=f"""
     WITH terms(term) AS (VALUES ('data'), ('query'), ('stream'), ('vector')),
     docs AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS words
-             FROM documents)
-    SELECT d.doc_id, t.term,
-           len(list_filter(d.words, w -> w = t.term)) AS term_count
-    FROM docs d, terms t
-    WHERE len(list_filter(d.words, w -> w = t.term)) > 0
+             FROM documents),
+    lookup AS (
+      SELECT d.doc_id, t.term,
+             len(list_filter(d.words, w -> w = t.term)) AS cnt
+      FROM docs d, terms t
+      WHERE len(list_filter(d.words, w -> w = t.term)) > 0),
+    words AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words
+           WHERE term != '' GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+              HAVING COUNT(*) >= 5),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT 'lookup' AS kind, doc_id, term, cnt,
+           CAST(NULL AS BIGINT) AS df, CAST(NULL AS DOUBLE) AS tfidf
+    FROM lookup
+    UNION ALL
+    SELECT 'tfidf', tf.doc_id, tf.term, tf.tf, dfreq.df,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1), 6)
+    FROM tf JOIN dfreq USING (term), n
+    WHERE tf.doc_id % 10 = 0
     """,
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1705,102 +1818,31 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("terms", "source.dataframe", df=terms)
         .step("tl", "term_lookup", ["documents", "terms"],
               text_col="text", term_col="term")
-        .step("prj", "select", "tl", columns=["doc_id", "term", "term_count"])
+        .step("ti", "text.tfidf", "documents", id_col="doc_id",
+              text_col="text", min_df=5)
+        .step("tif", "filter", "ti", predicate="[doc_id] % 10 == 0")
     )
-    return run_pipeline(spark, p).df("prj")
-
-
-@query(
-    "q54_script_component",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity * l_extendedprice AS DOUBLE) AS qty_price,
-           CAST(l_quantity AS DOUBLE) - 25.0 AS qty_centered
-    FROM lineitem WHERE l_orderkey % 40 = 0
-    """,
-)
-def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Script Component (vectorized pandas batch) — the UDF escape hatch.
-    The computation is deliberately arithmetic so the oracle stays exact
-    (same IEEE doubles either way)."""
-
-    def fn(pdf):
-        pdf = pdf.assign(
-            qty_price=pdf.l_quantity * pdf.l_extendedprice,
-            qty_centered=pdf.l_quantity - 25.0,
-        )
-        return pdf[["l_orderkey", "l_linenumber", "qty_price", "qty_centered"]]
-
-    p = (
-        _p("q54", sf_dir, "lineitem")
-        .step("flt", "filter", "lineitem", predicate="[l_orderkey] % 40 == 0")
-        .step("sc", "script", "flt", fn=fn,
-              schema="l_orderkey bigint, l_linenumber int, "
-                     "qty_price double, qty_centered double")
+    r = run_pipeline(spark, p)
+    lk = r.df("tl").select(
+        F.lit("lookup").alias("kind"), "doc_id", "term",
+        F.col("term_count").cast("bigint").alias("cnt"),
+        F.lit(None).cast("bigint").alias("df"),
+        F.lit(None).cast("double").alias("tfidf"),
     )
-    return run_pipeline(spark, p).df("sc")
-
-
-@query(
-    "q55_session_window",
-    oracle="""
-    WITH x AS (
-      SELECT user_id, ts,
-             CASE WHEN LAG(ts) OVER w IS NULL
-                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
-    FROM x GROUP BY user_id
-    """,
-)
-def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session_window (batch mode) — same semantics as the lag/gap
-    sessionization oracle: a session extends while consecutive events are
-    within 30 minutes."""
-    p = Pipeline("q55").step(
-        "events", "source.parquet", path=f"{sf_dir}/events.parquet",
-        nanos_ts_cols=["ts"],
+    ti = r.df("tif").select(
+        F.lit("tfidf").alias("kind"), "doc_id", "term",
+        F.col("tf").cast("bigint").alias("cnt"), F.col("df").cast("bigint"),
+        F.col("tfidf").cast("double"),
     )
-    events = run_pipeline(spark, p).df("events")
-    per_session = events.groupBy(
-        F.session_window("ts", "30 minutes"), "user_id"
-    ).agg(F.count(F.lit(1)).alias("n"))
-    return per_session.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events")
-    )
-
-
-@query(
-    "q56_sliding_window",
-    oracle="""
-    WITH starts AS (
-      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type
-      FROM events
-      UNION ALL
-      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR, event_type
-      FROM events)
-    SELECT window_start, event_type, COUNT(*) AS n
-    FROM starts GROUP BY 1, 2
-    """,
-)
-def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (2h window, 1h slide): every event lands in exactly
-    two windows."""
-    p = Pipeline("q56").step(
-        "events", "source.parquet", path=f"{sf_dir}/events.parquet",
-        nanos_ts_cols=["ts"],
-    )
-    events = run_pipeline(spark, p).df("events")
-    return (
-        events.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("window.start").alias("window_start"), "event_type", "n")
-    )
+    return lk.unionByName(ti)
 
 
 @query(
     "q57_bigjoin_revenue",
+    # Merged q57+q59: the big-big shuffle join now reads BOTH fact tables
+    # through source.sql (OLE DB Source query mode, AccessMode=2) over the
+    # registered views — filters stay in the SQL text and still reach the
+    # parquet scans as pushed predicates.
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_lines,
@@ -1815,15 +1857,22 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big-big shuffle join (TPC-H Q3/Q4 shape): both sides filtered at the
-    scan, one shuffle on the join key, partial-agg after. The plan AQE
-    should pick: SMJ or shuffled-hash with both filters pushed down."""
+    scan via query-mode sources, one shuffle on the join key, partial-agg
+    after. The plan AQE should pick: SMJ or shuffled-hash with both
+    filters pushed down."""
+    from ssis_to_pyspark_agent_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     p = (
-        _p("q57", sf_dir, "orders", "lineitem")
-        .step("of", "filter", "orders",
-              predicate="o_orderdate >= timestamp'1995-01-01 00:00:00'", sql=True)
-        .step("lf", "filter", "lineitem",
-              predicate="l_shipdate >= timestamp'1995-01-01 00:00:00'", sql=True)
+        Pipeline("q57")
+        .step("of", "source.sql",
+              query="SELECT o_orderkey, o_orderpriority FROM orders "
+                    "WHERE o_orderdate >= timestamp'1995-01-01 00:00:00'")
+        .step("lf", "source.sql",
+              query="SELECT l_orderkey, l_extendedprice, l_discount "
+                    "FROM lineitem "
+                    "WHERE l_shipdate >= timestamp'1995-01-01 00:00:00'")
         .step("j", "join", ["of", "lf"], how="inner",
               keys=[("o_orderkey", "l_orderkey")],
               select_left=["o_orderpriority"],
@@ -1872,30 +1921,6 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rel("p50_qty_approx", "p50_qty") <= 0.02).alias("p50_ok"),
         (rel("p95_price_approx", "p95_price") <= 0.01).alias("p95_ok"),
     )
-
-
-# STRING (not VARCHAR): the one spelling both Spark SQL and DuckDB accept
-_Q59_SQL = """
-    SELECT n.n_name AS nation, COUNT(*) AS n_customers,
-           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
-             AS total_balance
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE c.c_acctbal > 0
-    GROUP BY n.n_name
-"""
-
-
-@query("q59_sql_query_source", oracle=_Q59_SQL)
-def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OLE DB Source in query mode (AccessMode=2): an arbitrary SELECT is
-    the source (reference enhanced_json_mapper.py:1572-1590 emits
-    spark.sql). The same SQL text runs as the DuckDB oracle — Spark SQL and
-    DuckDB agree on this dialect subset."""
-    from ssis_to_pyspark_agent_spark.sources.catalog import register_views
-
-    register_views(spark, sf_dir)
-    p = Pipeline("q59").step("src", "source.sql", query=_Q59_SQL)
-    return run_pipeline(spark, p).df("src")
 
 
 @query(
@@ -1967,108 +1992,6 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q62_dedup_connected_components",
-    oracle=f"""
-    WITH RECURSIVE docs AS (
-      SELECT doc_id, n_chars, string_split({_NORM_SQL}, ' ') AS words
-      FROM documents),
-    sh AS (SELECT doc_id, n_chars, {_SHINGLE_SQL} AS shingles FROM docs),
-    pairs AS (
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM sh a JOIN sh b
-        ON a.doc_id < b.doc_id
-       AND floor(a.n_chars / 64) - floor(b.n_chars / 64) BETWEEN -1 AND 1
-      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
-    edges AS (SELECT a AS x, b AS y FROM pairs
-              UNION SELECT b, a FROM pairs),
-    reach AS (
-      SELECT x, y FROM edges
-      UNION
-      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
-    comp AS (
-      SELECT d.doc_id,
-             LEAST(d.doc_id, COALESCE(MIN(r.y), d.doc_id)) AS comp
-      FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
-      GROUP BY d.doc_id)
-    SELECT doc_id, comp FROM comp
-    """,
-)
-def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected-components clustering of near-dup pairs (transitive
-    closure): the iterative min-label propagation vs a recursive-CTE
-    reachability oracle."""
-    p = (
-        _p("q62", sf_dir, "documents")
-        .step("dd", "dedup.ngram_jaccard", "documents",
-              id_col="doc_id", text_col="text", shingle_k=3, threshold=0.5,
-              block_exprs=["floor(n_chars / 64)", "floor(n_chars / 64) + 1"],
-              return_pairs=True)
-        .step("cc", "dedup.cluster", ["documents", "dd.pairs"], id_col="doc_id")
-        .step("prj", "select", "cc.components", columns=["doc_id", "comp"])
-    )
-    return run_pipeline(spark, p).df("prj")
-
-
-@query(
-    "q63_tfidf",
-    oracle=f"""
-    WITH words AS (
-      SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words
-           WHERE term != '' GROUP BY doc_id, term),
-    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-              HAVING COUNT(*) >= 5),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents)
-    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-           round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1), 6) AS tfidf
-    FROM tf JOIN dfreq USING (term), n
-    WHERE tf.doc_id % 10 = 0
-    """,
-)
-def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact TF-IDF (Term Extraction analogue + SURVEY §2.12 text
-    analysis), restricted to every 10th doc for output size."""
-    p = (
-        _p("q63", sf_dir, "documents")
-        .step("ti", "text.tfidf", "documents", id_col="doc_id",
-              text_col="text", min_df=5)
-        .step("flt", "filter", "ti", predicate="[doc_id] % 10 == 0")
-    )
-    return run_pipeline(spark, p).df("flt")
-
-
-@query(
-    "q64_sessionize_ids",
-    oracle="""
-    WITH x AS (
-      SELECT event_id, user_id, ts,
-             CASE WHEN LAG(ts) OVER w IS NULL
-                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-    SELECT event_id, user_id,
-           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
-             AS session_id
-    FROM x
-    """,
-)
-def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-class sessionize operator: per-event session index."""
-    p = (
-        Pipeline("q64")
-        .step("events", "source.parquet", path=f"{sf_dir}/events.parquet",
-              nanos_ts_cols=["ts"])
-        .step("s", "sessionize", "events", key=["user_id"], ts_col="ts",
-              gap_seconds=1800, order_tiebreak="event_id")
-        .step("prj", "select", "s", columns=["event_id", "user_id", "session_id"])
-    )
-    return run_pipeline(spark, p).df("prj")
-
-
-@query(
     "q65_quality_gate",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal FROM customer
@@ -2089,25 +2012,6 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("prj", "select", "qc.out",
               columns=["c_custkey", "c_name", "c_acctbal"])
     )
-    return run_pipeline(spark, p).df("prj")
-
-
-@query(
-    "q66_incremental_load",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_orderdate FROM orders
-    WHERE o_orderdate > TIMESTAMP '1998-06-01 00:00:00'
-    """,
-)
-def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """High-watermark incremental load (the SSIS variable-driven WHERE):
-    context carries the watermark; the operator filters and advances it."""
-    p = Pipeline("q66", variables={"watermark": "1998-06-01 00:00:00"})
-    p.step("orders", "source.parquet", path=f"{sf_dir}/orders.parquet")
-    p.step("inc", "incremental_load", "orders", watermark_col="o_orderdate",
-           var="watermark", eager=False)
-    p.step("prj", "select", "inc",
-           columns=["o_orderkey", "o_custkey", "o_orderdate"])
     return run_pipeline(spark, p).df("prj")
 
 
@@ -2133,162 +2037,7 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q68_datepart_sweep",
-    oracle="""
-    SELECT o_orderkey,
-           o_orderdate + INTERVAL 12 MONTH   AS add_y,
-           o_orderdate + INTERVAL 9 MONTH    AS add_q,
-           o_orderdate + INTERVAL 14 DAY     AS add_w,
-           o_orderdate + INTERVAL 5 HOUR     AS add_hh,
-           o_orderdate + INTERVAL 90 MINUTE  AS add_mi,
-           o_orderdate + INTERVAL 3601 SECOND AS add_ss,
-           date_diff('year',    CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS diff_y,
-           date_diff('quarter', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS diff_q,
-           date_diff('month',   CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS diff_m,
-           date_diff('week',    CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS diff_w,
-           CAST(date_diff('hour',   CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS BIGINT) AS diff_hh,
-           CAST(date_diff('minute', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS BIGINT) AS diff_mi,
-           CAST(date_diff('second', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '2025-03-15 12:30:45') AS BIGINT) AS diff_ss,
-           dayofyear(o_orderdate)      AS dp_doy,
-           weekofyear(o_orderdate)     AS dp_wk,
-           dayofweek(o_orderdate) + 1  AS dp_dw
-    FROM orders WHERE o_orderkey % 17 = 0
-    """,
-)
-def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full datepart sweep for the SSIS date function library (SURVEY
-    §2.3: DATEADD/DATEDIFF/DATEPART dispatch, expression_translator.py:
-    25-29's single-function mapping widened to every T-SQL datepart we
-    support). DATEDIFF is boundary-crossing (T-SQL semantics), which is
-    exactly DuckDB's date_diff, so every part is oracle-exact; weekday
-    numbering differs by engine (Spark dayofweek: Sunday=1, DuckDB: 0) —
-    the oracle compensates."""
-    ts = '(DT_DBTIMESTAMP)"2025-03-15 12:30:45"'
-    p = (
-        _p("q68", sf_dir, "orders")
-        .step("flt", "filter", "orders", predicate="[o_orderkey] % 17 == 0")
-        .step("drv", "derived_column", "flt", columns={
-            "add_y": 'DATEADD("year", 1, [o_orderdate])',
-            "add_q": 'DATEADD("quarter", 3, [o_orderdate])',
-            "add_w": 'DATEADD("week", 2, [o_orderdate])',
-            "add_hh": 'DATEADD("hour", 5, [o_orderdate])',
-            "add_mi": 'DATEADD("minute", 90, [o_orderdate])',
-            "add_ss": 'DATEADD("second", 3601, [o_orderdate])',
-            "diff_y": f'DATEDIFF("year", [o_orderdate], {ts})',
-            "diff_q": f'DATEDIFF("quarter", [o_orderdate], {ts})',
-            "diff_m": f'DATEDIFF("month", [o_orderdate], {ts})',
-            "diff_w": f'DATEDIFF("week", [o_orderdate], {ts})',
-            "diff_hh": f'DATEDIFF("hour", [o_orderdate], {ts})',
-            "diff_mi": f'DATEDIFF("minute", [o_orderdate], {ts})',
-            "diff_ss": f'DATEDIFF("second", [o_orderdate], {ts})',
-            "dp_doy": 'DATEPART("dayofyear", [o_orderdate])',
-            "dp_wk": 'DATEPART("week", [o_orderdate])',
-            "dp_dw": 'DATEPART("weekday", [o_orderdate])',
-        })
-        .step("prj", "select", "drv", columns=[
-            "o_orderkey", "add_y", "add_q", "add_w", "add_hh", "add_mi",
-            "add_ss", "diff_y", "diff_q", "diff_m", "diff_w", "diff_hh",
-            "diff_mi", "diff_ss", "dp_doy", "dp_wk", "dp_dw",
-        ])
-    )
-    return run_pipeline(spark, p).df("prj")
-
-
-# ===========================================================================
-# Analytic-surface widening: grouping sets, window suite, exact statistics,
-# percentiles, classic TPC-H shapes, ordered string aggregation
-# ===========================================================================
-
-
-@query(
-    "q69_grouping_sets",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-    """,
-)
-def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS through the aggregate operator (SURVEY §2.7 row
-    'Grouping sets / cube / rollup' — not in the reference; Spark gives it
-    via DataFrame.groupingSets). Rolled-up keys surface as NULLs, which is
-    unambiguous here because the keys are non-null in the data."""
-    p = _p("q69", sf_dir, "lineitem").step(
-        "agg", "aggregate", "lineitem",
-        keys=["l_returnflag", "l_linestatus"],
-        mode="grouping_sets",
-        grouping_sets=[["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
-        aggs={"sum_qty": _dsum("l_quantity"), "n": ("count", "*")},
-    )
-    return run_pipeline(spark, p).df("agg")
-
-
-@query(
-    "q70_window_suite",
-    oracle="""
-    SELECT o_orderkey, o_orderstatus,
-           row_number()   OVER w1 AS rn,
-           lag(o_totalprice)  OVER w1 AS lag_price,
-           lead(o_totalprice) OVER w1 AS lead_price,
-           ntile(4)       OVER w1 AS quartile,
-           count(*)       OVER (w1 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (w1 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS run_price,
-           first_value(o_totalprice) OVER (w1 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv,
-           last_value(o_totalprice)  OVER (w1 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
-           rank()         OVER w2 AS rk,
-           dense_rank()   OVER w2 AS drk,
-           percent_rank() OVER w2 AS prk,
-           cume_dist()    OVER w2 AS cd
-    FROM orders WHERE o_orderkey % 7 = 0
-    WINDOW w1 AS (PARTITION BY o_orderstatus ORDER BY o_orderkey),
-           w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
-    """,
-)
-def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking/offset/frame window functions as one suite through the
-    `window` operator (SURVEY §2.10: the reference has NO window functions;
-    first-class here). Offset functions are ordered by the unique order key
-    (total order -> deterministic); ranking functions are ordered by the
-    5-value priority so ties exercise rank vs dense_rank vs percent_rank.
-    The running SUM goes through DECIMAL(18,4) in both engines: windowed
-    double summation trees differ between engines, exact decimal does not."""
-    part, okey = ["o_orderstatus"], [("o_orderkey", "asc")]
-    p = (
-        _p("q70", sf_dir, "orders")
-        .step("flt", "filter", "orders", predicate="[o_orderkey] % 7 == 0")
-        .step("w1", "window", "flt", partition_by=part, order_by=okey,
-              columns={"rn": ("row_number",),
-                       "lag_price": ("lag", "o_totalprice"),
-                       "lead_price": ("lead", "o_totalprice"),
-                       "quartile": ("ntile", 4)})
-        .step("w2", "window", "w1", partition_by=part, order_by=okey,
-              frame=("rows", "unbounded", "current"),
-              columns={"run_cnt": ("count", "o_orderkey"),
-                       "_run_price_dec": ("sum", _dec("o_totalprice"))})
-        .step("w3", "window", "w2", partition_by=part, order_by=okey,
-              frame=("rows", "unbounded", "unbounded_following"),
-              columns={"fv": ("first", "o_totalprice"),
-                       "lv": ("last", "o_totalprice")})
-        .step("w4", "window", "w3", partition_by=part,
-              order_by=[("o_orderpriority", "asc")],
-              columns={"rk": ("rank",), "drk": ("dense_rank",),
-                       "prk": ("percent_rank",), "cd": ("cume_dist",)})
-        .step("drv", "derived_column", "w4", columns={
-            "run_price": F.col("_run_price_dec").cast("string").cast("double"),
-        })
-        .step("prj", "select", "drv", columns=[
-            "o_orderkey", "o_orderstatus", "rn", "lag_price", "lead_price",
-            "quartile", "run_cnt", "run_price", "fv", "lv", "rk", "drk",
-            "prk", "cd",
-        ])
-    )
-    return run_pipeline(spark, p).df("prj")
-
-
-@query(
-    "q71_stats_exact",
+    "q71_stats_percentiles",
     oracle="""
     WITH s AS (
       SELECT l_returnflag,
@@ -2299,14 +2048,20 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- common storage type, and two int64 decimals overflow int64
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sxx,
              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS syy,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+             quantile_cont(l_quantity, 0.25) AS p25_qty,
+             quantile_cont(l_quantity, 0.50) AS p50_qty,
+             quantile_cont(l_quantity, 0.75) AS p75_qty,
+             median(l_quantity) AS med_qty,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, n,
            (sxx - (sx * sx) / n) / (n - 1) AS var_qty,
            sqrt((sxx - (sx * sx) / n) / (n - 1)) AS stddev_qty,
            (sxy - (sx * sy) / n) / (n - 1) AS covar_qty_price,
            (n * sxy - sx * sy) /
-             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           p25_qty, p50_qty, p75_qty, med_qty, min_qty, max_qty
     FROM s
     """,
 )
@@ -2333,6 +2088,12 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sxx": F.sum(dq * dq).cast("string").cast("double"),
             "syy": F.sum(de * de).cast("string").cast("double"),
             "sxy": F.sum(dq * de).cast("string").cast("double"),
+            "p25_qty": F.percentile("l_quantity", 0.25),
+            "p50_qty": F.percentile("l_quantity", 0.50),
+            "p75_qty": F.percentile("l_quantity", 0.75),
+            "med_qty": ("median", "l_quantity"),
+            "min_qty": ("min", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
         })
         .step("drv", "derived_column", "s", columns={
             "var_qty": (sxx - (sx * sx) / n) / (n - 1),
@@ -2344,40 +2105,10 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("prj", "select", "drv", columns=[
             "l_returnflag", "n", "var_qty", "stddev_qty",
             "covar_qty_price", "corr_qty_price",
+            "p25_qty", "p50_qty", "p75_qty", "med_qty", "min_qty", "max_qty",
         ])
     )
     return run_pipeline(spark, p).df("prj")
-
-
-@query(
-    "q72_percentiles",
-    oracle="""
-    SELECT l_returnflag,
-           quantile_cont(l_quantity, 0.25) AS p25_qty,
-           quantile_cont(l_quantity, 0.50) AS p50_qty,
-           quantile_cont(l_quantity, 0.75) AS p75_qty,
-           median(l_quantity) AS med_qty,
-           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation) + median. Oracle-exact
-    because l_quantity is integer-valued and the interpolation fractions
-    are dyadic (0/.25/.5/.75): both engines' a + f*(b-a) is exact. At
-    100 TB you'd flip these to approx_percentile (single-pass sketch) —
-    exposed as the 'percentile' agg spec; q58 covers the approx path."""
-    p = _p("q72", sf_dir, "lineitem").step(
-        "agg", "aggregate", "lineitem", keys=["l_returnflag"], aggs={
-            "p25_qty": F.percentile("l_quantity", 0.25),
-            "p50_qty": F.percentile("l_quantity", 0.50),
-            "p75_qty": F.percentile("l_quantity", 0.75),
-            "med_qty": ("median", "l_quantity"),
-            "min_qty": ("min", "l_quantity"),
-            "max_qty": ("max", "l_quantity"),
-        },
-    )
-    return run_pipeline(spark, p).df("agg")
 
 
 @query(
@@ -2461,31 +2192,6 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
               keys=[("revenue", "desc"), ("c_custkey", "asc")])
     )
     return run_pipeline(spark, p).df("top")
-
-
-@query(
-    "q75_string_agg",
-    oracle="""
-    SELECT o_orderstatus,
-           array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
-           COUNT(DISTINCT o_orderpriority) AS n_prios
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered distinct string aggregation: collect_set -> array_sort ->
-    array_join makes the concatenation order-insensitive to partitioning
-    (collect_list order is nondeterministic under parallelism — never
-    expose it unsorted)."""
-    p = _p("q75", sf_dir, "orders").step(
-        "agg", "aggregate", "orders", keys=["o_orderstatus"], aggs={
-            "priorities": F.array_join(
-                F.array_sort(F.collect_set("o_orderpriority")), "|"
-            ),
-            "n_prios": ("count_distinct", "o_orderpriority"),
-        },
-    )
-    return run_pipeline(spark, p).df("agg")
 
 
 _Q76_COL = """
@@ -2626,32 +2332,3 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q79_stratified_sample",
-    oracle="""
-    SELECT o_orderstatus, COUNT(*) AS n,
-           COUNT(DISTINCT o_orderkey) AS n_keys
-    FROM orders
-    WHERE o_orderkey % 10000 < (CASE o_orderstatus WHEN 'F' THEN 0.5
-                                                   WHEN 'O' THEN 0.1
-                                                   ELSE 0.02 END) * 10000
-    GROUP BY o_orderstatus
-    """,
-)
-def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling: per-stratum rates (the training-data mixture
-    rebalancing primitive — e.g. downweight boilerplate-heavy domains).
-    Pure filter, no shuffle, survives pushdown at 100 TB. The mod variant
-    here is engine-neutral for the oracle; production uses the hashed
-    default (robust to clumpy key distributions)."""
-    p = (
-        _p("q79", sf_dir, "orders")
-        .step("s", "sample", "orders", method="stratified",
-              strata_col="o_orderstatus", key=["o_orderkey"], mod=True,
-              fractions={"F": 0.5, "O": 0.1}, default_fraction=0.02)
-        .step("agg", "aggregate", "s", keys=["o_orderstatus"], aggs={
-            "n": ("count", "*"),
-            "n_keys": ("count_distinct", "o_orderkey"),
-        })
-    )
-    return run_pipeline(spark, p).df("agg")

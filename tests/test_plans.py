@@ -43,12 +43,15 @@ class TestScanPushdown:
             assert "l_partkey" not in schema
 
     def test_engine_filter_op_pushes_ssis_expression(self, spark):
-        df = QUERIES["q23_sample_mod"](spark, SF)
+        df = QUERIES["q23_sampling_modes"](spark, SF)
         # modulo predicate compiled from the operator reaches the scan as a
         # data filter (partial pushdown) rather than a post-scan-only filter
         assert "Filter" in plan_of(df)
 
     def test_q09_split_scan_pruned(self, spark):
+        # earlier tests may have cached a full-width orders relation;
+        # Spark's cache plan-matching would substitute it into this scan
+        spark.catalog.clearCache()
         df = QUERIES["q09_conditional_split_route"](spark, SF)
         schemas = read_schemas(df)
         assert schemas, "expected a parquet scan"
@@ -71,17 +74,17 @@ class TestJoinStrategies:
     def test_term_lookup_is_equi_join_not_cartesian(self, spark):
         # explode + broadcast equi-join: linear in tokens; a crossJoin here
         # would be O(docs x terms x doc_len) — a 100 TB scale-killer
-        df = QUERIES["q53_term_lookup"](spark, SF)
+        df = QUERIES["q53_term_text_stats"](spark, SF)
         p = plan_of(df)
         assert "BroadcastHashJoin" in p
         assert "BroadcastNestedLoopJoin" not in p
         assert "CartesianProduct" not in p
 
     def test_semi_anti_strategies(self, spark):
-        semi = QUERIES["q06_join_semi"](spark, SF)
-        anti = QUERIES["q07_join_anti"](spark, SF)
-        assert "LeftSemi" in plan_of(semi)
-        assert "LeftAnti" in plan_of(anti)
+        both = QUERIES["q06_join_semi_anti"](spark, SF)
+        p = plan_of(both)
+        assert "LeftSemi" in p
+        assert "LeftAnti" in p
 
 
 class TestAggregation:
@@ -92,7 +95,7 @@ class TestAggregation:
         assert p.count("Exchange") >= 1
 
     def test_single_shuffle_for_groupby(self, spark):
-        df = QUERIES["q51_agg_distinct"](spark, SF)
+        df = QUERIES["q51_agg_distinct_stringagg"](spark, SF)
         # count(distinct) expands but must not multiply base-table scans
         assert plan_of(df).count("Scan parquet") == 1
 
