@@ -177,6 +177,18 @@ def parquet_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
 @operator("sink.table")
 def table_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     df: DataFrame = inputs[0]
+    if config.get("align_columns"):
+        # SSIS destination semantics: unmapped target columns get NULL.
+        # Align the frame to the existing table's schema by name.
+        tgt = spark.table(config["table"]).schema
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in tgt.fields
+            ]
+        )
     w = df.write.mode(config.get("mode", "append"))
     if pb := config.get("partition_by"):
         w = w.partitionBy(*pb)

@@ -1,0 +1,169 @@
+"""DTSX front-end round-trip: parse the reference's two fixture packages
+from raw XML into TaskGraph/Pipeline and EXECUTE them (the reference stops
+at codegen — ``parsing/data_engineering_parser.py:28-59`` — and never runs
+its fixtures; here the parse target is the live engine).
+
+The Medium test asserts FAITHFUL execution of what the XML actually says —
+including its quirk that DER_NullableColumns replaces NULL checksums with
+sentinels BEFORE DER_ProcessingFlags computes the ISNULL-based routing
+flags, which routes feed-only/existing-only rows to UPDATE rather than
+INSERT/DELETE. A translator must reproduce the package, not its intent
+(the intended business logic lives in the q50 catalog query)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from ssis_to_pyspark_agent_spark.parsing import parse_package
+from ssis_to_pyspark_agent_spark.plans.control import run_task_graph
+
+SIMPLE = "/root/reference/input-sample packages/Sample_Simple_Package.dtsx"
+MEDIUM = "/root/reference/input-sample packages/Sample_Medium_Package.dtsx"
+
+
+@pytest.fixture()
+def warehouse_cleanup(spark):
+    yield
+    for t in ("src_generictable", "dst_generictable"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_simple_package_roundtrip(spark, sf_dir, warehouse_cleanup):
+    """XML -> TaskGraph -> run: TRUNCATE -> dataflow (source.sql ->
+    row_count -> append destination) -> INSERT defaults."""
+    pkg = parse_package(SIMPLE)
+    assert [t.kind for t in pkg.task_graph.tasks] == ["sql", "pipeline", "sql"]
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey AS ID", "c_name AS Name", "c_acctbal AS Value",
+        "c_mktsegment AS Status",
+    ).createOrReplaceTempView("src_inputtable")
+    spark.sql("DROP TABLE IF EXISTS src_generictable")
+    spark.sql(
+        "CREATE TABLE src_generictable "
+        "(ID bigint, Name string, Value double, Status string)"
+    )
+
+    results, ctx = run_task_graph(spark, pkg.task_graph)
+
+    n_src = spark.table("src_inputtable").count()
+    assert ctx["VAR_RowCount"] == n_src
+    final = spark.table("src_generictable")
+    assert final.count() == n_src + 2
+    assert {r.Name for r in final.filter("ID < 0").collect()} == {
+        "Unknown", "Not Applicable",
+    }
+    assert all(r.status == "success" for r in results.values())
+
+
+def _medium_tables(spark):
+    # the XML's source SQL reads a physical [Status] column and maps it
+    # positionally onto the declared CategoryDescription output
+    spark.createDataFrame(
+        [(100, "US", "Books"), (200, "DE", "Games"), (300, "FR", "Tools"),
+         (999, "US", "Books")],
+        "CategoryCode int, CountryCode string, Status string",
+    ).createOrReplaceTempView("src_inputtable")
+    spark.createDataFrame(
+        [(7, "Books"), (8, "Games"), (9, "Tools")],
+        "LocalCategoryID int, CategoryDescription string",
+    ).createOrReplaceTempView("lkp_localcategorytable")
+    spark.createDataFrame(
+        [(10, 100), (20, 200), (30, 300)],
+        "CategoryID int, CategoryCode int",
+    ).createOrReplaceTempView("lkp_categorytable")
+    spark.createDataFrame(
+        [(1, "US"), (2, "DE"), (3, "FR")],
+        "CountryID int, CountryCode string",
+    ).createOrReplaceTempView("lkp_countrytable")
+    spark.sql("DROP TABLE IF EXISTS dst_generictable")
+    spark.sql(
+        "CREATE TABLE dst_generictable (CountryID int, CategoryID int, "
+        "LocalCategoryID int, ETLCheckSum int, DeletedFlag int)"
+    )
+    spark.sql(
+        "INSERT INTO dst_generictable VALUES "
+        "(1, 10, 7, 18, 0), "    # matches feed checksum 1+10+7 -> unchanged
+        "(2, 20, 8, 31, 0), "    # checksum mismatch (31 vs 30) -> UPDATE
+        "(4, 40, 9, 99, 0), "    # existing-only, live
+        "(5, 50, 3, 77, 1), "    # existing-only, already deleted
+        "(-1, -10, 0, 0, 0), "   # default rows (CountryID in (-1,-2))
+        "(-2, -20, 0, 0, 0)"
+    )
+
+
+def test_medium_package_roundtrip(spark, warehouse_cleanup):
+    _medium_tables(spark)
+    pkg = parse_package(
+        MEDIUM,
+        sql_overrides={
+            # EXEC sp_GenericGetWorkHistoryID ? OUTPUT has no Spark
+            # equivalent; the variable's default (-1) stands in
+            "SQL_Set_TaskWorkHistoryID": "SELECT 1 AS ok",
+        },
+        command_targets={
+            # proc params -> target columns of the table each proc mutates
+            "CMD_SP": {
+                "table": "dst_generictable",
+                "keys": ["CountryID", "CategoryID"],
+                "column_map": {"CheckSum_New": "ETLCheckSum",
+                               "WorkHistoryID": None, "TemplateFlag": None},
+            },
+            "CMD_Delete": {
+                "table": "dst_generictable",
+                "keys": ["CountryID", "CategoryID"],
+                "column_map": {"WorkHistoryID": None},
+            },
+        },
+    )
+    assert pkg.task_graph.variables["TaskWorkHistoryID"] == -1
+
+    results, ctx = run_task_graph(spark, pkg.task_graph)
+    assert all(r.status == "success" for r in results.values()), {
+        k: (v.status, v.error) for k, v in results.items()
+    }
+
+    # guard: SELECT COUNT(*) binding drove the DFT precedence expression
+    assert ctx["SourceRowCount"] == 4
+
+    # dataflow row counts, per faithful XML semantics (see module docstring):
+    assert ctx["VAR_SelectRowCount"] == 4            # raw feed
+    assert ctx["VAR_SelectRowCountExisting"] == 6    # existing side
+    assert ctx["VAR_TotalRowCount"] == 7             # 3 enriched + 6 - 2 overlap
+    assert ctx["VAR_InsertRowCount"] == 0            # sentinel-replacement quirk
+    assert ctx["VAR_UpdateRowCount"] == 4            # (2,20),(3,30),(4,40),(5,50)
+    assert ctx["VAR_DeleteRowCount"] == 0
+    assert ctx["VAR_DefaultRowCount"] == 2           # the -1/-2 rows
+    assert ctx["VAR_TrashArrivedUnchanged"] == 1     # (1,10) checksum match
+
+    # the set-based stored-proc rewrite: UPDATE touched exactly the matched
+    # existing keys; (3,30) came from the feed side (CountryID_OLD NULL) and
+    # matched nothing — SSIS "UPDATE of a missing key affects 0 rows"
+    run = results["DFT_Load"].run
+    updated = {
+        (r.CountryID, r.CategoryID): (r.LocalCategoryID, r.ETLCheckSum)
+        for r in run.df("CMD_SP").collect()
+    }
+    assert updated[(2, 20)] == (8, 30)        # new checksum applied
+    # NULL params keep target values (per_row_command coalesce semantics):
+    # the existing-only row keeps its LocalCategoryID, gets the -1 sentinel
+    assert updated[(4, 40)] == (9, -1)
+    assert (3, 30) not in updated             # feed-only key: 0-row update
+
+    # destination appended nothing (INSERT port empty by the XML's own
+    # routing) — the table still holds its 6 original keys
+    assert spark.table("dst_generictable").count() == 6
+
+
+def test_positional_alias_respects_declared_output_columns():
+    pkg = parse_package(MEDIUM, command_targets={
+        "CMD_SP": {"table": "t", "keys": ["CountryID", "CategoryID"]},
+        "CMD_Delete": {"table": "t", "keys": ["CountryID", "CategoryID"]},
+    })
+    src = next(s for s in pkg.pipelines["DFT_Load"].steps
+               if s.name == "OLE_SRC")
+    # the SQL spells [Status]; the declared output metadata wins
+    assert "AS CategoryDescription" in src.config["query"]
