@@ -96,25 +96,53 @@ def csv_source(spark: SparkSession, inputs, config, context) -> DataFrame:
 def json_source(spark: SparkSession, inputs, config, context) -> DataFrame:
     """JSON source (reference REST/JSON source,
     enhanced_json_mapper.py:134-152). `record_path` drills into a nested
-    array (the reference's JSON-path Filter) via explode."""
+    array (the reference's JSON-path Filter) via explode.
+
+    `url` (http/https) fetches the document ON THE DRIVER — an API
+    response is one bounded payload, not a distributed dataset; it lands
+    in a single-JSON-document DataFrame and the heavy lifting (explode,
+    downstream joins) is distributed. `headers`/`timeout` cover
+    auth-token APIs. For unbounded/paged feeds, land pages to storage
+    first and read them as files — a driver loop is not an ingestion
+    plane at 100 TB."""
+    if url := config.get("url"):
+        import json as _json
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, headers=config.get("headers", {"Accept": "application/json"})
+        )
+        with urllib.request.urlopen(
+            req, timeout=config.get("timeout", 30)
+        ) as resp:
+            payload = _json.loads(resp.read().decode("utf-8"))
+        df = spark.read.option("multiLine", "true").json(
+            spark.sparkContext.parallelize([_json.dumps(payload)])
+        )
+        return _drill_record_path(df, config.get("record_path"))
     r = spark.read
     if schema := config.get("schema"):
         r = r.schema(schema)
     df = r.option("multiLine", str(config.get("multiline", False)).lower()).json(
         config["path"]
     )
-    if rp := config.get("record_path"):
-        from pyspark.sql.types import ArrayType, StructType
+    return _drill_record_path(df, config.get("record_path"))
 
-        for part in rp.split("."):
-            dtype = df.schema[part].dataType
-            if isinstance(dtype, ArrayType):
-                df = df.select(F.explode(part).alias("_rec"))
-                inner = dtype.elementType
-                if isinstance(inner, StructType):
-                    df = df.select("_rec.*")
-            else:
-                df = df.select(f"{part}.*")
+
+def _drill_record_path(df: DataFrame, rp: str | None) -> DataFrame:
+    if not rp:
+        return df
+    from pyspark.sql.types import ArrayType, StructType
+
+    for part in rp.split("."):
+        dtype = df.schema[part].dataType
+        if isinstance(dtype, ArrayType):
+            df = df.select(F.explode(part).alias("_rec"))
+            inner = dtype.elementType
+            if isinstance(inner, StructType):
+                df = df.select("_rec.*")
+        else:
+            df = df.select(f"{part}.*")
     return df
 
 

@@ -99,6 +99,39 @@ class TestFileSources:
                  record_path="data.items")
         assert sorted((r.id, r.v) for r in df.collect()) == [(1, "x"), (2, "y")]
 
+    def test_json_source_http_fetch(self, spark):
+        """REST/API mode: fetch a JSON document over HTTP on the driver,
+        drill the record path, distribute the rest."""
+        import http.server
+        import threading
+
+        payload = (b'{"meta": {"page": 1}, '
+                   b'"data": {"items": [{"id": 1, "v": "x"},'
+                   b' {"id": 2, "v": "y"}]}}')
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            df = run("source.json", spark, [],
+                     url=f"http://127.0.0.1:{srv.server_port}/api",
+                     record_path="data.items")
+            assert sorted((r.id, r.v) for r in df.collect()) == [
+                (1, "x"), (2, "y"),
+            ]
+        finally:
+            srv.shutdown()
+
     def test_json_roundtrip(self, spark):
         path = os.path.join(SCRATCH, "json_out")
         df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
