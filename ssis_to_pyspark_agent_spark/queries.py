@@ -218,13 +218,18 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         _p("q06", sf_dir, "customer", "orders")
-        .step("big", "filter", "orders", predicate="[o_totalprice] > 300000")
-        .step("semi", "join", ["customer", "big"], how="left_semi",
+        # prune before the fan-out persist (two join consumers each side)
+        .step("cust", "select", "customer",
+              columns=["c_custkey", "c_name"])
+        .step("ok", "select", "orders",
+              columns=["o_custkey", "o_totalprice"])
+        .step("big", "filter", "ok", predicate="[o_totalprice] > 300000")
+        .step("semi", "join", ["cust", "big"], how="left_semi",
               keys=[("c_custkey", "o_custkey")],
               select_left=["c_custkey", "c_name"])
         .step("semi_t", "derived_column", "semi",
               columns={"port": '"has_big_order"'})
-        .step("anti", "join", ["customer", "orders"], how="left_anti",
+        .step("anti", "join", ["cust", "ok"], how="left_anti",
               keys=[("c_custkey", "o_custkey")],
               select_left=["c_custkey", "c_name"])
         .step("anti_t", "derived_column", "anti", columns={"port": '"no_orders"'})
@@ -510,11 +515,15 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ["l_returnflag", "l_linestatus"]
     aggs = {"n": ("count", "*"), "sum_qty": _dsum("l_quantity")}
     p = _p("q19", sf_dir, "lineitem")
-    p.step("ru", "aggregate", "lineitem", keys=keys, mode="rollup", aggs=aggs)
+    # prune before the fan-out persist: three aggregation consumers share
+    # one cached 3-column relation instead of the full 16-column table
+    p.step("prj0", "select", "lineitem",
+           columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    p.step("ru", "aggregate", "prj0", keys=keys, mode="rollup", aggs=aggs)
     p.step("ru_t", "derived_column", "ru", columns={"mode": '"rollup"'})
-    p.step("cu", "aggregate", "lineitem", keys=keys, mode="cube", aggs=aggs)
+    p.step("cu", "aggregate", "prj0", keys=keys, mode="cube", aggs=aggs)
     p.step("cu_t", "derived_column", "cu", columns={"mode": '"cube"'})
-    p.step("gs", "aggregate", "lineitem", keys=keys, mode="grouping_sets",
+    p.step("gs", "aggregate", "prj0", keys=keys, mode="grouping_sets",
            grouping_sets=[["l_returnflag", "l_linestatus"], ["l_linestatus"]],
            aggs=aggs)
     p.step("gs_t", "derived_column", "gs", columns={"mode": '"gsets"'})
@@ -620,11 +629,13 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_orderkey", "o_orderstatus"]
     p = (
         _p("q23", sf_dir, "orders")
-        .step("m", "sample", "orders", method="mod", key=["o_orderkey"],
+        # prune before the fan-out persist (two sample consumers)
+        .step("prj0", "select", "orders", columns=cols)
+        .step("m", "sample", "prj0", method="mod", key=["o_orderkey"],
               n=20, r=7)
         .step("m_t", "derived_column", "m", columns={"mode": '"mod"'})
         .step("m_p", "select", "m_t", columns=cols + ["mode"])
-        .step("s", "sample", "orders", method="stratified",
+        .step("s", "sample", "prj0", method="stratified",
               strata_col="o_orderstatus", key=["o_orderkey"], mod=True,
               fractions={"F": 0.5, "O": 0.1}, default_fraction=0.02)
         .step("s_t", "derived_column", "s", columns={"mode": '"stratified"'})
@@ -664,9 +675,12 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         _p("q24", sf_dir, "customer", "orders")
-        .step("t0", "filter", "customer", predicate="[c_custkey] % 3 == 0")
+        # prune before the fan-out persist (target + updates branches)
+        .step("cust", "select", "customer",
+              columns=["c_custkey", "c_name", "c_acctbal"])
+        .step("t0", "filter", "cust", predicate="[c_custkey] % 3 == 0")
         .step("target", "select", "t0", columns=["c_custkey", "c_name", "c_acctbal"])
-        .step("u0", "filter", "customer", predicate="[c_custkey] % 2 == 0")
+        .step("u0", "filter", "cust", predicate="[c_custkey] % 2 == 0")
         .step("u1", "derived_column", "u0", columns={"acct2": "[c_acctbal] + 1000"})
         .step("updates", "select", "u1",
               columns={"c_custkey": "c_custkey", "c_name": "c_name",
@@ -725,7 +739,7 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_to": F.lit(None).cast("timestamp"),
             "is_current": F.lit(True),
         })
-        .step("u0", "filter", "customer", predicate="[c_custkey] % 2 == 0")
+        .step("u0", "filter", "cust", predicate="[c_custkey] % 2 == 0")
         .step("upd", "derived_column", "u0", columns={
             "c_mktsegment": '[c_custkey] % 5 == 0 ? "CHANGED" : [c_mktsegment]',
         })
