@@ -123,19 +123,20 @@ def import_column(spark: SparkSession, inputs, config, context) -> DataFrame:
 
 @operator("source.xml")
 def xml_source(spark: SparkSession, inputs, config, context) -> DataFrame:
-    """XML Source (reference models.py:32, component_mapper.py:352). Needs
-    the spark-xml package on the classpath — not in this image."""
-    try:
-        return (
-            spark.read.format("xml")
-            .option("rowTag", config.get("row_tag", "row"))
-            .load(config["path"])
-        )
-    except Exception as exc:  # pragma: no cover — jar not present
-        raise NotImplementedError(
-            "source.xml requires the spark-xml package "
-            "(--packages com.databricks:spark-xml_2.13) on the cluster"
-        ) from exc
+    """XML Source (reference models.py:32, component_mapper.py:352).
+
+    Spark 4 ships native XML support (SPARK-44265) — fully distributed,
+    rowTag-based record splitting, no jar needed. `attribute_prefix`
+    defaults to '' so XML attributes land as plain columns (SSIS XML
+    Source semantics); set '_' for the Spark default."""
+    r = (
+        spark.read.format("xml")
+        .option("rowTag", config.get("row_tag", "row"))
+        .option("attributePrefix", config.get("attribute_prefix", ""))
+    )
+    if schema := config.get("schema"):
+        r = r.schema(schema)
+    return r.load(config["path"])
 
 
 @operator("source.jdbc")

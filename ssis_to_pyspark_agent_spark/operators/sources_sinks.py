@@ -148,24 +148,42 @@ def _drill_record_path(df: DataFrame, rp: str | None) -> DataFrame:
 
 @operator("source.excel")
 def excel_source(spark: SparkSession, inputs, config, context) -> DataFrame:
-    """Excel Source (reference enhanced_json_mapper.py:62-69 uses the
-    com.crealytics spark-excel package — not in this image). Falls back to
-    CSV when pointed at a .csv export; raises clearly for real .xlsx."""
+    """Excel Source (reference enhanced_json_mapper.py:62-69 emits the
+    com.crealytics spark-excel reader). Here: a stdlib .xlsx parser
+    (zip-of-XML subset: shared/inline strings, numbers, booleans) — real
+    spreadsheets are bounded artifacts (format caps at ~1M rows), so a
+    driver-side parse into a DataFrame is the honest scale story; .csv
+    exports route through the CSV reader."""
     path = config["path"]
     if path.endswith(".csv"):
         return csv_source(spark, inputs, config, context)
-    try:
-        r = spark.read.format("com.crealytics.spark.excel").option(
-            "header", str(config.get("header", True)).lower()
+    from ssis_to_pyspark_agent_spark.sources.xlsx import read_xlsx
+
+    rows = read_xlsx(path, sheet=config.get("sheet"))
+    header = config.get("header", True)
+    if header and rows:
+        names = [str(c) if c is not None else f"_c{i}"
+                 for i, c in enumerate(rows[0])]
+        rows = rows[1:]
+    else:
+        names = [f"_c{i}" for i in range(len(rows[0]) if rows else 0)]
+    df = spark.createDataFrame(
+        [tuple(r) for r in rows] or [tuple([None] * len(names))],
+        schema=names,
+    )
+    if not rows:
+        df = df.limit(0)
+    if schema := config.get("schema"):
+        # cast to a declared DDL schema (xlsx cells are untyped floats/strs)
+        from pyspark.sql.types import StructType
+
+        target = (
+            StructType.fromDDL(schema) if isinstance(schema, str) else schema
         )
-        if sheet := config.get("sheet"):
-            r = r.option("dataAddress", f"'{sheet}'!A1")
-        return r.load(path)
-    except Exception as exc:  # pragma: no cover — jar not present
-        raise NotImplementedError(
-            "source.excel requires the spark-excel package "
-            "(--packages com.crealytics:spark-excel) on the cluster"
-        ) from exc
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in target.fields]
+        )
+    return df
 
 
 @operator("source.binary")

@@ -1,0 +1,83 @@
+"""Minimal stdlib .xlsx reader (no jars, no third-party deps).
+
+An .xlsx file is a zip of XML parts; a tabular sheet needs only three:
+``xl/workbook.xml`` (sheet name -> sheet index), ``xl/sharedStrings.xml``
+(the string pool), ``xl/worksheets/sheetN.xml`` (cells). That subset —
+inline/shared strings, numbers, booleans — covers what SSIS's Excel
+Source reads (reference enhanced_json_mapper.py:62-69 delegates to the
+crealytics jar for the same job).
+
+Driver-side by design: spreadsheets are bounded artifacts (the format
+caps at ~1M rows); the parsed rows land in a DataFrame and everything
+downstream is distributed. Not a path for big data — that's parquet.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+import zipfile
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_REL_NS = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+           "relationships}")
+
+
+def _col_index(cell_ref: str) -> int:
+    """'C7' -> 2 (zero-based column)."""
+    letters = re.match(r"[A-Z]+", cell_ref).group(0)
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def read_xlsx(path: str, sheet: str | None = None) -> list[list]:
+    """Rows of python values (str/float/bool/None) from one sheet."""
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheets = wb.findall(f"{_NS}sheets/{_NS}sheet")
+        if sheet is None:
+            target = sheets[0]
+        else:
+            target = next(s for s in sheets if s.get("name") == sheet)
+        # resolve the relationship id to the worksheet part
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid = target.get(f"{_REL_NS}id")
+        rel = next(
+            r for r in rels
+            if r.get("Id") == rid
+        )
+        part = "xl/" + rel.get("Target").lstrip("/")
+
+        ws = ET.fromstring(z.read(part))
+        rows: list[list] = []
+        for row_el in ws.find(f"{_NS}sheetData").findall(f"{_NS}row"):
+            row: list = []
+            for c in row_el.findall(f"{_NS}c"):
+                idx = _col_index(c.get("r", "A1"))
+                while len(row) < idx:
+                    row.append(None)
+                ctype = c.get("t", "n")
+                v_el = c.find(f"{_NS}v")
+                is_el = c.find(f"{_NS}is")
+                if ctype == "s" and v_el is not None:
+                    val = shared[int(v_el.text)]
+                elif ctype == "inlineStr" and is_el is not None:
+                    val = "".join(t.text or "" for t in is_el.iter(f"{_NS}t"))
+                elif ctype == "b" and v_el is not None:
+                    val = v_el.text == "1"
+                elif v_el is not None and v_el.text is not None:
+                    val = float(v_el.text)
+                else:
+                    val = None
+                row.append(val)
+            rows.append(row)
+        width = max((len(r) for r in rows), default=0)
+        return [r + [None] * (width - len(r)) for r in rows]

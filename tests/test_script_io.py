@@ -161,9 +161,67 @@ class TestFileSources:
         rows = df.collect()
         assert len(rows) == 1 and bytes(rows[0].content) == b"\x01\x02"
 
-    def test_xml_source_raises_not_implemented(self, spark):
-        with pytest.raises(NotImplementedError, match="spark-xml"):
-            run("source.xml", spark, [], path="/nonexistent.xml")
+    def test_xml_source_native(self, spark):
+        path = os.path.join(SCRATCH, "recs.xml")
+        with open(path, "w") as fh:
+            fh.write(
+                "<feed><row id='1'><name>alpha</name><value>10.5</value>"
+                "</row><row id='2'><name>beta</name><value>20.0</value>"
+                "</row></feed>"
+            )
+        df = run("source.xml", spark, [], path=path,
+                 schema="id int, name string, value double")
+        assert sorted((r.id, r.name, r.value) for r in df.collect()) == [
+            (1, "alpha", 10.5), (2, "beta", 20.0),
+        ]
+
+    def test_excel_source_stdlib_xlsx(self, spark):
+        """Build a minimal real .xlsx (zip-of-XML) and read it back —
+        shared strings, inline strings, numbers, header row."""
+        import zipfile
+
+        path = os.path.join(SCRATCH, "book.xlsx")
+        sheet = (
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxml'
+            'formats.org/spreadsheetml/2006/main"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+            '<c r="B1" t="s"><v>1</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1.5</v></c>'
+            '</row>'
+            '<row r="3"><c r="A3" t="inlineStr"><is><t>beta</t></is></c>'
+            '<c r="B3"><v>2</v></c></row>'
+            '</sheetData></worksheet>'
+        )
+        strings = (
+            '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats'
+            '.org/spreadsheetml/2006/main" count="3" uniqueCount="3">'
+            '<si><t>name</t></si><si><t>value</t></si><si><t>alpha</t></si>'
+            '</sst>'
+        )
+        workbook = (
+            '<?xml version="1.0"?><workbook xmlns="http://schemas.openxml'
+            'formats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>'
+            '</workbook>'
+        )
+        rels = (
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+            'xmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org'
+            '/officeDocument/2006/relationships/worksheet" '
+            'Target="worksheets/sheet1.xml"/></Relationships>'
+        )
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("xl/workbook.xml", workbook)
+            z.writestr("xl/_rels/workbook.xml.rels", rels)
+            z.writestr("xl/sharedStrings.xml", strings)
+            z.writestr("xl/worksheets/sheet1.xml", sheet)
+        df = run("source.excel", spark, [], path=path,
+                 schema="name string, value double")
+        assert sorted((r.name, r.value) for r in df.collect()) == [
+            ("alpha", 1.5), ("beta", 2.0),
+        ]
 
 
 class TestSinkOptions:
