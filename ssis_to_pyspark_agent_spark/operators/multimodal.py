@@ -125,13 +125,17 @@ def features(spark: SparkSession, inputs, config, context) -> DataFrame:
         import struct as _struct
 
         def feat(b) -> list[float]:
+            # hex-string md5 chain (not digest-bytes): every step is
+            # md5(VARCHAR), so an engine-neutral SQL oracle can re-derive
+            # the exact pseudo-embedding (DuckDB has no md5(BLOB))
             payload = bytes(b) if b is not None else b""
             out: list[float] = []
-            seed = hashlib.md5(payload).digest()
+            seed_hex = hashlib.md5(payload).hexdigest()
             while len(out) < dim:
-                seed = hashlib.md5(seed).digest()
+                seed_hex = hashlib.md5(seed_hex.encode()).hexdigest()
                 out.extend(
-                    v / 2**31 for v in _struct.unpack("<4i", seed)
+                    v / 2**31
+                    for v in _struct.unpack("<4i", bytes.fromhex(seed_hex))
                 )
             return out[:dim]
 

@@ -2029,7 +2029,41 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_pipeline(spark, p).df("prj")
 
 
-@query("q67_multimodal_plumbing")  # rows-only: payloads are synthesized
+def _q67_feat_sql(round_hex: str, j: int) -> str:
+    """One little-endian int32 of an md5 hex string -> float32-rounded,
+    1e6-quantized bigint (mirrors the pseudo-embedding exactly)."""
+    b = (f"CAST(concat('0x', substr({round_hex}, {j*8+7}, 2), "
+         f"substr({round_hex}, {j*8+5}, 2), substr({round_hex}, {j*8+3}, 2), "
+         f"substr({round_hex}, {j*8+1}, 2)) AS BIGINT)")
+    signed = f"(CASE WHEN {b} >= 2147483648 THEN {b} - 4294967296 ELSE {b} END)"
+    return (f"CAST(round(CAST(CAST({signed} / 2147483648.0 AS FLOAT4) "
+            f"AS DOUBLE) * 1000000) AS BIGINT)")
+
+
+@query(
+    "q67_multimodal_plumbing",
+    # The decode stub and pseudo-embedding are deterministic functions of
+    # md5 over the payload bytes (= utf-8 text), and the feature chain
+    # hashes HEX STRINGS — both fully re-derivable in SQL, so even the
+    # stubbed multimodal path is hash-checked end to end. Floats exit as
+    # 1e6-quantized ints through an explicit FLOAT4 round (the engine's
+    # array<float> storage), making the comparison representation-stable.
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, md5(text) AS h0 FROM documents),
+    r AS (SELECT doc_id, md5(h0) AS h1, md5(md5(h0)) AS h2,
+                 CAST(concat('0x', substr(h0, 1, 2)) AS INT) AS b0,
+                 CAST(concat('0x', substr(h0, 3, 2)) AS INT) AS b1
+          FROM h)
+    SELECT doc_id,
+           64 + b0 % 192 AS decoded_width,
+           64 + b1 % 192 AS decoded_height,
+           TRUE AS decode_ok,
+           {", ".join(f'{_q67_feat_sql("h1", j)} AS f{j}' for j in range(4))},
+           {", ".join(f'{_q67_feat_sql("h2", j)} AS f{j + 4}' for j in range(4))}
+    FROM r
+    """,
+)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing through the gate: text bytes as opaque
     payloads -> magic-byte metadata -> Arrow-batched decode stub ->
@@ -2047,7 +2081,18 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
               columns=["doc_id", "decoded_width", "decoded_height",
                        "decode_ok", "features"])
     )
-    return run_pipeline(spark, p).df("prj")
+    df = run_pipeline(spark, p).df("prj")
+    # flatten to scalars: the driver's hash compare is safest on scalar
+    # columns (array renderings differ between pandas paths)
+    return df.select(
+        "doc_id", "decoded_width", "decoded_height", "decode_ok",
+        *[
+            F.round(F.col("features")[i].cast("double") * 1000000)
+            .cast("bigint")
+            .alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
 
 
 @query(

@@ -46,6 +46,12 @@ def _canon(v):
         return pd.Timestamp(v)
     if isinstance(v, (list, tuple)):
         return str([_canon(x) for x in v])
+    if hasattr(v, "tolist") and not hasattr(v, "strftime"):
+        # numpy array (DuckDB returns LIST columns as ndarrays) or scalar
+        lv = v.tolist()
+        if isinstance(lv, list):
+            return str([_canon(x) for x in lv])
+        return _canon(lv)
     return v
 
 
