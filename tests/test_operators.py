@@ -723,6 +723,25 @@ def test_stratified_sample_rates(spark):
     assert 200 < na < 300  # ~250 expected at 0.5 over 500
 
 
+def test_term_lookup_empty_inputs(spark):
+    """Explode + equi-join path: empty docs, empty dictionary, and docs
+    with no matches must all produce an empty (not failing) result."""
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id int, text string")
+    no_docs = docs.limit(0)
+    terms = spark.createDataFrame([("alpha",)], "term string")
+    no_terms = terms.limit(0)
+    assert run("term_lookup", spark, [no_docs, terms],
+               text_col="text", term_col="term").count() == 0
+    assert run("term_lookup", spark, [docs, no_terms],
+               text_col="text", term_col="term").count() == 0
+    miss = spark.createDataFrame([("zeta",)], "term string")
+    assert run("term_lookup", spark, [docs, miss],
+               text_col="text", term_col="term").count() == 0
+    hit = run("term_lookup", spark, [docs, terms],
+              text_col="text", term_col="term")
+    assert [(r.term, r.term_count) for r in hit.collect()] == [("alpha", 1)]
+
+
 def test_profile_and_stratified_empty_input(spark):
     empty = spark.createDataFrame([], "k int, s string")
     prof = run("profile", spark, [empty], exact_distinct=True)
