@@ -739,7 +739,7 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_to": F.lit(None).cast("timestamp"),
             "is_current": F.lit(True),
         })
-        .step("u0", "filter", "cust", predicate="[c_custkey] % 2 == 0")
+        .step("u0", "filter", "customer", predicate="[c_custkey] % 2 == 0")
         .step("upd", "derived_column", "u0", columns={
             "c_mktsegment": '[c_custkey] % 5 == 0 ? "CHANGED" : [c_mktsegment]',
         })
