@@ -249,3 +249,72 @@ def term_lookup(spark: SparkSession, inputs, config, context) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("term_count"))
         .withColumnRenamed("_term", "term")
     )
+
+
+# PII patterns kept lookaround-free so the same regex runs identically on
+# Java (Spark) and RE2 (DuckDB) engines — the oracle depends on parity.
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+@operator("text.redact")
+def redact(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails / IPv4 addresses /
+    phone numbers with typed placeholders and count matches per type.
+
+    Pure JVM regexp_replace/regexp_count chain — one narrow pass, no
+    Python, no shuffle; at 100 TB this is scan-bound. `patterns` overrides
+    or extends the default map (name -> regex; keep patterns RE2-safe if
+    the output feeds an engine-neutral oracle)."""
+    df: DataFrame = inputs[0]
+    c = config["text_col"]
+    out_col = config.get("out", f"{c}_redacted")
+    patterns = {**_PII_PATTERNS, **config.get("patterns", {})}
+    red = F.col(c)
+    counts = {}
+    for name, pat in patterns.items():
+        counts[f"n_{name}"] = F.regexp_count(F.col(c), F.lit(pat))
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return df.withColumns({**counts, out_col: red})
+
+
+@operator("text.decontaminate")
+def decontaminate(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Benchmark decontamination (the GPT-3-style n-gram overlap check):
+    flag corpus documents sharing word k-shingles with a benchmark set.
+
+    inputs: [corpus, benchmark]. Plan: the BENCHMARK's distinct shingles
+    (bounded: eval sets are small by definition) broadcast; the corpus
+    explodes its shingles once and counts hits via broadcast equi-join —
+    linear in corpus tokens, the only shuffle is the per-doc groupBy of
+    matched shingles. Output adds `n_overlap` + `contaminated`
+    (n_overlap >= threshold, default 1).
+    """
+    corpus, bench = inputs[0], inputs[1]
+    id_col, text_col = config["id_col"], config["text_col"]
+    k = config.get("shingle_k", 8)
+    threshold = config.get("threshold", 1)
+    from ssis_to_pyspark_agent_spark.operators.dedup import _shingles
+
+    bench_sh = F.broadcast(
+        bench.select(
+            F.explode(_shingles(F.col(config.get("bench_text_col", text_col)), k))
+            .alias("_sh")
+        ).distinct()
+    )
+    hits = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_shingles(F.col(text_col), k)).alias("_sh"),
+        )
+        .join(bench_sh, "_sh")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    out = corpus.join(
+        hits.withColumnRenamed("_id", id_col), id_col, "left"
+    ).withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+    return out.withColumn("contaminated", F.col("n_overlap") >= threshold)

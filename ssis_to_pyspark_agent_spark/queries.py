@@ -1380,6 +1380,82 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q44_data_hygiene",
+    # Training-data hygiene pair: PII redaction (emails/IPv4/phones ->
+    # typed placeholders, per-type counts) and GPT-3-style benchmark
+    # decontamination (8-gram overlap against a held-out benchmark set —
+    # here every 100th doc). PII is INJECTED deterministically so the
+    # patterns actually fire on the synthetic corpus; regexes are
+    # lookaround-free so Java (Spark) and RE2 (DuckDB) agree.
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com at 10.0.' || (doc_id % 256) || '.7 or 555-' ||
+             lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents WHERE doc_id % 100 != 0),
+    red AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+             CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+             CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone,
+             length(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g'),
+               '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g')) AS red_len
+      FROM aug),
+    words AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 7, 1) + 1),
+               i -> array_to_string(w[i:i+7], ' '))) AS shingles
+      FROM words),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 100 = 0),
+    overlap AS (
+      SELECT d.doc_id, COUNT(*) AS n_overlap
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+            WHERE doc_id % 100 != 0) d
+      JOIN bench USING (s) GROUP BY d.doc_id)
+    SELECT r.doc_id, r.n_email, r.n_ipv4, r.n_phone, r.red_len,
+           CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(o.n_overlap, 0) >= 1 AS contaminated
+    FROM red r LEFT JOIN overlap o ON o.doc_id = r.doc_id
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _p("q44", sf_dir, "documents")
+        .step("bench", "filter", "documents", predicate="[doc_id] % 100 == 0")
+        .step("corpus", "filter", "documents", predicate="[doc_id] % 100 != 0")
+        .step("aug", "derived_column", "corpus", columns={
+            "t": F.concat(
+                F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+                F.lit("@example.com at 10.0."), F.col("doc_id") % 256,
+                F.lit(".7 or 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            )
+        })
+        .step("red", "text.redact", "aug", text_col="t", out="t_red")
+        .step("dc", "text.decontaminate", ["red", "bench"],
+              id_col="doc_id", text_col="text", shingle_k=8)
+        .step("rl", "derived_column", "dc",
+              columns={"red_len": F.length("t_red")})
+        .step("prj", "select", "rl",
+              columns=["doc_id", "n_email", "n_ipv4", "n_phone",
+                       "red_len", "n_overlap", "contaminated"])
+    )
+    return run_pipeline(spark, p).df("prj")
+
+
+@query(
     "q45_fuzzy_lookup",
     oracle="""
     WITH probes AS (SELECT n_nationkey, substr(n_name, 1, length(n_name) - 2)

@@ -751,3 +751,34 @@ def test_profile_and_stratified_empty_input(spark):
     samp = run("sample", spark, [empty], method="stratified", strata_col="s",
                key=["k"], fractions={"a": 0.5})
     assert samp.count() == 0
+
+
+def test_redact_and_decontaminate(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail me at a.b@x.org or 10.1.2.3 and 555-123-4567 twice "
+             "a.b@x.org"),
+         (2, "clean text with no pii at all")],
+        "doc_id int, text string",
+    )
+    red = run("text.redact", spark, [docs], text_col="text", out="red")
+    got = {r.doc_id: r for r in red.collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (2, 1, 1)
+    assert "[EMAIL]" in got[1].red and "[IPV4]" in got[1].red
+    assert "a.b@x.org" not in got[1].red
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 0, 0)
+    assert got[2].red == got[2].text
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "prefix the quick brown fox jumps over the lazy dog suffix"),
+         (2, "completely unrelated words about spark plans and shuffles ok")],
+        "doc_id int, text string",
+    )
+    out = run("text.decontaminate", spark, [corpus, bench],
+              id_col="doc_id", text_col="text", shingle_k=8)
+    got = {r.doc_id: (r.n_overlap, r.contaminated) for r in out.collect()}
+    assert got[1][0] >= 1 and got[1][1] is True
+    assert got[2] == (0, False)
