@@ -615,7 +615,9 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             sh.alias("_sh"),
             F.array(*[c.cast("long") for c in cols]).alias("_blocks"),
         )
-        blocked = base.select("_id", "_sh", F.explode("_blocks").alias("_block"))
+        blocked = base.select(
+            "_id", "_sh", F.explode("_blocks").alias("_block")
+        )
     elif block_by := config.get("block_by"):
         # engine-neutral blocking on declared columns (e.g. lang+source):
         # semantics are then fully SQL-expressible for the oracle
@@ -637,9 +639,26 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             ),
         )
         blocked = base.select("_id", "_sh", F.explode("_mins").alias("_block"))
+    # shingle-count column: the size-ratio prefilter below is a cheap
+    # scalar comparison that runs BEFORE the O(|A|+|B|) array intersect
+    blocked = blocked.withColumn("_n", F.size("_sh"))
     l, r = blocked.alias("l"), blocked.alias("r")
+    # Exact-preserving prefilter: J(A,B) <= min|A|,|B| / max|A|,|B|, so a
+    # pair whose distinct-shingle counts are too lopsided can never reach
+    # the threshold — drop it before computing the intersection. Output is
+    # provably unchanged (oracles need no mirror clause). In big uniform
+    # blocks this is the difference between intersecting every in-block
+    # pair and only the size-compatible ones.
+    size_ok = F.least(F.col("l._n"), F.col("r._n")) >= (
+        F.lit(threshold) * F.greatest(F.col("l._n"), F.col("r._n"))
+    )
     pairs = (
-        l.join(r, (F.col("l._block") == F.col("r._block")) & (F.col("l._id") < F.col("r._id")))
+        l.join(
+            r,
+            (F.col("l._block") == F.col("r._block"))
+            & (F.col("l._id") < F.col("r._id"))
+            & size_ok,
+        )
         .select(
             F.col("l._id").alias("a"),
             F.col("r._id").alias("b"),
@@ -648,6 +667,10 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
         .dropDuplicates(["a", "b"])
         .filter(F.col("jaccard") >= threshold)
     )
+    # the pairs frame is consumed by the survivor anti-join AND (with
+    # return_pairs) by the caller's port — and it is expensive (blocked
+    # candidate intersection); persist so it materializes once
+    pairs = pairs.persist()
     out = _keep_min_survivors(df, id_col, pairs)
     if config.get("return_pairs"):
         return {"out": out, "pairs": pairs}
