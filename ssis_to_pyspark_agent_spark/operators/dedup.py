@@ -698,6 +698,59 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if config.get("brute_force"):
+        if config.get("method", "expr") == "pandas":
+            # Vectorized all-pairs: broadcast the (bounded — brute force is
+            # the small-input baseline; use the LSH path beyond ~100k rows)
+            # quantized matrix, one numpy matmul per Arrow batch instead of
+            # a per-pair Catalyst cosine fold chain. Identical values to
+            # the expr path: int64 quantized dot/norms are exact, and the
+            # final dot/(sqrt*sqrt) runs the same IEEE ops.
+            import numpy as np
+            import pandas as pd
+
+            quant = config.get("quantize", 10000)
+            rows = base.collect()
+            all_ids = np.array([r["_id"] for r in rows])
+            m = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+            v = m * quant
+            mi = np.where(
+                v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
+            ).astype(np.int64)
+            norms = np.sqrt((mi * mi).sum(axis=1).astype(np.float64))
+
+            def gen(it):
+                for pdf in it:
+                    bm = np.array(list(map(list, pdf["_v"])), dtype=np.float64)
+                    bv = bm * quant
+                    bi = np.where(
+                        bv >= 0, np.floor(bv + 0.5), np.ceil(bv - 0.5)
+                    ).astype(np.int64)
+                    bn = np.sqrt((bi * bi).sum(axis=1).astype(np.float64))
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sims = (bi @ mi.T).astype(np.float64) / (
+                            bn[:, None] * norms[None, :]
+                        )
+                    bids = pdf["_id"].values
+                    keep = (sims >= threshold) & (
+                        bids[:, None] < all_ids[None, :]
+                    )
+                    li, ri = np.nonzero(keep)
+                    yield pd.DataFrame(
+                        {
+                            "a": bids[li],
+                            "b": all_ids[ri],
+                            "cosine": sims[li, ri],
+                        }
+                    )
+
+            id_t = base.schema["_id"].dataType.simpleString()
+            pairs = base.mapInPandas(
+                gen, schema=f"a {id_t}, b {id_t}, cosine double"
+            ).filter(F.col("cosine") >= threshold)
+            out = _keep_min_survivors(df, id_col, pairs)
+            if config.get("return_pairs"):
+                return {"out": out, "pairs": pairs}
+            return out
         l, r = base.alias("l"), base.alias("r")
         cand = l.join(r, F.col("l._id") < F.col("r._id")).select(
             F.col("l._id").alias("a"),

@@ -1191,6 +1191,7 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("sub", "filter", "embeddings", predicate="[vec_id] % 5 == 0")
         .step("dd", "dedup.embedding", "sub", id_col="vec_id",
               vec_col="embedding", threshold=0.35, brute_force=True,
+              method="pandas",  # vectorized matmul; values identical to expr
               quantize=10000, return_pairs=True)
     )
     return run_pipeline(spark, p).df("dd.pairs")

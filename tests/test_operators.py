@@ -782,3 +782,18 @@ def test_redact_and_decontaminate(spark):
     got = {r.doc_id: (r.n_overlap, r.contaminated) for r in out.collect()}
     assert got[1][0] >= 1 and got[1][1] is True
     assert got[2] == (0, False)
+
+
+def test_embedding_bruteforce_pandas_matches_expr(spark):
+    """The vectorized matmul brute-force path must be value-identical to
+    the Catalyst expression path (same quantized integer arithmetic)."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter("vec_id % 3 = 0")
+    common = dict(id_col="vec_id", vec_col="embedding", threshold=0.3,
+                  brute_force=True, quantize=10000, return_pairs=True)
+    expr = run("dedup.embedding", spark, [emb], **common)
+    pand = run("dedup.embedding", spark, [emb], method="pandas", **common)
+    e = {(r.a, r.b): r.cosine for r in expr["pairs"].collect()}
+    p = {(r.a, r.b): r.cosine for r in pand["pairs"].collect()}
+    assert e == p and len(e) > 0
