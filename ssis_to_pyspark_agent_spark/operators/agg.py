@@ -54,16 +54,15 @@ def build_aggs(aggs: dict) -> list[Column]:
             out.append(F.count(F.lit(1)).alias(name))
             continue
         col = colspec if isinstance(colspec, Column) else F.col(colspec)
-        if fn == "percentile":
+        if fn in ("percentile", "percentile_approx"):
             # exact percentile (sort-based; interpolating like SQL
-            # percentile_cont). Use percentile_approx for the 100 TB
-            # single-pass sketch path.
-            out.append(F.percentile(col, list(extra)[0] if extra else 0.5).alias(name))
-            continue
-        if fn == "percentile_approx":
-            out.append(
-                F.percentile_approx(col, list(extra)[0] if extra else 0.5).alias(name)
-            )
+            # percentile_cont); percentile_approx is the 100 TB
+            # single-pass sketch path. One percentage -> scalar column,
+            # several -> array column (Spark-native semantics; a single
+            # extra may itself be a list for the array form).
+            pcts = list(extra) if len(extra) != 1 else extra[0]
+            pf = F.percentile if fn == "percentile" else F.percentile_approx
+            out.append(pf(col, pcts if extra else 0.5).alias(name))
             continue
         out.append(_AGG_FNS[fn](col, *extra).alias(name))
     return out

@@ -698,33 +698,58 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if config.get("brute_force"):
+        # Brute force is the small-input exact baseline: the pandas path
+        # collects the full id+vector matrix to the driver, the expr path
+        # is a broadcast crossJoin — both are O(n^2) and driver/broadcast
+        # bounded. Enforce the bound instead of trusting the docstring: a
+        # bounded limit(cap+1) probe (never a full count of an unbounded
+        # input) fails fast with a pointer to the LSH path.
+        cap = config.get("brute_force_cap", 100_000)
+        if base.limit(cap + 1).count() > cap:
+            raise ValueError(
+                f"dedup.embedding brute_force is the exact small-input "
+                f"baseline and is capped at {cap} rows (override with "
+                f"brute_force_cap). For larger corpora drop brute_force "
+                f"and use the hyperplane-LSH candidate path, which "
+                f"bucket-joins instead of materializing all pairs."
+            )
         if config.get("method", "expr") == "pandas":
-            # Vectorized all-pairs: broadcast the (bounded — brute force is
-            # the small-input baseline; use the LSH path beyond ~100k rows)
-            # quantized matrix, one numpy matmul per Arrow batch instead of
-            # a per-pair Catalyst cosine fold chain. Identical values to
+            # Vectorized all-pairs: broadcast the (bounded — see the cap
+            # probe above) quantized matrix, one numpy matmul per Arrow
+            # batch instead of a per-pair Catalyst cosine fold chain.
+            # With `quantize` set (same default as the expr path below:
+            # unset -> unquantized float cosine), values are identical to
             # the expr path: int64 quantized dot/norms are exact, and the
-            # final dot/(sqrt*sqrt) runs the same IEEE ops.
+            # final dot/(sqrt*sqrt) runs the same IEEE ops. Unquantized,
+            # numpy's pairwise summation may differ from Catalyst's
+            # left-to-right fold in the last ulp — set quantize when
+            # cross-path or cross-engine identity matters.
             import numpy as np
             import pandas as pd
 
-            quant = config.get("quantize", 10000)
+            quant = config.get("quantize")
             rows = base.collect()
             all_ids = np.array([r["_id"] for r in rows])
             m = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
-            v = m * quant
-            mi = np.where(
-                v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
-            ).astype(np.int64)
+            if quant:
+                v = m * quant
+                mi = np.where(
+                    v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
+                ).astype(np.int64)
+            else:
+                mi = m
             norms = np.sqrt((mi * mi).sum(axis=1).astype(np.float64))
 
             def gen(it):
                 for pdf in it:
                     bm = np.array(list(map(list, pdf["_v"])), dtype=np.float64)
-                    bv = bm * quant
-                    bi = np.where(
-                        bv >= 0, np.floor(bv + 0.5), np.ceil(bv - 0.5)
-                    ).astype(np.int64)
+                    if quant:
+                        bv = bm * quant
+                        bi = np.where(
+                            bv >= 0, np.floor(bv + 0.5), np.ceil(bv - 0.5)
+                        ).astype(np.int64)
+                    else:
+                        bi = bm
                     bn = np.sqrt((bi * bi).sum(axis=1).astype(np.float64))
                     with np.errstate(divide="ignore", invalid="ignore"):
                         sims = (bi @ mi.T).astype(np.float64) / (

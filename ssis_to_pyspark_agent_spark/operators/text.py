@@ -242,11 +242,17 @@ def term_lookup(spark: SparkSession, inputs, config, context) -> DataFrame:
     text_col, term_col = config["text_col"], config["term_col"]
     t = F.broadcast(terms.select(F.lower(F.col(term_col)).alias("_term")).distinct())
     pt = config.get("passthrough") or docs.columns
-    exploded = docs.select(*pt, F.explode(_words(F.col(text_col))).alias("_w"))
+    # synthetic per-row key: the regroup after the explode must not merge
+    # input rows that happen to be identical across every passthrough
+    # column (SSIS emits one output row per input row per matched term)
+    exploded = docs.withColumn("_rid", F.monotonically_increasing_id()).select(
+        *pt, "_rid", F.explode(_words(F.col(text_col))).alias("_w")
+    )
     return (
         exploded.join(t, F.col("_w") == F.col("_term"))
-        .groupBy(*pt, "_term")
+        .groupBy(*pt, "_rid", "_term")
         .agg(F.count(F.lit(1)).alias("term_count"))
+        .drop("_rid")
         .withColumnRenamed("_term", "term")
     )
 

@@ -186,8 +186,15 @@ def parse_package(
         # DTS:Value: 0 success (default) | 1 failure | 2 completion
         on = {None: "success", "0": "success", "1": "failure",
               "2": "completion"}[pc.get(f"{DTS}Value")]
-        # EvalOp: 2 constraint only | 1 expression only | 3 both
-        expr = pc.get(f"{DTS}Expression")
+        # DTS:EvalOp: 2 constraint only (default) | 1 expression only |
+        # 3 both. For 2 a stale Expression attribute must NOT gate the
+        # edge; for 1 the constraint result is ignored (the edge still
+        # orders execution — 'completion' — but success/failure is not
+        # checked, only the expression).
+        evalop = pc.get(f"{DTS}EvalOp", "2")
+        expr = pc.get(f"{DTS}Expression") if evalop in ("1", "3") else None
+        if evalop == "1":
+            on = "completion"
         g.edge(src, dst, on=on, condition=expr)
 
     return ParsedPackage(name=pkg_name, task_graph=g, pipelines=pipelines)

@@ -54,7 +54,10 @@ def read_xlsx(path: str, sheet: str | None = None) -> list[list]:
             r for r in rels
             if r.get("Id") == rid
         )
-        part = "xl/" + rel.get("Target").lstrip("/")
+        # rel Target is usually relative to xl/ ('worksheets/sheet1.xml')
+        # but some writers emit absolute ('/xl/worksheets/sheet1.xml')
+        target = rel.get("Target")
+        part = target.lstrip("/") if target.startswith("/") else "xl/" + target
 
         ws = ET.fromstring(z.read(part))
         rows: list[list] = []

@@ -167,3 +167,48 @@ def test_positional_alias_respects_declared_output_columns():
                if s.name == "OLE_SRC")
     # the SQL spells [Status]; the declared output metadata wins
     assert "AS CategoryDescription" in src.config["query"]
+
+
+@pytest.mark.parametrize(
+    "evalop, want_cond, want_on",
+    [
+        ("2", None, "failure"),       # constraint only: stale Expression ignored
+        ("1", "@[User::X] > 0", "completion"),  # expression only: value ignored
+        ("3", "@[User::X] > 0", "failure"),     # both apply
+        (None, None, "failure"),      # absent -> SSIS default (constraint only)
+    ],
+)
+def test_precedence_evalop_gating(tmp_path, evalop, want_cond, want_on):
+    """DTS:EvalOp decides which of (constraint value, expression) gate the
+    edge — a stale Expression on an EvalOp=2 constraint must NOT fire."""
+    op_attr = f'DTS:EvalOp="{evalop}" ' if evalop is not None else ""
+    xml = (
+        '<?xml version="1.0"?>'
+        '<DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" '
+        'xmlns:SQLTask="www.microsoft.com/sqlserver/dts/tasks/sqltask" '
+        'DTS:ObjectName="EvalOpPkg">'
+        "<DTS:Executables>"
+        '<DTS:Executable DTS:ObjectName="A" '
+        'DTS:ExecutableType="Microsoft.ExecuteSQLTask">'
+        '<DTS:ObjectData><SQLTask:SqlTaskData '
+        'SQLTask:SqlStatementSource="SELECT 1 AS one"/></DTS:ObjectData>'
+        "</DTS:Executable>"
+        '<DTS:Executable DTS:ObjectName="B" '
+        'DTS:ExecutableType="Microsoft.ExecuteSQLTask">'
+        '<DTS:ObjectData><SQLTask:SqlTaskData '
+        'SQLTask:SqlStatementSource="SELECT 2 AS two"/></DTS:ObjectData>'
+        "</DTS:Executable>"
+        "</DTS:Executables>"
+        "<DTS:PrecedenceConstraints>"
+        '<DTS:PrecedenceConstraint DTS:From="Package\\A" DTS:To="Package\\B" '
+        f'DTS:Value="1" {op_attr}'
+        'DTS:Expression="@[User::X] &gt; 0"/>'
+        "</DTS:PrecedenceConstraints>"
+        "</DTS:Executable>"
+    )
+    p = tmp_path / "evalop.dtsx"
+    p.write_text(xml)
+    pkg = parse_package(str(p))
+    (edge,) = pkg.task_graph.edges
+    assert edge.condition == want_cond
+    assert edge.on == want_on

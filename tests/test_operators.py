@@ -797,3 +797,69 @@ def test_embedding_bruteforce_pandas_matches_expr(spark):
     e = {(r.a, r.b): r.cosine for r in expr["pairs"].collect()}
     p = {(r.a, r.b): r.cosine for r in pand["pairs"].collect()}
     assert e == p and len(e) > 0
+
+
+def test_embedding_bruteforce_cap_guard(spark):
+    """brute_force is the bounded exact baseline: above brute_force_cap it
+    must raise (pointing at the LSH path) instead of collecting/crossJoining
+    an unbounded input onto the driver."""
+    import pytest
+
+    emb = spark.range(10).selectExpr(
+        "id as vec_id", "array(cast(id as float), 1.0f) as embedding"
+    )
+    with pytest.raises(ValueError, match="LSH"):
+        run("dedup.embedding", spark, [emb], id_col="vec_id",
+            vec_col="embedding", brute_force=True, brute_force_cap=5)
+    # at/below the cap both brute-force methods still run
+    for method in ("expr", "pandas"):
+        out = run("dedup.embedding", spark, [emb], id_col="vec_id",
+                  vec_col="embedding", brute_force=True, brute_force_cap=10,
+                  method=method, threshold=0.99, return_pairs=True)
+        assert out["out"].count() <= 10
+
+
+def test_embedding_bruteforce_unquantized_defaults_agree(spark):
+    """With `quantize` unset, pandas and expr brute-force paths must both
+    run UNQUANTIZED float cosine (the pandas path used to default to
+    10000 silently). Pair sets must match; cosines agree to float-sum ulp."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter("vec_id % 7 = 0")
+    common = dict(id_col="vec_id", vec_col="embedding", threshold=0.3,
+                  brute_force=True, return_pairs=True)
+    expr = run("dedup.embedding", spark, [emb], **common)
+    pand = run("dedup.embedding", spark, [emb], method="pandas", **common)
+    e = {(r.a, r.b): r.cosine for r in expr["pairs"].collect()}
+    p = {(r.a, r.b): r.cosine for r in pand["pairs"].collect()}
+    assert set(e) == set(p) and len(e) > 0
+    assert all(abs(e[k] - p[k]) < 1e-9 for k in e)
+
+
+def test_percentile_multiple_values(spark):
+    """Multiple percentages must all survive (array output), not be
+    silently narrowed to the first."""
+    df = spark.range(1, 101).selectExpr("cast(id as double) as v")
+    out = run("aggregate", spark, [df], keys=[], aggs={
+        "p_one": ("percentile", "v", 0.5),
+        "p_many": ("percentile", "v", 0.25, 0.5, 0.75),
+        "pa_many": ("percentile_approx", "v", [0.25, 0.75]),
+    }).first()
+    assert out["p_one"] == 50.5
+    assert out["p_many"] == [25.75, 50.5, 75.25]
+    assert len(out["pa_many"]) == 2
+
+
+def test_term_lookup_keeps_duplicate_rows(spark):
+    """Fully-identical doc rows must each produce their own output rows
+    (SSIS emits per input row) — the explode+regroup must not merge them."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (1, "alpha beta alpha")],
+        "doc_id int, text string",
+    )
+    terms = spark.createDataFrame([("alpha",), ("beta",)], "term string")
+    out = run("term_lookup", spark, [docs, terms],
+              text_col="text", term_col="term")
+    got = sorted((r.doc_id, r.term, r.term_count) for r in out.collect())
+    assert got == [(1, "alpha", 2), (1, "alpha", 2),
+                   (1, "beta", 1), (1, "beta", 1)]

@@ -235,3 +235,38 @@ class TestSinkOptions:
         files = [f for f in os.listdir(path) if f.endswith(".parquet")]
         assert files and all(".zstd." in f for f in files)
         assert spark.read.parquet(path).count() == 1000
+
+
+def test_xlsx_absolute_rel_target(tmp_path):
+    """Some writers emit absolute rel Targets ('/xl/worksheets/sheet1.xml');
+    the resolver must not double the 'xl/' prefix."""
+    import zipfile
+
+    from ssis_to_pyspark_agent_spark.sources.xlsx import read_xlsx
+
+    path = str(tmp_path / "abs.xlsx")
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxml'
+        'formats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.openxml'
+        'formats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+        'xmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org'
+        '/officeDocument/2006/relationships/worksheet" '
+        'Target="/xl/worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert read_xlsx(path) == [[42.0]]
