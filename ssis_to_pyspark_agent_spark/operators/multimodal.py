@@ -2,9 +2,13 @@
 
 Images/audio/video as opaque ``binary`` payloads with a typed metadata
 struct. The Spark-side plumbing (schema, partition sizing, Arrow-batched
-UDF signatures) is real and tested; the actual codec calls are stubbed
-behind clearly marked hooks because image/audio libraries are not in this
-container — swap `_decode_image_stub` for PIL/libvips on a real cluster.
+UDF signatures) is real and tested. Metadata extraction is REAL for
+container headers — PNG IHDR, JPEG SOFn, GIF logical screen descriptor,
+WAV fmt/data chunks — via stdlib ``struct`` (no codec deps needed for
+dimensions/duration). Full pixel/sample decode (``decoder='stub'``) stays
+a clearly marked deterministic fake because pixel codecs (PIL/libvips/
+ffmpeg) are not in this container — swap `_decode_image_stub` on a real
+cluster.
 
 Scale notes: binary payloads blow past `spark.sql.files.maxPartitionBytes`
 assumptions — repartition by count, not bytes (`rows_per_partition`), so an
@@ -58,28 +62,105 @@ def attach_meta(spark: SparkSession, inputs, config, context) -> DataFrame:
 
 
 def _decode_image_stub(payload: bytes) -> dict[str, Any]:
-    """DECODE HOOK (stub): replace with PIL/libvips on a real cluster.
+    """PIXEL-DECODE HOOK (stub): replace with PIL/libvips on a real
+    cluster.
 
     Deterministic fake: 'decodes' width/height from a hash of the payload
-    so tests exercise the full Arrow round-trip with stable values.
+    so tests exercise the full Arrow round-trip with stable values that an
+    engine-neutral SQL oracle can re-derive (q67).
     """
     import hashlib
 
     h = hashlib.md5(payload or b"").digest()
     return {
+        "format": "stub",
         "width": 64 + h[0] % 192,
         "height": 64 + h[1] % 192,
+        "duration_ms": None,
         "ok": True,
     }
+
+
+def parse_media_header(payload: bytes) -> dict[str, Any]:
+    """REAL container-header metadata via stdlib ``struct`` — no codec
+    libraries needed for true dimensions/duration:
+
+    - PNG: IHDR width/height (big-endian u32 at offset 16/20)
+    - JPEG: marker walk to SOF0/1/2/... (height/width big-endian u16)
+    - GIF: logical screen descriptor (little-endian u16 at 6/8)
+    - WAV: RIFF chunk walk — fmt byte-rate + data size -> duration_ms
+
+    Unknown/truncated payloads return ok=False with null metadata (never a
+    guess). Runs per-row inside an Arrow batch; pure byte peeking, so the
+    cost is bounded by header size, not payload size."""
+    import struct as _s
+
+    p = payload or b""
+    try:
+        if p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
+            w, h = _s.unpack(">II", p[16:24])
+            return {"format": "png", "width": w, "height": h,
+                    "duration_ms": None, "ok": True}
+        if p[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(p):
+                if p[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = p[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                    continue
+                (seglen,) = _s.unpack(">H", p[i + 2:i + 4])
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = _s.unpack(">HH", p[i + 5:i + 9])
+                    return {"format": "jpeg", "width": w, "height": h,
+                            "duration_ms": None, "ok": True}
+                i += 2 + seglen
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = _s.unpack("<HH", p[6:10])
+            return {"format": "gif", "width": w, "height": h,
+                    "duration_ms": None, "ok": True}
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            i, byte_rate, data_size = 12, None, None
+            while i + 8 <= len(p):
+                cid = p[i:i + 4]
+                (csize,) = _s.unpack("<I", p[i + 4:i + 8])
+                if cid == b"fmt " and csize >= 12:
+                    # chunk data: fmt(2) channels(2) rate(4) byte_rate(4)
+                    (byte_rate,) = _s.unpack("<I", p[i + 16:i + 20])
+                elif cid == b"data":
+                    data_size = csize
+                i += 8 + csize + (csize & 1)  # chunks are 2-byte aligned
+            if byte_rate and data_size is not None:
+                return {"format": "wav", "width": None, "height": None,
+                        "duration_ms": data_size * 1000 // byte_rate,
+                        "ok": True}
+    except (IndexError, ValueError, _s.error):
+        pass
+    return {"format": None, "width": None, "height": None,
+            "duration_ms": None, "ok": False}
 
 
 @operator("media.decode")
 def decode(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Decode payloads via mapInPandas (Arrow batches). Output adds
-    decoded_width/decoded_height/decode_ok. `rows_per_partition` guards
-    executor memory against wide binary rows."""
+    decoded_format/decoded_width/decoded_height/decoded_duration_ms/
+    decode_ok. `rows_per_partition` guards executor memory against wide
+    binary rows.
+
+    `decoder`: 'headers' (default) — REAL stdlib container-header parse
+    (see :func:`parse_media_header`); unrecognized payloads come back
+    ok=False, never fabricated. 'stub' — the deterministic md5 fake that
+    stands in for a pixel codec (q67 uses it so the full Arrow chain is
+    still hash-checked against a SQL oracle over synthetic payloads)."""
     df: DataFrame = inputs[0]
     bin_col = config["binary_col"]
+    decode_fn = (
+        _decode_image_stub
+        if config.get("decoder", "headers") == "stub"
+        else parse_media_header
+    )
     if n := config.get("rows_per_partition"):
         import math
 
@@ -88,17 +169,27 @@ def decode(spark: SparkSession, inputs, config, context) -> DataFrame:
 
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
-        + ["decoded_width int", "decoded_height int", "decode_ok boolean"]
+        + ["decoded_format string", "decoded_width int",
+           "decoded_height int", "decoded_duration_ms bigint",
+           "decode_ok boolean"]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             decoded = pdf[bin_col].map(
-                lambda b: _decode_image_stub(bytes(b) if b is not None else b"")
+                lambda b: decode_fn(bytes(b) if b is not None else b"")
             )
             pdf = pdf.assign(
-                decoded_width=[d["width"] for d in decoded],
-                decoded_height=[d["height"] for d in decoded],
+                decoded_format=[d["format"] for d in decoded],
+                decoded_width=pd.array(
+                    [d["width"] for d in decoded], dtype="Int32"
+                ),
+                decoded_height=pd.array(
+                    [d["height"] for d in decoded], dtype="Int32"
+                ),
+                decoded_duration_ms=pd.array(
+                    [d["duration_ms"] for d in decoded], dtype="Int64"
+                ),
                 decode_ok=[d["ok"] for d in decoded],
             )
             yield pdf

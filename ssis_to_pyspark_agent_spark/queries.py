@@ -2144,16 +2144,20 @@ def _q67_feat_sql(round_hex: str, j: int) -> str:
 )
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing through the gate: text bytes as opaque
-    payloads -> magic-byte metadata -> Arrow-batched decode stub ->
+    payloads -> magic-byte metadata -> Arrow-batched decode ->
     deterministic pseudo-embedding. Proves schema/partitioning/UDF
-    signatures on real driver data (decode itself is stubbed — no codec
-    libs in the image)."""
+    signatures on real driver data. decoder='stub' by intent: the payloads
+    here are synthetic (utf-8 text, not real containers), and the md5 fake
+    is what a SQL oracle can re-derive — the REAL header decoder
+    (PNG/JPEG/GIF/WAV via stdlib struct, decoder='headers') is unit-tested
+    on real files in tests/test_operators.py::TestMultimodal."""
     p = (
         _p("q67", sf_dir, "documents")
         .step("bin", "derived_column", "documents",
               columns={"payload": F.encode(F.col("text"), "utf-8")})
         .step("meta", "media.attach_meta", "bin", binary_col="payload")
-        .step("dec", "media.decode", "meta", binary_col="payload")
+        .step("dec", "media.decode", "meta", binary_col="payload",
+              decoder="stub")
         .step("feat", "media.features", "dec", binary_col="payload", dim=8)
         .step("prj", "select", "feat",
               columns=["doc_id", "decoded_width", "decoded_height",

@@ -382,8 +382,43 @@ class TestTextOps:
         assert r.bpe_tokens == 8
 
 
+def _png_bytes(w: int, h: int) -> bytes:
+    """A real (if pixel-less) PNG header: signature + valid IHDR chunk."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)))
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    """SOI + APP0(JFIF) + SOF0 — the marker walk a real JPEG needs."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _wav_bytes(seconds: float, rate: int = 8000) -> bytes:
+    """A real WAV file via the stdlib wave module (mono 8-bit PCM)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(rate)
+        wf.writeframes(b"\x80" * int(rate * seconds))
+    return buf.getvalue()
+
+
 class TestMultimodal:
-    def test_attach_meta_and_decode(self, spark):
+    def test_attach_meta_and_decode_stub(self, spark):
         df = spark.createDataFrame(
             [(1, bytearray(b"\xff\xd8\xff\xe0fakejpeg")),
              (2, bytearray(b"\x89PNG\r\nfakepng"))],
@@ -392,10 +427,60 @@ class TestMultimodal:
         meta = run("media.attach_meta", spark, [df], binary_col="payload")
         mimes = {r.id: r.media.mime for r in meta.collect()}
         assert mimes == {1: "image/jpeg", 2: "image/png"}
-        dec = run("media.decode", spark, [meta], binary_col="payload")
+        dec = run("media.decode", spark, [meta], binary_col="payload",
+                  decoder="stub")
         got = dec.collect()
         assert all(r.decode_ok for r in got)
         assert all(64 <= r.decoded_width < 256 for r in got)
+
+    def test_header_decoder_real_files(self, spark):
+        """Default decoder='headers' extracts TRUE dimensions/duration from
+        real container headers (stdlib-built PNG/JPEG/GIF/WAV), and returns
+        ok=False (not fabricated values) for junk."""
+        import struct
+
+        gif = (b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00")
+        df = spark.createDataFrame(
+            [(1, bytearray(_png_bytes(640, 480))),
+             (2, bytearray(_jpeg_bytes(123, 77))),
+             (3, bytearray(gif)),
+             (4, bytearray(_wav_bytes(2.5))),
+             (5, bytearray(b"not a media file at all")),
+             (6, None)],
+            "id int, payload binary",
+        )
+        got = {r.id: r for r in
+               run("media.decode", spark, [df], binary_col="payload").collect()}
+        assert (got[1].decoded_format, got[1].decoded_width,
+                got[1].decoded_height) == ("png", 640, 480)
+        assert (got[2].decoded_format, got[2].decoded_width,
+                got[2].decoded_height) == ("jpeg", 123, 77)
+        assert (got[3].decoded_format, got[3].decoded_width,
+                got[3].decoded_height) == ("gif", 320, 200)
+        assert got[4].decoded_format == "wav"
+        assert got[4].decoded_duration_ms == 2500
+        assert got[4].decoded_width is None
+        for bad in (5, 6):
+            assert got[bad].decode_ok is False
+            assert got[bad].decoded_format is None
+            assert got[bad].decoded_width is None
+
+    def test_header_decoder_matches_local_parse(self, spark):
+        """parse_media_header is the same function driver-side and in the
+        Arrow batch — spot-check the direct call too (truncated headers
+        must not raise)."""
+        from ssis_to_pyspark_agent_spark.operators.multimodal import (
+            parse_media_header,
+        )
+
+        assert parse_media_header(_png_bytes(1, 1))["width"] == 1
+        assert parse_media_header(_png_bytes(65535, 2)) == {
+            "format": "png", "width": 65535, "height": 2,
+            "duration_ms": None, "ok": True,
+        }
+        for junk in (b"", b"\x89PNG", b"\xff\xd8\xff", b"RIFF1234WAVE",
+                     _png_bytes(9, 9)[:20]):
+            assert parse_media_header(junk)["ok"] is False
 
     def test_features_deterministic(self, spark):
         df = spark.createDataFrame([(1, bytearray(b"abc"))], "id int, payload binary")
