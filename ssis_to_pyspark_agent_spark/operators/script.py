@@ -143,27 +143,30 @@ def xml_source(spark: SparkSession, inputs, config, context) -> DataFrame:
 def jdbc_source(spark: SparkSession, inputs, config, context) -> DataFrame:
     """JDBC source family: ADO.NET/ODBC/Oracle/MySQL/PostgreSQL scans
     (reference models.py:25-28, conn URLs control_flow_mapper.py:183-200;
-    codegen enhanced_json_mapper.py:1655-1713). Partitioned parallel reads
-    via (partition_column, num_partitions, lower/upper bound) — the scan
-    is single-stream without them. Drivers not in this image."""
-    r = (
-        spark.read.format("jdbc")
-        .option("url", config["url"])
-        .option(
-            "dbtable",
-            config.get("table") or f"({config['query']}) q",
-        )
-    )
-    for k in ("user", "password", "driver"):
-        if k in config:
-            r = r.option(k, config[k])
-    if pc := config.get("partition_column"):
-        r = (
-            r.option("partitionColumn", pc)
-            .option("numPartitions", config.get("num_partitions", 8))
-            .option("lowerBound", config["lower_bound"])
-            .option("upperBound", config["upper_bound"])
-        )
+    codegen enhanced_json_mapper.py:1655-1713). Option assembly /
+    connection-string parsing / partitioned-read ranges live in
+    sources/jdbc.py (pure, unit-tested against mocks — the driver jars
+    are not in this image). Partitioned parallel reads via either
+    (partition_column, num_partitions, lower/upper bound) or an explicit
+    `predicates` list (one partition per predicate — for skewed or
+    non-numeric keys); single-stream without them, which caps ingest at
+    one connection's throughput."""
+    from ssis_to_pyspark_agent_spark.sources.jdbc import jdbc_read_options
+
+    opts = jdbc_read_options(config)
+    if preds := config.get("predicates"):
+        props = {k: v for k, v in opts.items()
+                 if k not in ("url", "dbtable")}
+        try:
+            return spark.read.jdbc(
+                url=opts["url"], table=opts["dbtable"],
+                predicates=list(preds), properties=props,
+            )
+        except Exception as exc:  # pragma: no cover — no driver in image
+            raise NotImplementedError(
+                "source.jdbc requires the RDBMS driver jar on the cluster"
+            ) from exc
+    r = spark.read.format("jdbc").options(**opts)
     try:
         return r.load()
     except Exception as exc:  # pragma: no cover — no driver in image
@@ -174,17 +177,15 @@ def jdbc_source(spark: SparkSession, inputs, config, context) -> DataFrame:
 
 @operator("sink.jdbc")
 def jdbc_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
-    """JDBC destination (reference enhanced_json_mapper.py:2103-2138)."""
+    """JDBC destination (reference enhanced_json_mapper.py:2103-2138).
+    SSIS access modes (append/fastLoad/truncate/...) map to Spark
+    SaveModes in sources/jdbc.py:jdbc_write_plan (unit-tested against a
+    mocked writer)."""
+    from ssis_to_pyspark_agent_spark.sources.jdbc import jdbc_write_plan
+
     df: DataFrame = inputs[0]
-    w = (
-        df.write.format("jdbc")
-        .mode(config.get("mode", "append"))
-        .option("url", config["url"])
-        .option("dbtable", config["table"])
-    )
-    for k in ("user", "password", "driver"):
-        if k in config:
-            w = w.option(k, config[k])
+    mode, opts = jdbc_write_plan(config)
+    w = df.write.format("jdbc").mode(mode).options(**opts)
     try:
         w.save()
     except Exception as exc:  # pragma: no cover
