@@ -139,6 +139,20 @@ def xml_source(spark: SparkSession, inputs, config, context) -> DataFrame:
     return r.load(config["path"])
 
 
+@operator("sink.xml")
+def xml_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """XML destination (pairs with source.xml; Spark 4 native writer —
+    distributed, rowTag-framed records)."""
+    df: DataFrame = inputs[0]
+    (
+        df.write.mode(config.get("mode", "overwrite"))
+        .format("xml")
+        .option("rowTag", config.get("row_tag", "row"))
+        .save(config["path"])
+    )
+    return df
+
+
 @operator("source.jdbc")
 def jdbc_source(spark: SparkSession, inputs, config, context) -> DataFrame:
     """JDBC source family: ADO.NET/ODBC/Oracle/MySQL/PostgreSQL scans

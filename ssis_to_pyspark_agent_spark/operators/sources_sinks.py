@@ -244,6 +244,31 @@ def table_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     return df
 
 
+@operator("sink.excel")
+def excel_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Excel destination: a real .xlsx via the stdlib writer
+    (sources/xlsx.py:write_xlsx — inverse of source.excel's parser).
+
+    Driver-side by design, like every spreadsheet writer: the format caps
+    at ~1M rows, so the collect is bounded by the format itself — and we
+    probe (limit(cap+1)) before collecting rather than trusting that."""
+    df: DataFrame = inputs[0]
+    cap = config.get("max_rows", 1_048_575)
+    if df.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"sink.excel is for bounded spreadsheet artifacts (<= {cap} "
+            f"rows; the xlsx format caps at ~1M). Use sink.parquet/"
+            f"sink.csv for data-plane output."
+        )
+    from ssis_to_pyspark_agent_spark.sources.xlsx import write_xlsx
+
+    rows = [list(r) for r in df.collect()]
+    header = [list(df.columns)] if config.get("header", True) else []
+    write_xlsx(config["path"], header + rows,
+               sheet_name=config.get("sheet", "Sheet1"))
+    return df
+
+
 @operator("sink.csv")
 def csv_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     df: DataFrame = inputs[0]
@@ -269,8 +294,9 @@ def json_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
 @operator("sink.view")
 def view_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Recordset Destination analogue: register a temp view instead of
-    collecting to the driver (reference indicator parser :505)."""
-    inputs[0].createOrReplaceTempView(config["name"])
+    collecting to the driver (reference indicator parser :505). `view` is
+    an alias for `name` (the builder's step() reserves `name`)."""
+    inputs[0].createOrReplaceTempView(config.get("view") or config["name"])
     return inputs[0]
 
 

@@ -135,8 +135,12 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         _p("q03", sf_dir, "customer", "nation", "region")
         .step("small_n", "filter", "nation", predicate="[n_nationkey] < 10")
+        # Cache Transform feeding the Lookup (the SSIS full-cache
+        # connection-manager pattern) — the lookup reads THROUGH the
+        # cached dim, so the cache step is oracle-load-bearing
+        .step("cm", "cache", "small_n")
         .step(
-            "ln", "lookup", ["customer", "small_n"],
+            "ln", "lookup", ["customer", "cm"],
             keys={"c_nationkey": "n_nationkey"},
             copy={"nation_name": "n_name", "_rk": "n_regionkey"},
             split_match=True,
@@ -303,8 +307,19 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.step(f"t_{port}", "derived_column", f"split.{port}",
                columns={"route": F.lit(port)})
         p.step(f"p_{port}", "select", f"t_{port}", columns=cols + ["route"])
+    # the urgent port leaves through the JSON destination and comes back
+    # through the JSON source (declared schema, no inference) — the
+    # JSON sink/source pair is oracle-load-bearing for these rows
+    import tempfile
+
+    jdir = tempfile.mkdtemp(prefix="q09_json_") + "/urgent"
+    p.step("jsink", "sink.json", "p_urgent", path=jdir, mode="overwrite")
+    p.step("jrt", "source.json", "jsink", path=jdir,
+           schema="o_orderkey bigint, o_orderstatus string, "
+                  "o_totalprice double, route string")
+    p.step("jprj", "select", "jrt", columns=cols + ["route"])
     p.step("u", "union_all",
-           ["p_huge", "p_open_or_big", "p_urgent", "p_default"])
+           ["p_huge", "p_open_or_big", "jprj", "p_default"])
     return run_pipeline(spark, p).df("u")
 
 
@@ -1499,15 +1514,31 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge (sorted union) — with each input arriving through a file
+    format round-trip: branch A via the Flat-File/CSV destination+source
+    (declared DDL schema, no inferSchema double-scan), branch B via the
+    Spark-4-native XML destination+source. Both flat-file paths are
+    oracle-load-bearing: a mis-parsed row or type would hash-mismatch."""
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="q46_files_")
     p = (
         _p("q46", sf_dir, "orders")
         .step("a0", "filter", "orders", predicate='[o_orderstatus] == "O"')
         .step("a", "select", "a0", columns={"k": "o_orderkey"})
         .step("al", "derived_column", "a", columns={"src": '"A"'})
+        .step("csv_out", "sink.csv", "al", path=f"{scratch}/a_csv",
+              mode="overwrite")
+        .step("al_rt", "source.csv", "csv_out", path=f"{scratch}/a_csv",
+              schema="k bigint, src string")
         .step("b0", "filter", "orders", predicate='[o_orderstatus] == "F"')
         .step("b", "select", "b0", columns={"k": "o_orderkey"})
         .step("bl", "derived_column", "b", columns={"src": '"B"'})
-        .step("m", "merge_sorted", ["al", "bl"], keys=["k"])
+        .step("xml_out", "sink.xml", "bl", path=f"{scratch}/b_xml",
+              mode="overwrite")
+        .step("bl_rt", "source.xml", "xml_out", path=f"{scratch}/b_xml",
+              schema="k bigint, src string")
+        .step("m", "merge_sorted", ["al_rt", "bl_rt"], keys=["k"])
     )
     return run_pipeline(spark, p).df("m")
 
@@ -1552,22 +1583,84 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SSIS package variables (@[User::X]) bound as plan-time literals;
-    the incremental_load step filters on, then advances, the watermark
-    variable."""
-    p = Pipeline("q48", variables={"PriceThreshold": 250000.0, "Status": "F",
-                                   "watermark": "1997-06-01 00:00:00"})
-    p.step("orders", "source.parquet", path=f"{sf_dir}/orders.parquet")
-    p.step("inc", "incremental_load", "orders", watermark_col="o_orderdate",
-           var="watermark", eager=False)
-    p.step("flt", "filter", "inc",
-           predicate="[o_totalprice] > @[User::PriceThreshold] && [o_orderstatus] == @[User::Status]")
-    p.step("drv", "derived_column", "flt",
-           columns={"threshold_used": "@[User::PriceThreshold]"})
-    p.step("prj", "select", "drv",
-           columns=["o_orderkey", "o_totalprice", "o_orderdate",
-                    "threshold_used"])
-    return run_pipeline(spark, p).df("prj")
+    """SSIS package variables (@[User::X]) bound as plan-time literals,
+    run as a full CONTROL-FLOW package (TaskGraph), not a bare pipeline —
+    so precedence constraints, containers, and disabled-task skip are all
+    ORACLE-LOAD-BEARING (reference parsing/data_engineering_parser.py:
+    1255-1299 constraint parse; fixture guard Sample_Medium_Package.dtsx:
+    905):
+
+    - `count_src`: Execute-SQL-Task-with-result-binding analogue — binds
+      SourceRowCount into package variables;
+    - `pick_wm` foreach container: iterates watermark candidates and
+      keeps the max via an Expression Task (skipping the container would
+      leave the 1990 sentinel -> more rows -> hash mismatch);
+    - edge count_src -> pick_wm guarded by `@[User::SourceRowCount] > 0`
+      (a false/unevaluated guard skips the container -> mismatch);
+    - `on_fail` (failure edge) and `sabotage` (DTS:Disabled) would BOTH
+      corrupt the variables if (mis)run — correct skip semantics are the
+      only way this query hashes green.
+    """
+    from ssis_to_pyspark_agent_spark.plans.control import (
+        Foreach, TaskGraph, run_task_graph,
+    )
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders_q48"
+    )
+
+    def bind_rowcount(spark_, ctx):
+        # Execute SQL Task + ResultBinding: single-row result -> variable
+        ctx["SourceRowCount"] = spark_.sql(
+            "SELECT COUNT(*) AS n FROM orders_q48"
+        ).first().n
+
+    # foreach body: Expression Task keeping the running max (ISO strings
+    # compare lexicographically, same as timestamps)
+    body = TaskGraph("pick_wm_body").task(
+        "keep_max", "expression",
+        ("watermark",
+         '@[User::wm_candidate] > @[User::watermark] '
+         '? @[User::wm_candidate] : @[User::watermark]'),
+    )
+    load = Pipeline("load")
+    load.step("orders", "source.table", table="orders_q48")
+    load.step("inc", "incremental_load", "orders",
+              watermark_col="o_orderdate", var="watermark", eager=False)
+    load.step("flt", "filter", "inc",
+              predicate="[o_totalprice] > @[User::PriceThreshold] && "
+                        "[o_orderstatus] == @[User::Status]")
+    load.step("drv", "derived_column", "flt",
+              columns={"threshold_used": "@[User::PriceThreshold]"})
+    load.step("prj", "select", "drv",
+              columns=["o_orderkey", "o_totalprice", "o_orderdate",
+                       "threshold_used"])
+
+    g = TaskGraph("q48", variables={
+        "PriceThreshold": 250000.0, "Status": "F",
+        "watermark": "1990-01-01 00:00:00", "SourceRowCount": 0,
+    })
+    g.task("count_src", "python", bind_rowcount)
+    g.task("pick_wm", "foreach", Foreach(
+        var="wm_candidate",
+        items=["1995-03-15 00:00:00", "1997-06-01 00:00:00",
+               "1996-01-01 00:00:00"],
+        body=body,
+    ))
+    # would-corrupt tasks: only correct skip semantics keep the hash green
+    g.task("on_fail", "expression", ("Status", '"O"'))
+    g.task("sabotage", "expression", ("PriceThreshold", "0.0"),
+           enabled=False)
+    g.task("load", "pipeline", load)
+    g.edge("count_src", "pick_wm", on="success",
+           condition="@[User::SourceRowCount] > 0")
+    g.edge("count_src", "on_fail", on="failure")
+    g.edge("pick_wm", "sabotage", on="success")
+    g.edge("pick_wm", "load", on="success")
+    results, _ctx = run_task_graph(spark, g)
+    assert results["on_fail"].status == "skipped"
+    assert "sabotage" not in results  # disabled: never scheduled
+    return results["load"].run.df("prj")
 
 
 @query(
@@ -1726,6 +1819,33 @@ _Q50_ORACLE = """
 
 @query("q50_medium_package_flow", oracle=_Q50_ORACLE)
 def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Medium-package CDC flow, with every routed output leaving
+    through a REAL destination and being re-read — so the file/table/
+    recordset/trash sinks are oracle-load-bearing, not unit-test-only:
+
+    - `already_deleted` terminates in the Trash Destination (row count
+      recorded into a variable, SSIS RowCount-on-trash idiom);
+    - the upsert batch round-trips a Recordset Destination (temp view);
+    - the post-delete target snapshot round-trips the parquet
+      destination (a lost/retyped row there = hash mismatch);
+    - the final frame lands in the OLE DB Destination analogue (managed
+      table, overwrite) and the RETURNED DataFrame is read back from it.
+
+    Source steps take their sink as an input edge purely for ordering
+    (source ops ignore input frames — a control dependency, the pipeline
+    analogue of an SSIS completion constraint)."""
+    import os
+    import shutil
+    import tempfile
+    from urllib.parse import urlparse
+
+    scratch = tempfile.mkdtemp(prefix="q50_sink_")
+    # a fresh session's in-memory catalog forgets the table but its
+    # warehouse directory persists — clear both or the overwrite-save
+    # fails with LOCATION_ALREADY_EXISTS on the next process's run
+    spark.sql("DROP TABLE IF EXISTS q50_final")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, "q50_final"), ignore_errors=True)
     sentinels = spark.createDataFrame(
         [(-1, "N/A", 0.0), (-2, "N/A", 0.0)],
         "c_custkey bigint, c_mktsegment string, c_acctbal double",
@@ -1795,11 +1915,24 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("upserts_ins", "derived_column", "ins0",
               columns={"deleted_flag": F.lit(0)})
         .step("upserts", "union_all", ["upserts_upd", "upserts_ins"])
-        .step("final", "merge_upsert", ["after_delete", "upserts"],
+        # ---- destinations (all load-bearing: the output flows through)
+        .step("trash", "sink.trash", "split.already_deleted",
+              count_into="n_already_deleted")
+        .step("rs", "sink.view", "upserts", view="q50_upserts_rs")
+        .step("upserts_rt", "source.table", "rs", table="q50_upserts_rs")
+        .step("snap", "sink.parquet", "after_delete",
+              path=f"{scratch}/after_delete", mode="overwrite")
+        .step("after_delete_rt", "source.parquet", "snap",
+              path=f"{scratch}/after_delete")
+        .step("final", "merge_upsert", ["after_delete_rt", "upserts_rt"],
               keys=["c_custkey"])
+        .step("tbl", "sink.table", "final", table="q50_final",
+              mode="overwrite")
+        .step("out", "source.table", "tbl", table="q50_final")
     )
     res = run_pipeline(spark, p)
-    df = res.df("final")
+    assert res.context["n_already_deleted"] >= 0
+    df = res.df("out")
     return df.withColumn("deleted_flag", F.col("deleted_flag").cast("int"))
 
 
@@ -1854,7 +1987,14 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Copy Column + Character Map + Audit(context) + ordered Limit."""
+    """Copy Column + Character Map + Audit(context) + ordered Limit —
+    and the result leaves through a REAL .xlsx (stdlib writer, Excel
+    destination) and is read back by the Excel SOURCE with a declared
+    schema, so both Excel endpoints are oracle-load-bearing (bigint/
+    double/string survive the untyped-cell round-trip value-exactly)."""
+    import tempfile
+
+    xlsx_path = tempfile.mkdtemp(prefix="q52_xlsx_") + "/report.xlsx"
     p = Pipeline("q52", variables={"RunTag": "etl_v1"})
     p.step("customer", "source.parquet", path=f"{sf_dir}/customer.parquet")
     p.step("cp", "copy_column", "customer", copies={"name_copy": "c_name"})
@@ -1867,7 +2007,12 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     p.step("prj", "select", "lim",
            columns=["c_custkey", "c_name", "name_copy", "seg_upper",
                     "name_rev", "run_tag", "c_acctbal"])
-    return run_pipeline(spark, p).df("prj")
+    p.step("xls", "sink.excel", "prj", path=xlsx_path)
+    p.step("rt", "source.excel", "xls", path=xlsx_path,
+           schema="c_custkey bigint, c_name string, name_copy string, "
+                  "seg_upper string, name_rev string, run_tag string, "
+                  "c_acctbal double")
+    return run_pipeline(spark, p).df("rt")
 
 
 @query(
@@ -2151,10 +2296,31 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what a SQL oracle can re-derive — the REAL header decoder
     (PNG/JPEG/GIF/WAV via stdlib struct, decoder='headers') is unit-tested
     on real files in tests/test_operators.py::TestMultimodal."""
+    import tempfile
+
+    blob_dir = tempfile.mkdtemp(prefix="q67_blobs_")
     p = (
         _p("q67", sf_dir, "documents")
-        .step("bin", "derived_column", "documents",
+        .step("bin0", "derived_column", "documents",
               columns={"payload": F.encode(F.col("text"), "utf-8")})
+        .step("bin1", "select", "bin0", columns=["doc_id", "payload"])
+        # Export/Import Column round-trip for a deterministic subset:
+        # payloads leave as per-row blob FILES and come back as bytes —
+        # one corrupted byte anywhere changes the md5-derived decode and
+        # feature chain, so the file round-trip is oracle-load-bearing
+        .step("rsplit", "conditional_split", "bin1",
+              outputs={"rt": "[doc_id] % 50 == 0"}, default="keep")
+        .step("pth", "derived_column", "rsplit.rt", columns={
+            "blob_path": F.concat(F.col("doc_id").cast("string"),
+                                  F.lit(".bin")),
+        })
+        .step("exp", "export_column", "pth", data_col="payload",
+              path_col="blob_path", base_dir=blob_dir)
+        .step("imp", "import_column", "exp", path_col="blob_path",
+              out="payload_rt", base_dir=blob_dir)
+        .step("swap", "select", "imp",
+              columns={"doc_id": "doc_id", "payload": "payload_rt"})
+        .step("bin", "union_all", ["swap", "rsplit.keep"])
         .step("meta", "media.attach_meta", "bin", binary_col="payload")
         .step("dec", "media.decode", "meta", binary_col="payload",
               decoder="stub")

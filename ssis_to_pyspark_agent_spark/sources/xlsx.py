@@ -32,6 +32,76 @@ def _col_index(cell_ref: str) -> int:
     return idx - 1
 
 
+def write_xlsx(path: str, rows: list[list], sheet_name: str = "Sheet1") -> None:
+    """Minimal stdlib .xlsx writer (inverse of :func:`read_xlsx`).
+
+    Strings go as inline strings (no shared-string pool needed), bools as
+    't="b"', numbers as untyped cells. Floats are written with ``repr``
+    (shortest round-trip form), so read-back through a declared schema is
+    value-exact. Bounded by design — the format caps at ~1M rows; callers
+    (sink.excel) enforce the cap before collecting."""
+    from xml.sax.saxutils import escape
+
+    def cell(ref: str, v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return (f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                f"{escape(str(v))}</t></is></c>")
+
+    def col_ref(i: int) -> str:
+        out = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(ord("A") + r) + out
+        return out
+
+    body = "".join(
+        f'<row r="{ri + 1}">'
+        + "".join(cell(f"{col_ref(ci)}{ri + 1}", v) for ci, v in enumerate(row))
+        + "</row>"
+        for ri, row in enumerate(rows)
+    )
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg_rel_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    ct_ns = "http://schemas.openxmlformats.org/package/2006/content-types"
+    sheet_xml = (f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
+                 f"<sheetData>{body}</sheetData></worksheet>")
+    workbook = (f'<?xml version="1.0"?><workbook xmlns="{ns}" '
+                f'xmlns:r="{rel_ns}"><sheets>'
+                f'<sheet name="{escape(sheet_name)}" sheetId="1" '
+                f'r:id="rId1"/></sheets></workbook>')
+    wb_rels = (f'<?xml version="1.0"?><Relationships xmlns="{pkg_rel_ns}">'
+               f'<Relationship Id="rId1" Type="{rel_ns}/worksheet" '
+               f'Target="worksheets/sheet1.xml"/></Relationships>')
+    pkg_rels = (f'<?xml version="1.0"?><Relationships xmlns="{pkg_rel_ns}">'
+                f'<Relationship Id="rId1" '
+                f'Type="{rel_ns}/officeDocument" '
+                f'Target="xl/workbook.xml"/></Relationships>')
+    content_types = (
+        f'<?xml version="1.0"?><Types xmlns="{ct_ns}">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="'
+        'application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'worksheet+xml"/></Types>'
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", pkg_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+
+
 def read_xlsx(path: str, sheet: str | None = None) -> list[list]:
     """Rows of python values (str/float/bool/None) from one sheet."""
     with zipfile.ZipFile(path) as z:

@@ -56,8 +56,11 @@ class TestScanPushdown:
         schemas = read_schemas(df)
         assert schemas, "expected a parquet scan"
         for s in schemas:
+            # `route` appears only in the JSON round-trip scan (the urgent
+            # port re-enters through source.json); the parquet scan itself
+            # stays pruned to the 4 needed columns
             assert s <= {"o_orderkey", "o_orderstatus", "o_totalprice",
-                         "o_orderpriority"}
+                         "o_orderpriority", "route"}
 
 
 class TestJoinStrategies:

@@ -270,3 +270,39 @@ def test_xlsx_absolute_rel_target(tmp_path):
         z.writestr("xl/_rels/workbook.xml.rels", rels)
         z.writestr("xl/worksheets/sheet1.xml", sheet)
     assert read_xlsx(path) == [[42.0]]
+
+
+def test_xlsx_write_read_roundtrip(tmp_path, spark):
+    """write_xlsx (Excel destination) -> read_xlsx (Excel source): floats
+    (repr form), ints, bools, strings, None all value-exact."""
+    from ssis_to_pyspark_agent_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "rt.xlsx")
+    rows = [["id", "name", "price", "flag"],
+            [1, "alpha, with commas", 1234.5678901234567, True],
+            [2, "<xml&escapes>", -0.1, False],
+            [3, None, 9007199254740991.0, None]]
+    write_xlsx(path, rows)
+    got = read_xlsx(path)
+    assert got[0] == ["id", "name", "price", "flag"]
+    assert got[1] == [1.0, "alpha, with commas", 1234.5678901234567, True]
+    assert got[2] == [2.0, "<xml&escapes>", -0.1, False]
+    assert got[3] == [3.0, None, 9007199254740991.0, None]
+
+
+def test_sink_excel_cap_guard(tmp_path, spark):
+    from ssis_to_pyspark_agent_spark.operators import get_operator
+
+    df = spark.range(10).selectExpr("id", "cast(id as string) s")
+    import pytest
+
+    with pytest.raises(ValueError, match="bounded"):
+        get_operator("sink.excel")(
+            spark, [df], {"path": str(tmp_path / "x.xlsx"), "max_rows": 5}, {})
+    get_operator("sink.excel")(
+        spark, [df], {"path": str(tmp_path / "ok.xlsx")}, {})
+    out = get_operator("source.excel")(
+        spark, [], {"path": str(tmp_path / "ok.xlsx"),
+                    "schema": "id bigint, s string"}, {})
+    assert sorted((r.id, r.s) for r in out.collect()) == \
+        [(i, str(i)) for i in range(10)]
