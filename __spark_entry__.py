@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship pipeline on sf0.001; ``queries()`` /
 ``oracle_sql()`` expose the full catalog from
 :mod:`ssis_to_pyspark_agent_spark.queries` — every operator family from
-SURVEY.md §2 plus the NEW scale operators. All 49 queries carry an exact
+SURVEY.md §2 plus the NEW scale operators. All 50 queries carry an exact
 DuckDB oracle (approximate operators run in engine-neutral md5/quantized
 modes so even LSH/IVF/simhash/sketch results are re-derivable in SQL).
 """
