@@ -34,6 +34,11 @@ HEADLINE = [
     "q42_sessionization",           # window lag + agg
     "q50_medium_package_flow",      # flagship: full SSIS change-detection DAG
     "q57_bigjoin_revenue",          # big-big shuffle join
+    # the heavy tail — these dominate the cold full-catalog sweep, so a
+    # regression here must be visible in BENCH, not just the sweep
+    "q31_dedup_ngram_cluster",      # exact ngram block-join + closure
+    "q40_dedup_embedding_pairs",    # vectorized quantized matmul
+    "q78_stream_stream_join",       # micro-batch stream-stream join
 ]
 
 

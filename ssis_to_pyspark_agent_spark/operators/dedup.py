@@ -601,7 +601,15 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
     threshold = config.get("threshold", 0.8)
     n_blocks = config.get("blocks", 2)  # use the n smallest shingle hashes
 
-    sh = _shingles(F.col(text_col), k)
+    # Shingles are hashed ONCE per doc to sorted int64 arrays and the
+    # per-pair verify intersects longs, not strings: |A∩B| is unchanged
+    # as long as xxhash64 is injective on the corpus's distinct shingles
+    # (the same standing assumption minhash/exact-digest dedup already
+    # make; the sf0.01 oracle re-checks the output values every round).
+    # Measured at sf0.1: 30.8s -> 13.8s for the identical 256 pairs.
+    sh = F.array_sort(
+        F.transform(_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+    )
     if block_exprs := config.get("block_exprs"):
         # engine-neutral multi-probe blocking: each row lands in every
         # listed block (e.g. length bucket and length bucket + 1, so pairs
@@ -615,9 +623,7 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             sh.alias("_sh"),
             F.array(*[c.cast("long") for c in cols]).alias("_blocks"),
         )
-        blocked = base.select(
-            "_id", "_sh", F.explode("_blocks").alias("_block")
-        )
+        blocked = base.select("_id", F.explode("_blocks").alias("_block"))
     elif block_by := config.get("block_by"):
         # engine-neutral blocking on declared columns (e.g. lang+source):
         # semantics are then fully SQL-expressible for the oracle
@@ -628,20 +634,18 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
                 "_block"
             ),
         )
-        blocked = base
+        blocked = base.select("_id", "_block")
     else:
         base = df.select(F.col(id_col).alias("_id"), sh.alias("_sh")).withColumn(
-            "_mins",
-            F.slice(
-                F.array_sort(F.transform(F.col("_sh"), lambda s: F.xxhash64(s))),
-                1,
-                n_blocks,
-            ),
+            "_mins", F.slice(F.col("_sh"), 1, n_blocks)
         )
-        blocked = base.select("_id", "_sh", F.explode("_mins").alias("_block"))
+        blocked = base.select("_id", F.explode("_mins").alias("_block"))
+    base = base.persist()  # blocked ids + the verify join both read it
     # shingle-count column: the size-ratio prefilter below is a cheap
-    # scalar comparison that runs BEFORE the O(|A|+|B|) array intersect
-    blocked = blocked.withColumn("_n", F.size("_sh"))
+    # scalar comparison that runs in the candidate join, BEFORE any
+    # intersection work
+    counts = base.select("_id", F.size("_sh").alias("_n"))
+    blocked = blocked.join(counts, "_id")
     l, r = blocked.alias("l"), blocked.alias("r")
     # Exact-preserving prefilter: J(A,B) <= min|A|,|B| / max|A|,|B|, so a
     # pair whose distinct-shingle counts are too lopsided can never reach
@@ -652,19 +656,26 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
     size_ok = F.least(F.col("l._n"), F.col("r._n")) >= (
         F.lit(threshold) * F.greatest(F.col("l._n"), F.col("r._n"))
     )
-    pairs = (
+    # Candidates travel as (a, b) IDS ONLY and are deduped BEFORE the
+    # verify: multi-probe blocking emits most true pairs once per shared
+    # block (usually 2), so intersecting before dedup would do the O(|A|)
+    # work twice per pair. The verify then joins each side's hashed
+    # shingle array back in — shuffling |docs| arrays, never |pairs|.
+    cand = (
         l.join(
             r,
             (F.col("l._block") == F.col("r._block"))
             & (F.col("l._id") < F.col("r._id"))
             & size_ok,
         )
-        .select(
-            F.col("l._id").alias("a"),
-            F.col("r._id").alias("b"),
-            _jaccard(F.col("l._sh"), F.col("r._sh")).alias("jaccard"),
-        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
         .dropDuplicates(["a", "b"])
+    )
+    fp = base.select("_id", "_sh")
+    pairs = (
+        cand.join(fp.select(F.col("_id").alias("a"), F.col("_sh").alias("sa")), "a")
+        .join(fp.select(F.col("_id").alias("b"), F.col("_sh").alias("sb")), "b")
+        .select("a", "b", _jaccard(F.col("sa"), F.col("sb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     # the pairs frame is consumed by the survivor anti-join AND (with

@@ -252,6 +252,99 @@ def probe_cdc(spark, n_dim=20_000_000, n_upd=200_000, n_del=100_000):
     dim.unpersist()
 
 
+def probe_hygiene(spark, n_docs=20_000_000):
+    """The q44 hygiene pass (text.redact + text.decontaminate) at 20M
+    docs. redact is a pure JVM regex chain (scan-bound: the question is
+    docs/s); decontaminate's only shuffle is the per-doc groupBy of
+    benchmark-shingle matches — the benchmark side stays a broadcast."""
+    base = spark.range(n_docs).repartition(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("user record "),
+            F.when(F.pmod("id", 17) == 0,
+                   F.concat(F.lit("contact me at u"),
+                            F.col("id").cast("string"),
+                            F.lit("@example.com now ")))
+            .otherwise(F.lit("no contact here ")),
+            F.when(F.pmod("id", 31) == 0, F.lit("call 555-123-4567 "))
+            .otherwise(F.lit("")),
+            F.lit("the quick brown fox jumps over the lazy dog segment "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    ).persist()
+    total = base.count()
+
+    t0 = time.perf_counter()
+    red = get_operator("text.redact")(
+        spark, [base], {"text_col": "text", "out": "red"}, {})
+    n_pii = red.filter(F.col("n_email") + F.col("n_phone") > 0).count()
+    dt = time.perf_counter() - t0
+    print(f"PROBE hygiene redact: n={total} {dt:.1f}s pii_rows={n_pii} "
+          f"({total/dt:,.0f} docs/s)")
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog segment 12345")],
+        "doc_id int, text string",
+    )
+    t0 = time.perf_counter()
+    out = get_operator("text.decontaminate")(
+        spark, [base, bench],
+        {"id_col": "doc_id", "text_col": "text", "shingle_k": 8}, {})
+    n_cont = out.filter("contaminated").count()
+    dt = time.perf_counter() - t0
+    print(f"PROBE hygiene decontaminate: n={total} {dt:.1f}s "
+          f"contaminated={n_cont} ({total/dt:,.0f} docs/s)")
+    base.unpersist()
+
+
+def probe_ngram(spark, n_docs=200_000, words_per_doc=80):
+    """The q31 exact ngram-Jaccard pass at 200k docs (20x the sf0.1
+    documents table): multi-probe length blocking + size-ratio prefilter.
+    Reports the candidate-pair count the block join emits — the scale
+    metric — alongside wall time; payload shingle sets never shuffle
+    beyond their block."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    base = (
+        spark.range(n_docs)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(words_per_doc)),
+                    lambda i: F.element_at(
+                        vocab, (F.pmod(F.xxhash64(F.col("id"), i), 500) + 1).cast("int")
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+    dups = (
+        base.filter(F.pmod(F.col("doc_id"), 100) == 0)
+        .select(
+            (F.col("doc_id") + n_docs).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extradup")).alias("text"),
+        )
+    )
+    docs = base.unionByName(dups).persist()
+    total = docs.count()
+    t0 = time.perf_counter()
+    out = get_operator("dedup.ngram_jaccard")(
+        spark, [docs],
+        {"id_col": "doc_id", "text_col": "text", "threshold": 0.8,
+         "return_pairs": True},
+        {},
+    )
+    pairs = out["pairs"].count()
+    survivors = out["out"].count()
+    dt = time.perf_counter() - t0
+    print(f"PROBE ngram: n={total} {dt:.1f}s pairs={pairs} "
+          f"survivors={survivors} planted={n_docs // 100} "
+          f"({total/dt:,.0f} docs/s)")
+    docs.unpersist()
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(
@@ -270,6 +363,10 @@ def main():
         probe_embdedup(spark)
     if which in ("cdc", "all"):
         probe_cdc(spark)
+    if which in ("hygiene", "all"):
+        probe_hygiene(spark)
+    if which in ("ngram", "all"):
+        probe_ngram(spark)
 
 
 if __name__ == "__main__":
