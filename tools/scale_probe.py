@@ -268,7 +268,16 @@ def probe_hygiene(spark, n_docs=20_000_000):
             .otherwise(F.lit("no contact here ")),
             F.when(F.pmod("id", 31) == 0, F.lit("call 555-123-4567 "))
             .otherwise(F.lit("")),
-            F.lit("the quick brown fox jumps over the lazy dog segment "),
+            # ~1% of docs carry the benchmark 8-gram; the rest break it
+            # with a per-doc token so the broadcast-shingle probe misses
+            F.when(F.pmod("id", 100) == 0,
+                   F.lit("the quick brown fox jumps over the lazy dog "
+                         "segment tail"))
+            .otherwise(F.concat(
+                F.lit("the quick brown fox x"),
+                F.col("id").cast("string"),
+                F.lit(" jumps over the lazy dog segment tail"))),
+            F.lit(" "),
             F.col("id").cast("string"),
         ).alias("text"),
     ).persist()
@@ -283,7 +292,7 @@ def probe_hygiene(spark, n_docs=20_000_000):
           f"({total/dt:,.0f} docs/s)")
 
     bench = spark.createDataFrame(
-        [(1, "the quick brown fox jumps over the lazy dog segment 12345")],
+        [(1, "the quick brown fox jumps over the lazy dog segment tail")],
         "doc_id int, text string",
     )
     t0 = time.perf_counter()
