@@ -145,7 +145,30 @@ def parse_package(
         g.variables[vname] = _coerce_scalar(vval)
 
     pipelines: dict[str, Pipeline] = {}
-    for ex in root.findall(f"./{DTS}Executables/{DTS}Executable"):
+    _parse_executables(root, g, table_map, sql_overrides, command_targets,
+                       pipelines)
+    _parse_constraints(root, g)
+    return ParsedPackage(name=pkg_name, task_graph=g, pipelines=pipelines)
+
+
+def _parse_executables(
+    parent: ET.Element,
+    g: TaskGraph,
+    table_map: dict[str, str],
+    sql_overrides: dict[str, str],
+    command_targets: dict[str, dict[str, Any]],
+    pipelines: dict[str, Pipeline],
+) -> None:
+    """One level of DTS:Executables into `g` — containers recurse.
+
+    Container coverage mirrors the reference's container dispatch
+    (data_engineering_parser.py:336-361: STOCK:FORLOOP / STOCK:FOREACHLOOP
+    / STOCK:SEQUENCE): each becomes a runtime container task whose body is
+    the recursively-parsed sub-graph (nested Executables + the
+    container's own PrecedenceConstraints)."""
+    from ssis_to_pyspark_agent_spark.plans.control import Foreach, ForLoop
+
+    for ex in parent.findall(f"./{DTS}Executables/{DTS}Executable"):
         tname = _sanitize(ex.get(f"{DTS}ObjectName"))
         etype = ex.get(f"{DTS}ExecutableType", "")
         enabled = ex.get(f"{DTS}Disabled", "False") != "True"
@@ -177,10 +200,54 @@ def parse_package(
             )
             pipelines[tname] = p
             g.task(tname, "pipeline", p, enabled=enabled)
-        # other executable types (containers etc.) are out of fixture scope
+        elif etype.upper().endswith("SEQUENCE"):
+            sub = TaskGraph(tname)
+            _parse_executables(ex, sub, table_map, sql_overrides,
+                               command_targets, pipelines)
+            _parse_constraints(ex, sub)
+            g.task(tname, "graph", sub, enabled=enabled)
+        elif etype.upper().endswith("FORLOOP"):
+            sub = TaskGraph(tname)
+            _parse_executables(ex, sub, table_map, sql_overrides,
+                               command_targets, pipelines)
+            _parse_constraints(ex, sub)
+            g.task(tname, "forloop", ForLoop(
+                eval_expr=ex.get(f"{DTS}EvalExpression") or "FALSE",
+                body=sub,
+                init=_parse_assignment(ex.get(f"{DTS}InitExpression")),
+                assign=_parse_assignment(ex.get(f"{DTS}AssignExpression")),
+            ), enabled=enabled)
+        elif etype.upper().endswith("FOREACHLOOP"):
+            sub = TaskGraph(tname)
+            _parse_executables(ex, sub, table_map, sql_overrides,
+                               command_targets, pipelines)
+            _parse_constraints(ex, sub)
+            # Item enumerator rows (FEIEItem/FEIEItemValue; attributes are
+            # written both plain and DTS-prefixed by different designers)
+            items = []
+            for item in ex.iter("FEIEItem"):
+                vals = [
+                    _coerce_scalar(v.get(f"{DTS}Value") or v.get("Value"))
+                    for v in item.iter("FEIEItemValue")
+                ]
+                items.append(vals[0] if len(vals) == 1 else vals)
+            # variable binding: first ForEachVariableMapping receives the
+            # item (multi-column mappings are out of scope — declared, not
+            # guessed: we bind index 0 only)
+            mapping = ex.find(
+                f".//{DTS}ForEachVariableMappings/{DTS}ForEachVariableMapping"
+            )
+            var = (mapping.get(f"{DTS}VariableName", "item").split("::")[-1]
+                   if mapping is not None else "item")
+            g.task(tname, "foreach", Foreach(var=var, items=items, body=sub),
+                   enabled=enabled)
+        # remaining executable types (script tasks etc.) are declared via
+        # sql_overrides, not guessed
 
-    for pc in root.findall(f"./{DTS}PrecedenceConstraints/"
-                           f"{DTS}PrecedenceConstraint"):
+
+def _parse_constraints(parent: ET.Element, g: TaskGraph) -> None:
+    for pc in parent.findall(f"./{DTS}PrecedenceConstraints/"
+                             f"{DTS}PrecedenceConstraint"):
         src = _sanitize(pc.get(f"{DTS}From").split("\\")[-1])
         dst = _sanitize(pc.get(f"{DTS}To").split("\\")[-1])
         # DTS:Value: 0 success (default) | 1 failure | 2 completion
@@ -197,7 +264,18 @@ def parse_package(
             on = "completion"
         g.edge(src, dst, on=on, condition=expr)
 
-    return ParsedPackage(name=pkg_name, task_graph=g, pipelines=pipelines)
+
+def _parse_assignment(expr: str | None) -> tuple[str, str] | None:
+    """SSIS For Loop Init/Assign expressions are assignments:
+    ``@[User::i] = @[User::i] + 1`` (or bare ``@i = ...``) ->
+    (variable, rhs-expression). None/unparseable -> None (declared
+    no-op, matching SSIS's optional Init/Assign)."""
+    if not expr:
+        return None
+    m = re.match(
+        r"^\s*@\[?(?:User::)?([A-Za-z_]\w*)\]?\s*=(?!=)\s*(.+)$", expr
+    )
+    return (m.group(1), m.group(2).strip()) if m else None
 
 
 def _coerce_scalar(v: str | None):

@@ -39,8 +39,8 @@ from ssis_to_pyspark_agent_spark.plans.spec import Pipeline
 @dataclass
 class Task:
     name: str
-    kind: str  # pipeline | sql | python | foreach
-    payload: Any  # Pipeline | sql str | callable(spark, ctx) | Foreach
+    kind: str  # pipeline | sql | python | expression | foreach | forloop | graph
+    payload: Any  # Pipeline | sql str | callable(spark, ctx) | (var, expr) | Foreach | ForLoop | TaskGraph
     logic: str = "and"  # multi-constraint combination (SSIS LogicalAnd)
     enabled: bool = True  # DTS:Disabled
 
@@ -207,6 +207,11 @@ class ControlFlowRunner:
                 var, expr = task.payload
                 col = ExpressionCompiler(schema={}, variables=context).compile(expr)
                 context[var] = self.spark.range(1).select(col.alias("v")).first().v
+                return TaskResult(status="success")
+            if task.kind == "graph":
+                # Sequence container: run the sub-graph once; variables
+                # written inside flow back into the outer context
+                self._run_body(task.payload, context)
                 return TaskResult(status="success")
             if task.kind == "foreach":
                 fe: Foreach = task.payload

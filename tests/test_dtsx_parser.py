@@ -212,3 +212,99 @@ def test_precedence_evalop_gating(tmp_path, evalop, want_cond, want_on):
     (edge,) = pkg.task_graph.edges
     assert edge.condition == want_cond
     assert edge.on == want_on
+
+
+def test_container_executables_parse_and_run(tmp_path, spark):
+    """STOCK:SEQUENCE / STOCK:FORLOOP / STOCK:FOREACHLOOP containers
+    (reference data_engineering_parser.py:336-361 container dispatch)
+    parse into runtime container tasks and EXECUTE: the for loop runs its
+    body 3 times, the foreach accumulates its items, the sequence's inner
+    constraint orders its children."""
+    xml = (
+        '<?xml version="1.0"?>'
+        '<DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" '
+        'xmlns:SQLTask="www.microsoft.com/sqlserver/dts/tasks/sqltask" '
+        'DTS:ObjectName="ContainerPkg">'
+        "<DTS:Variables>"
+        '<DTS:Variable DTS:ObjectName="i"><DTS:VariableValue>0'
+        "</DTS:VariableValue></DTS:Variable>"
+        '<DTS:Variable DTS:ObjectName="acc"><DTS:VariableValue>0'
+        "</DTS:VariableValue></DTS:Variable>"
+        '<DTS:Variable DTS:ObjectName="hits"><DTS:VariableValue>0'
+        "</DTS:VariableValue></DTS:Variable>"
+        "</DTS:Variables>"
+        "<DTS:Executables>"
+        # sequence with two SQL tasks ordered by an inner constraint
+        '<DTS:Executable DTS:ObjectName="SEQ" '
+        'DTS:ExecutableType="STOCK:SEQUENCE">'
+        "<DTS:Executables>"
+        '<DTS:Executable DTS:ObjectName="S1" '
+        'DTS:ExecutableType="Microsoft.ExecuteSQLTask">'
+        '<DTS:ObjectData><SQLTask:SqlTaskData '
+        'SQLTask:SqlStatementSource="CREATE OR REPLACE TEMP VIEW seq_v AS '
+        'SELECT 7 AS n"/></DTS:ObjectData></DTS:Executable>'
+        '<DTS:Executable DTS:ObjectName="S2" '
+        'DTS:ExecutableType="Microsoft.ExecuteSQLTask">'
+        '<DTS:ObjectData><SQLTask:SqlTaskData '
+        'SQLTask:SqlStatementSource="SELECT n AS got FROM seq_v">'
+        '<SQLTask:ResultBinding SQLTask:ResultName="got" '
+        'SQLTask:DtsVariableName="User::hits"/>'
+        "</SQLTask:SqlTaskData></DTS:ObjectData></DTS:Executable>"
+        "</DTS:Executables>"
+        "<DTS:PrecedenceConstraints>"
+        '<DTS:PrecedenceConstraint DTS:From="Package\\S1" '
+        'DTS:To="Package\\S2"/>'
+        "</DTS:PrecedenceConstraints>"
+        "</DTS:Executable>"
+        # for loop: i goes 0 -> 3
+        '<DTS:Executable DTS:ObjectName="FL" '
+        'DTS:ExecutableType="STOCK:FORLOOP" '
+        'DTS:InitExpression="@[User::i] = 0" '
+        'DTS:EvalExpression="@[User::i] &lt; 3" '
+        'DTS:AssignExpression="@[User::i] = @[User::i] + 1">'
+        "<DTS:Executables/>"
+        "</DTS:Executable>"
+        # foreach over 3 items accumulating into acc
+        '<DTS:Executable DTS:ObjectName="FEL" '
+        'DTS:ExecutableType="STOCK:FOREACHLOOP">'
+        "<DTS:ForEachEnumerator><DTS:ObjectData><FEIEItems>"
+        '<FEIEItem><FEIEItemValue Type="3" Value="10"/></FEIEItem>'
+        '<FEIEItem><FEIEItemValue Type="3" Value="20"/></FEIEItem>'
+        '<FEIEItem><FEIEItemValue Type="3" Value="12"/></FEIEItem>'
+        "</FEIEItems></DTS:ObjectData></DTS:ForEachEnumerator>"
+        "<DTS:ForEachVariableMappings>"
+        '<DTS:ForEachVariableMapping DTS:VariableName="User::item" '
+        'DTS:ValueIndex="0"/>'
+        "</DTS:ForEachVariableMappings>"
+        "<DTS:Executables>"
+        '<DTS:Executable DTS:ObjectName="ADD" '
+        'DTS:ExecutableType="Microsoft.ExecuteSQLTask">'
+        '<DTS:ObjectData><SQLTask:SqlTaskData '
+        'SQLTask:SqlStatementSource="SELECT 1 AS one"/>'
+        "</DTS:ObjectData></DTS:Executable>"
+        "</DTS:Executables>"
+        "</DTS:Executable>"
+        "</DTS:Executables>"
+        "<DTS:PrecedenceConstraints>"
+        '<DTS:PrecedenceConstraint DTS:From="Package\\SEQ" '
+        'DTS:To="Package\\FL"/>'
+        '<DTS:PrecedenceConstraint DTS:From="Package\\FL" '
+        'DTS:To="Package\\FEL"/>'
+        "</DTS:PrecedenceConstraints>"
+        "</DTS:Executable>"
+    )
+    p = tmp_path / "containers.dtsx"
+    p.write_text(xml)
+    pkg = parse_package(str(p))
+    kinds = {t.name: t.kind for t in pkg.task_graph.tasks}
+    assert kinds == {"SEQ": "graph", "FL": "forloop", "FEL": "foreach"}
+    fl = next(t for t in pkg.task_graph.tasks if t.name == "FL").payload
+    assert fl.init == ("i", "0") and fl.assign == ("i", "@[User::i] + 1")
+    fel = next(t for t in pkg.task_graph.tasks if t.name == "FEL").payload
+    assert fel.var == "item" and fel.items == [10, 20, 12]
+
+    results, ctx = run_task_graph(spark, pkg.task_graph)
+    assert all(r.status == "success" for r in results.values())
+    assert ctx["hits"] == 7      # sequence ran S1 before S2 (binding)
+    assert ctx["i"] == 3         # for loop iterated 0,1,2 then stopped
+    assert ctx["item"] == 12     # foreach bound each item; last one sticks
