@@ -59,10 +59,19 @@ def build_aggs(aggs: dict) -> list[Column]:
             # percentile_cont); percentile_approx is the 100 TB
             # single-pass sketch path. One percentage -> scalar column,
             # several -> array column (Spark-native semantics; a single
-            # extra may itself be a list for the array form).
-            pcts = list(extra) if len(extra) != 1 else extra[0]
+            # extra may itself be a list for the array form). For
+            # percentile_approx a trailing int > 1 is the ACCURACY
+            # argument (percentages live in [0,1]), matching Spark's
+            # (col, percentage, accuracy) signature.
+            extras = list(extra)
+            acc = None
+            if (fn == "percentile_approx" and len(extras) >= 2
+                    and isinstance(extras[-1], int) and extras[-1] > 1):
+                acc = extras.pop()
+            pcts = extras if len(extras) != 1 else extras[0]
             pf = F.percentile if fn == "percentile" else F.percentile_approx
-            out.append(pf(col, pcts if extra else 0.5).alias(name))
+            args = (pcts if extras else 0.5,) + ((acc,) if acc else ())
+            out.append(pf(col, *args).alias(name))
             continue
         out.append(_AGG_FNS[fn](col, *extra).alias(name))
     return out

@@ -680,8 +680,12 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
     )
     # the pairs frame is consumed by the survivor anti-join AND (with
     # return_pairs) by the caller's port — and it is expensive (blocked
-    # candidate intersection); persist so it materializes once
+    # candidate intersection); persist AND materialize it here so the
+    # corpus-sized hashed-shingle cache (`base`) can be released
+    # immediately instead of leaking a cached relation per invocation
     pairs = pairs.persist()
+    pairs.count()
+    base.unpersist()
     out = _keep_min_survivors(df, id_col, pairs)
     if config.get("return_pairs"):
         return {"out": out, "pairs": pairs}
@@ -716,14 +720,17 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
         # bounded limit(cap+1) probe (never a full count of an unbounded
         # input) fails fast with a pointer to the LSH path.
         cap = config.get("brute_force_cap", 100_000)
-        if base.limit(cap + 1).count() > cap:
-            raise ValueError(
-                f"dedup.embedding brute_force is the exact small-input "
-                f"baseline and is capped at {cap} rows (override with "
-                f"brute_force_cap). For larger corpora drop brute_force "
-                f"and use the hyperplane-LSH candidate path, which "
-                f"bucket-joins instead of materializing all pairs."
-            )
+        cap_err = (
+            f"dedup.embedding brute_force is the exact small-input "
+            f"baseline and is capped at {cap} rows (override with "
+            f"brute_force_cap). For larger corpora drop brute_force "
+            f"and use the hyperplane-LSH candidate path, which "
+            f"bucket-joins instead of materializing all pairs."
+        )
+        if config.get("method", "expr") != "pandas":
+            # expr path never collects — a bounded count probe suffices
+            if base.limit(cap + 1).count() > cap:
+                raise ValueError(cap_err)
         if config.get("method", "expr") == "pandas":
             # Vectorized all-pairs: broadcast the (bounded — see the cap
             # probe above) quantized matrix, one numpy matmul per Arrow
@@ -739,7 +746,10 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
             import pandas as pd
 
             quant = config.get("quantize")
-            rows = base.collect()
+            # the bounded collect IS the cap probe — one job, not two
+            rows = base.limit(cap + 1).collect()
+            if len(rows) > cap:
+                raise ValueError(cap_err)
             all_ids = np.array([r["_id"] for r in rows])
             m = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
             if quant:

@@ -108,6 +108,9 @@ def parse_media_header(payload: bytes) -> dict[str, Any]:
                     i += 1
                     continue
                 marker = p[i + 1]
+                if marker == 0xFF:
+                    i += 1  # 0xFF fill/padding byte before a marker
+                    continue
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2  # standalone markers carry no length
                     continue

@@ -254,7 +254,10 @@ def excel_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     probe (limit(cap+1)) before collecting rather than trusting that."""
     df: DataFrame = inputs[0]
     cap = config.get("max_rows", 1_048_575)
-    if df.limit(cap + 1).count() > cap:
+    # one job, not probe-then-collect: the bounded collect IS the probe
+    # (cap+1 rows max land on the driver either way)
+    collected = df.limit(cap + 1).collect()
+    if len(collected) > cap:
         raise ValueError(
             f"sink.excel is for bounded spreadsheet artifacts (<= {cap} "
             f"rows; the xlsx format caps at ~1M). Use sink.parquet/"
@@ -262,7 +265,7 @@ def excel_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
         )
     from ssis_to_pyspark_agent_spark.sources.xlsx import write_xlsx
 
-    rows = [list(r) for r in df.collect()]
+    rows = [list(r) for r in collected]
     header = [list(df.columns)] if config.get("header", True) else []
     write_xlsx(config["path"], header + rows,
                sheet_name=config.get("sheet", "Sheet1"))

@@ -223,9 +223,14 @@ def _parse_executables(
                                command_targets, pipelines)
             _parse_constraints(ex, sub)
             # Item enumerator rows (FEIEItem/FEIEItemValue; attributes are
-            # written both plain and DTS-prefixed by different designers)
+            # written both plain and DTS-prefixed by different designers).
+            # Scope strictly to THIS container's direct enumerator — a
+            # subtree walk would absorb a nested ForEach's items into the
+            # outer loop.
             items = []
-            for item in ex.iter("FEIEItem"):
+            enum_el = ex.find(f"./{DTS}ForEachEnumerator")
+            for item in (enum_el.iter("FEIEItem") if enum_el is not None
+                         else ()):
                 vals = [
                     _coerce_scalar(v.get(f"{DTS}Value") or v.get("Value"))
                     for v in item.iter("FEIEItemValue")
@@ -233,9 +238,9 @@ def _parse_executables(
                 items.append(vals[0] if len(vals) == 1 else vals)
             # variable binding: first ForEachVariableMapping receives the
             # item (multi-column mappings are out of scope — declared, not
-            # guessed: we bind index 0 only)
+            # guessed: we bind index 0 only). Direct child only — see above.
             mapping = ex.find(
-                f".//{DTS}ForEachVariableMappings/{DTS}ForEachVariableMapping"
+                f"./{DTS}ForEachVariableMappings/{DTS}ForEachVariableMapping"
             )
             var = (mapping.get(f"{DTS}VariableName", "item").split("::")[-1]
                    if mapping is not None else "item")
@@ -254,15 +259,17 @@ def _parse_constraints(parent: ET.Element, g: TaskGraph) -> None:
         on = {None: "success", "0": "success", "1": "failure",
               "2": "completion"}[pc.get(f"{DTS}Value")]
         # DTS:EvalOp: 2 constraint only (default) | 1 expression only |
-        # 3 both. For 2 a stale Expression attribute must NOT gate the
-        # edge; for 1 the constraint result is ignored (the edge still
-        # orders execution — 'completion' — but success/failure is not
-        # checked, only the expression).
+        # 3 both (AND) | 4 either (OR). For 2 a stale Expression attribute
+        # must NOT gate the edge; for 1 the constraint result is ignored
+        # (the edge still orders execution — 'completion' — but
+        # success/failure is not checked, only the expression).
         evalop = pc.get(f"{DTS}EvalOp", "2")
-        expr = pc.get(f"{DTS}Expression") if evalop in ("1", "3") else None
+        expr = (pc.get(f"{DTS}Expression")
+                if evalop in ("1", "3", "4") else None)
         if evalop == "1":
             on = "completion"
-        g.edge(src, dst, on=on, condition=expr)
+        g.edge(src, dst, on=on, condition=expr,
+               condition_or=(evalop == "4"))
 
 
 def _parse_assignment(expr: str | None) -> tuple[str, str] | None:

@@ -51,6 +51,10 @@ class Edge:
     dst: str
     on: str = "success"  # success | failure | completion
     condition: str | None = None  # SSIS expression over variables
+    # SSIS EvalOp=4 (ExpressionOrConstraint): constraint OR expression —
+    # the default combines them with AND (EvalOp=3). Either way the
+    # predecessor must have completed (edges order execution).
+    condition_or: bool = False
 
 
 @dataclass
@@ -93,8 +97,10 @@ class TaskGraph:
         return self
 
     def edge(self, src: str, dst: str, on: str = "success",
-             condition: str | None = None) -> "TaskGraph":
-        self.edges.append(Edge(src=src, dst=dst, on=on, condition=condition))
+             condition: str | None = None,
+             condition_or: bool = False) -> "TaskGraph":
+        self.edges.append(Edge(src=src, dst=dst, on=on, condition=condition,
+                               condition_or=condition_or))
         return self
 
 
@@ -167,15 +173,17 @@ class ControlFlowRunner:
         pred = results.get(e.src)
         if pred is None or pred.status == "skipped":
             return False
-        if e.on == "success" and pred.status != "success":
-            return False
-        if e.on == "failure" and pred.status != "failure":
-            return False
-        if e.condition is not None and not _eval_condition(
-            self.spark, e.condition, context
-        ):
-            return False
-        return True
+        constraint_ok = not (
+            (e.on == "success" and pred.status != "success")
+            or (e.on == "failure" and pred.status != "failure")
+        )
+        if e.condition is None:
+            return constraint_ok
+        if e.condition_or and constraint_ok:
+            return True  # OR: constraint alone suffices, skip the eval
+        expr_ok = _eval_condition(self.spark, e.condition, context)
+        return (constraint_ok or expr_ok) if e.condition_or \
+            else (constraint_ok and expr_ok)
 
     def _execute(self, task: Task, context: dict[str, Any]) -> TaskResult:
         try:

@@ -47,6 +47,20 @@ def _p(name: str, sf_dir: str, *tables: str) -> Pipeline:
     return p
 
 
+def _scratch(tag: str) -> str:
+    """STABLE per-query scratch dir for sink round-trips. mkdtemp-per-run
+    leaked a fresh copy of the written data into /tmp on every bench /
+    sweep iteration; a stable path + mode='overwrite' at every writer
+    reuses one footprint. (Single-process use by design — the driver runs
+    queries sequentially.)"""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_scratch", tag)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _dec(c: str | Column) -> Column:
     col = F.col(c) if isinstance(c, str) else c
     return col.cast("decimal(18,4)")
@@ -310,9 +324,7 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the urgent port leaves through the JSON destination and comes back
     # through the JSON source (declared schema, no inference) — the
     # JSON sink/source pair is oracle-load-bearing for these rows
-    import tempfile
-
-    jdir = tempfile.mkdtemp(prefix="q09_json_") + "/urgent"
+    jdir = _scratch("q09_json") + "/urgent"
     p.step("jsink", "sink.json", "p_urgent", path=jdir, mode="overwrite")
     p.step("jrt", "source.json", "jsink", path=jdir,
            schema="o_orderkey bigint, o_orderstatus string, "
@@ -1519,9 +1531,7 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     (declared DDL schema, no inferSchema double-scan), branch B via the
     Spark-4-native XML destination+source. Both flat-file paths are
     oracle-load-bearing: a mis-parsed row or type would hash-mismatch."""
-    import tempfile
-
-    scratch = tempfile.mkdtemp(prefix="q46_files_")
+    scratch = _scratch("q46_files")
     p = (
         _p("q46", sf_dir, "orders")
         .step("a0", "filter", "orders", predicate='[o_orderstatus] == "O"')
@@ -1836,10 +1846,9 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue of an SSIS completion constraint)."""
     import os
     import shutil
-    import tempfile
     from urllib.parse import urlparse
 
-    scratch = tempfile.mkdtemp(prefix="q50_sink_")
+    scratch = _scratch("q50_sink")
     # a fresh session's in-memory catalog forgets the table but its
     # warehouse directory persists — clear both or the overwrite-save
     # fails with LOCATION_ALREADY_EXISTS on the next process's run
@@ -1992,9 +2001,7 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     destination) and is read back by the Excel SOURCE with a declared
     schema, so both Excel endpoints are oracle-load-bearing (bigint/
     double/string survive the untyped-cell round-trip value-exactly)."""
-    import tempfile
-
-    xlsx_path = tempfile.mkdtemp(prefix="q52_xlsx_") + "/report.xlsx"
+    xlsx_path = _scratch("q52_xlsx") + "/report.xlsx"
     p = Pipeline("q52", variables={"RunTag": "etl_v1"})
     p.step("customer", "source.parquet", path=f"{sf_dir}/customer.parquet")
     p.step("cp", "copy_column", "customer", copies={"name_copy": "c_name"})
@@ -2296,9 +2303,7 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what a SQL oracle can re-derive — the REAL header decoder
     (PNG/JPEG/GIF/WAV via stdlib struct, decoder='headers') is unit-tested
     on real files in tests/test_operators.py::TestMultimodal."""
-    import tempfile
-
-    blob_dir = tempfile.mkdtemp(prefix="q67_blobs_")
+    blob_dir = _scratch("q67_blobs")
     p = (
         _p("q67", sf_dir, "documents")
         .step("bin0", "derived_column", "documents",

@@ -96,9 +96,11 @@ def partition_predicates(column: str, lower: int, upper: int,
     list: first range catches everything below (and NULLs via the
     'IS NULL' arm), last everything above, so rows outside the bounds are
     never dropped, only skewed into the edge partitions."""
-    if num_partitions <= 1 or upper <= lower:
+    n = min(num_partitions, max(upper - lower, 0))
+    if n <= 1:
+        # one partition must cover EVERYTHING (clamping to a single range
+        # with the first-range '< hi' arm would silently drop col >= hi)
         return ["1=1"]
-    n = min(num_partitions, upper - lower)
     stride = (upper - lower) // n
     preds, lo = [], lower
     for i in range(n):
@@ -151,11 +153,13 @@ def jdbc_read_options(config: dict[str, Any]) -> dict[str, str]:
 
 
 # SSIS destination access modes -> Spark SaveMode. 'fastLoad' is the
-# bulk-insert hint — same table-append semantics, batched.
+# bulk-insert hint — same table-append semantics, batched. Spark's own
+# SaveMode spellings pass through so specs written against
+# DataFrameWriter.mode keep working.
 _WRITE_MODES = {
     "append": "append", "fastload": "append", "overwrite": "overwrite",
     "truncate": "overwrite", "ignore": "ignore", "fail": "error",
-    "error": "error",
+    "error": "error", "errorifexists": "error",
 }
 
 

@@ -72,9 +72,12 @@ def write_xlsx(path: str, rows: list[list], sheet_name: str = "Sheet1") -> None:
     ct_ns = "http://schemas.openxmlformats.org/package/2006/content-types"
     sheet_xml = (f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
                  f"<sheetData>{body}</sheetData></worksheet>")
+    # attribute context: quotes must be escaped too (escape() alone only
+    # covers &<> — a sheet name with '"' would corrupt the workbook XML)
+    sheet_attr = escape(sheet_name, {'"': "&quot;"})
     workbook = (f'<?xml version="1.0"?><workbook xmlns="{ns}" '
                 f'xmlns:r="{rel_ns}"><sheets>'
-                f'<sheet name="{escape(sheet_name)}" sheetId="1" '
+                f'<sheet name="{sheet_attr}" sheetId="1" '
                 f'r:id="rId1"/></sheets></workbook>')
     wb_rels = (f'<?xml version="1.0"?><Relationships xmlns="{pkg_rel_ns}">'
                f'<Relationship Id="rId1" Type="{rel_ns}/worksheet" '

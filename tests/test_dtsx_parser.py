@@ -174,7 +174,8 @@ def test_positional_alias_respects_declared_output_columns():
     [
         ("2", None, "failure"),       # constraint only: stale Expression ignored
         ("1", "@[User::X] > 0", "completion"),  # expression only: value ignored
-        ("3", "@[User::X] > 0", "failure"),     # both apply
+        ("3", "@[User::X] > 0", "failure"),     # both apply (AND)
+        ("4", "@[User::X] > 0", "failure"),     # either applies (OR)
         (None, None, "failure"),      # absent -> SSIS default (constraint only)
     ],
 )
@@ -212,6 +213,7 @@ def test_precedence_evalop_gating(tmp_path, evalop, want_cond, want_on):
     (edge,) = pkg.task_graph.edges
     assert edge.condition == want_cond
     assert edge.on == want_on
+    assert edge.condition_or == (evalop == "4")
 
 
 def test_container_executables_parse_and_run(tmp_path, spark):
@@ -308,3 +310,67 @@ def test_container_executables_parse_and_run(tmp_path, spark):
     assert ctx["hits"] == 7      # sequence ran S1 before S2 (binding)
     assert ctx["i"] == 3         # for loop iterated 0,1,2 then stopped
     assert ctx["item"] == 12     # foreach bound each item; last one sticks
+
+
+def test_evalop_or_edge_runs_on_expression_despite_failure(spark):
+    """EvalOp=4 (ExpressionOrConstraint): the edge fires when EITHER the
+    constraint holds OR the expression is true — here the predecessor
+    SUCCEEDS but the edge wants failure; the true expression still fires
+    it, and with a false expression the edge (correctly) does not."""
+    from ssis_to_pyspark_agent_spark.plans.control import (
+        TaskGraph, run_task_graph,
+    )
+
+    for flag, want in ((1, "success"), (0, "skipped")):
+        g = TaskGraph("orpkg", variables={"X": flag})
+        g.task("a", "expression", ("X", "@[User::X]"))  # succeeds
+        g.task("b", "expression", ("X", "99"))
+        g.edge("a", "b", on="failure", condition="@[User::X] > 0",
+               condition_or=True)
+        results, _ = run_task_graph(spark, g)
+        assert results["b"].status == want, flag
+
+
+def test_nested_foreach_items_not_absorbed(tmp_path, spark):
+    """An outer FOREACHLOOP whose body contains another FOREACHLOOP: each
+    keeps its OWN item list and variable mapping (a subtree walk would
+    fold the inner items into the outer loop)."""
+    xml = (
+        '<?xml version="1.0"?>'
+        '<DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" '
+        'DTS:ObjectName="NestedPkg">'
+        "<DTS:Executables>"
+        '<DTS:Executable DTS:ObjectName="OUTER" '
+        'DTS:ExecutableType="STOCK:FOREACHLOOP">'
+        "<DTS:ForEachEnumerator><DTS:ObjectData><FEIEItems>"
+        '<FEIEItem><FEIEItemValue Value="1"/></FEIEItem>'
+        '<FEIEItem><FEIEItemValue Value="2"/></FEIEItem>'
+        "</FEIEItems></DTS:ObjectData></DTS:ForEachEnumerator>"
+        "<DTS:ForEachVariableMappings>"
+        '<DTS:ForEachVariableMapping DTS:VariableName="User::outer_v"/>'
+        "</DTS:ForEachVariableMappings>"
+        "<DTS:Executables>"
+        '<DTS:Executable DTS:ObjectName="INNER" '
+        'DTS:ExecutableType="STOCK:FOREACHLOOP">'
+        "<DTS:ForEachEnumerator><DTS:ObjectData><FEIEItems>"
+        '<FEIEItem><FEIEItemValue Value="7"/></FEIEItem>'
+        '<FEIEItem><FEIEItemValue Value="8"/></FEIEItem>'
+        '<FEIEItem><FEIEItemValue Value="9"/></FEIEItem>'
+        "</FEIEItems></DTS:ObjectData></DTS:ForEachEnumerator>"
+        "<DTS:ForEachVariableMappings>"
+        '<DTS:ForEachVariableMapping DTS:VariableName="User::inner_v"/>'
+        "</DTS:ForEachVariableMappings>"
+        "<DTS:Executables/>"
+        "</DTS:Executable>"
+        "</DTS:Executables>"
+        "</DTS:Executable>"
+        "</DTS:Executables>"
+        "</DTS:Executable>"
+    )
+    p = tmp_path / "nested.dtsx"
+    p.write_text(xml)
+    pkg = parse_package(str(p))
+    outer = next(t for t in pkg.task_graph.tasks if t.name == "OUTER").payload
+    assert outer.items == [1, 2] and outer.var == "outer_v"
+    inner = next(t for t in outer.body.tasks if t.name == "INNER").payload
+    assert inner.items == [7, 8, 9] and inner.var == "inner_v"

@@ -69,6 +69,9 @@ class TestPartitionPredicates:
     def test_degenerate_cases(self):
         assert partition_predicates("id", 0, 100, 1) == ["1=1"]
         assert partition_predicates("id", 5, 5, 8) == ["1=1"]
+        # clamped to ONE partition (upper-lower=1 < num_partitions): the
+        # single predicate must cover everything, not just id < upper
+        assert partition_predicates("id", 0, 1, 8) == ["1=1"]
         # more partitions than distinct values: clamp, never empty ranges
         got = partition_predicates("id", 0, 3, 10)
         assert len(got) == 3 and got[-1] == "id >= 2"

@@ -948,3 +948,29 @@ def test_term_lookup_keeps_duplicate_rows(spark):
     got = sorted((r.doc_id, r.term, r.term_count) for r in out.collect())
     assert got == [(1, "alpha", 2), (1, "alpha", 2),
                    (1, "beta", 1), (1, "beta", 1)]
+
+
+def test_jpeg_header_with_fill_bytes(spark):
+    """Spec-valid JPEGs may pad with 0xFF fill bytes before a marker —
+    the SOF walk must skip them, not misread a length from them."""
+    from ssis_to_pyspark_agent_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    jpg = _jpeg_bytes(44, 33)
+    # inject two fill bytes between APP0 and SOF0
+    padded = jpg[:2] + jpg[2:20] + b"\xff\xff" + jpg[20:]
+    got = parse_media_header(padded)
+    assert (got["format"], got["width"], got["height"]) == ("jpeg", 44, 33)
+
+
+def test_percentile_approx_accuracy_argument(spark):
+    """A trailing int > 1 is percentile_approx's ACCURACY, not another
+    percentage (Spark (col, percentage, accuracy) signature)."""
+    df = spark.range(1, 1001).selectExpr("cast(id as double) as v")
+    out = run("aggregate", spark, [df], keys=[], aggs={
+        "pa": ("percentile_approx", "v", 0.5, 10000),
+        "pa_arr": ("percentile_approx", "v", [0.25, 0.75], 10000),
+    }).first()
+    assert 400 < out["pa"] < 600
+    assert len(out["pa_arr"]) == 2

@@ -306,3 +306,11 @@ def test_sink_excel_cap_guard(tmp_path, spark):
                     "schema": "id bigint, s string"}, {})
     assert sorted((r.id, r.s) for r in out.collect()) == \
         [(i, str(i)) for i in range(10)]
+
+
+def test_xlsx_sheet_name_with_quotes(tmp_path):
+    from ssis_to_pyspark_agent_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "q.xlsx")
+    write_xlsx(path, [["v"], [1]], sheet_name='Q3 "final" & more')
+    assert read_xlsx(path, sheet='Q3 "final" & more') == [["v"], [1.0]]
