@@ -737,6 +737,32 @@ class TestIvfKmeans:
         gi = {(r.query_id, r.rank): r.corpus_id for r in ivf.collect()}
         assert gb == gi  # full probe == exact
 
+    def test_numpy_assignment_matches_expr(self, spark):
+        # the quantized numpy assign path (default) must place every
+        # vector in the same list, probe the same lists, and emit the
+        # same ranked rows as the Catalyst-expression path — the oracle
+        # re-derives assignment from the expr formula, so any divergence
+        # here is a silent correctness hole
+        import random
+
+        rng = random.Random(11)
+        data = [
+            (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)
+        ]
+        df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+        q = df.filter("vec_id < 6")
+        cfg = dict(id_col="vec_id", vec_col="embedding",
+                   query_id_col="vec_id", query_vec_col="embedding",
+                   k=4, centroids=8, nprobe=3,
+                   centroid_order="md5", quantize=10000)
+        a = run("similarity.topk_ivf", spark, [df, q],
+                assign_impl="numpy", **cfg)
+        b = run("similarity.topk_ivf", spark, [df, q],
+                assign_impl="expr", **cfg)
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb
+
     def test_single_probe_recall_on_clustered_data(self, spark):
         import random
 
