@@ -324,3 +324,109 @@ def decontaminate(spark: SparkSession, inputs, config, context) -> DataFrame:
         hits.withColumnRenamed("_id", id_col), id_col, "left"
     ).withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
     return out.withColumn("contaminated", F.col("n_overlap") >= threshold)
+
+
+@operator("text.repetition")
+def repetition(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+    the standard pretraining filters for boilerplate / degenerate text.
+
+    Adds per-document columns:
+    - ``dup_line_frac``       fraction of lines that are repeats of an
+                              earlier identical line
+    - ``dup_line_char_frac``  fraction of line characters inside those
+                              repeated occurrences
+    - ``top_{n}gram_char_frac``  (n in ``top_ns``, default [2,3,4]) chars
+      covered by all occurrences of the single most frequent word n-gram,
+      over the normalized text length
+    - ``dup_{n}gram_char_frac``  (n in ``dup_ns``, default [5,10]) chars
+      covered by occurrences of n-grams appearing >= 2 times, over the
+      normalized text length
+
+    Scale design: line stats are pure array expressions (no shuffle).
+    N-gram stats explode (id, n, gram) ONCE across all n values and run
+    one groupBy chain — shuffle volume is tokens x |ns|, the same class
+    as text.decontaminate. Most-frequent-gram ties don't matter: only
+    count*len(gram) aggregates leave the groupBy. Denominator is the
+    normalized text length, so the fractions are engine-reproducible with
+    one integer division per column (exact-oracle-friendly: no float
+    accumulation anywhere).
+
+    Definitions follow the Gopher paper's intent but are pinned exactly
+    as above (the paper leaves overlap handling unspecified; occurrences
+    here count chars multiplicatively, overlaps uncollapsed).
+    """
+    df: DataFrame = inputs[0]
+    id_col = config["id_col"]
+    text_col = config["text_col"]
+    top_ns = list(config.get("top_ns", [2, 3, 4]))
+    dup_ns = list(config.get("dup_ns", [5, 10]))
+    line_sep = config.get("line_sep", "\n")
+
+    c = F.col(text_col)
+    # ---- line stats: pure array ops, zero shuffle
+    lines = F.split(c, line_sep)
+    n_lines = F.size(lines)
+    dlines = F.array_distinct(lines)
+    chars = lambda a: F.aggregate(  # noqa: E731
+        a, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    all_chars = chars(lines)
+    out = df.withColumns(
+        {
+            "dup_line_frac": (n_lines - F.size(dlines)).cast("double")
+            / F.greatest(n_lines, F.lit(1)).cast("double"),
+            "dup_line_char_frac": (all_chars - chars(dlines)).cast("double")
+            / F.greatest(all_chars, F.lit(1)).cast("double"),
+        }
+    )
+
+    # ---- n-gram stats: one explode over all n, one groupBy chain
+    ns = sorted(set(top_ns) | set(dup_ns))
+    if not ns:
+        return out
+    w = _words(c)
+    norm_len = F.length(_norm_text(c))
+
+    def grams(n: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.struct(
+                F.lit(n).alias("n"), F.concat_ws(" ", F.slice(w, i, n)).alias("g")
+            ),
+        )
+
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.flatten(F.array(*[grams(n) for n in ns]))).alias("_g"),
+    ).select("_id", F.col("_g.n").alias("_n"), F.col("_g.g").alias("_gram"))
+    cnt = ex.groupBy("_id", "_n", "_gram").agg(F.count(F.lit(1)).alias("_c"))
+    mass = F.col("_c") * F.length("_gram")
+    stats = cnt.groupBy("_id").agg(
+        *[
+            F.max(F.when(F.col("_n") == n, mass)).alias(f"_top{n}")
+            for n in top_ns
+        ],
+        *[
+            F.sum(
+                F.when((F.col("_n") == n) & (F.col("_c") >= 2), mass).otherwise(0)
+            ).alias(f"_dup{n}")
+            for n in dup_ns
+        ],
+    )
+    out = out.join(
+        stats.withColumnRenamed("_id", id_col), id_col, "left"
+    )
+    den = F.greatest(norm_len, F.lit(1)).cast("double")
+    fracs = {}
+    for n in top_ns:
+        fracs[f"top_{n}gram_char_frac"] = (
+            F.coalesce(F.col(f"_top{n}"), F.lit(0)).cast("double") / den
+        )
+    for n in dup_ns:
+        fracs[f"dup_{n}gram_char_frac"] = (
+            F.coalesce(F.col(f"_dup{n}"), F.lit(0)).cast("double") / den
+        )
+    return out.withColumns(fracs).drop(
+        *[f"_top{n}" for n in top_ns], *[f"_dup{n}" for n in dup_ns]
+    )

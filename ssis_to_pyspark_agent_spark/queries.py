@@ -22,7 +22,14 @@ from typing import Any, Optional
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ssis_to_pyspark_agent_spark.operators.dedup import _words as _words_fn
 from ssis_to_pyspark_agent_spark.plans import Pipeline, run_pipeline
+
+
+def _words_col(name: str) -> Column:
+    """Normalized word array of a column — the shared tokenization every
+    text oracle mirrors (lower/trim/collapse-whitespace, split on space)."""
+    return _words_fn(F.col(name))
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1450,11 +1457,55 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.doc_id, COUNT(*) AS n_overlap
       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
             WHERE doc_id % 100 != 0) d
-      JOIN bench USING (s) GROUP BY d.doc_id)
+      JOIN bench USING (s) GROUP BY d.doc_id),
+    lt AS (
+      SELECT doc_id,
+             list_transform(range(1, CAST(ceil(len(w) / 8.0) AS BIGINT) + 1),
+               i -> array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ')) AS lines
+      FROM words WHERE doc_id % 100 != 0),
+    lstat AS (
+      SELECT doc_id,
+             CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+               / CAST(greatest(len(lines), 1) AS DOUBLE) AS dup_line_frac,
+             CAST(list_sum(list_transform(lines, x -> length(x)))
+                  - list_sum(list_transform(list_distinct(lines), x -> length(x)))
+                  AS DOUBLE)
+               / CAST(greatest(list_sum(list_transform(lines, x -> length(x))), 1)
+                      AS DOUBLE) AS dup_line_char_frac
+      FROM lt),
+    gr AS (
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+               i -> array_to_string(w[i:i+1], ' '))) AS g
+      FROM words WHERE doc_id % 100 != 0
+      UNION ALL
+      SELECT doc_id, 5,
+             unnest(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+               i -> array_to_string(w[i:i+4], ' ')))
+      FROM words WHERE doc_id % 100 != 0),
+    gcnt AS (SELECT doc_id, n, g, COUNT(*) AS c FROM gr GROUP BY doc_id, n, g),
+    rstat AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 2 THEN c * length(g) END) AS top2,
+             CAST(SUM(CASE WHEN n = 5 AND c >= 2 THEN c * length(g)
+                           ELSE 0 END) AS BIGINT) AS dup5
+      FROM gcnt GROUP BY doc_id),
+    nl AS (
+      SELECT doc_id,
+             length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS nlen
+      FROM documents WHERE doc_id % 100 != 0)
     SELECT r.doc_id, r.n_email, r.n_ipv4, r.n_phone, r.red_len,
            CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
-           COALESCE(o.n_overlap, 0) >= 1 AS contaminated
+           COALESCE(o.n_overlap, 0) >= 1 AS contaminated,
+           ls.dup_line_frac, ls.dup_line_char_frac,
+           CAST(COALESCE(rs.top2, 0) AS DOUBLE)
+             / CAST(greatest(nl.nlen, 1) AS DOUBLE) AS top_2gram_char_frac,
+           CAST(COALESCE(rs.dup5, 0) AS DOUBLE)
+             / CAST(greatest(nl.nlen, 1) AS DOUBLE) AS dup_5gram_char_frac
     FROM red r LEFT JOIN overlap o ON o.doc_id = r.doc_id
+    JOIN lstat ls ON ls.doc_id = r.doc_id
+    JOIN rstat rs ON rs.doc_id = r.doc_id
+    JOIN nl ON nl.doc_id = r.doc_id
     """,
 )
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1477,9 +1528,31 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
               id_col="doc_id", text_col="text", shingle_k=8)
         .step("rl", "derived_column", "dc",
               columns={"red_len": F.length("t_red")})
-        .step("prj", "select", "rl",
+        # line-ify deterministically (the synthetic corpus has no
+        # newlines): 8-word lines from the normalized word array, so the
+        # Gopher line-repetition stats exercise real line structure and
+        # the oracle can rebuild the identical lines in SQL
+        .step("lin", "derived_column", "rl", columns={
+            "text_l": F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.ceil(F.size(_words_col("text")) / F.lit(8.0)).cast("int"),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(_words_col("text"), (i - 1) * 8 + 1, 8)
+                    ),
+                ),
+                "\n",
+            )
+        })
+        .step("rep", "text.repetition", "lin", id_col="doc_id",
+              text_col="text_l", top_ns=[2], dup_ns=[5])
+        .step("prj", "select", "rep",
               columns=["doc_id", "n_email", "n_ipv4", "n_phone",
-                       "red_len", "n_overlap", "contaminated"])
+                       "red_len", "n_overlap", "contaminated",
+                       "dup_line_frac", "dup_line_char_frac",
+                       "top_2gram_char_frac", "dup_5gram_char_frac"])
     )
     return run_pipeline(spark, p).df("prj")
 

@@ -381,6 +381,29 @@ class TestTextOps:
         # pieces: Hello(2) world(2) ,(1) 4(1) 2(1) !(1) -> 8
         assert r.bpe_tokens == 8
 
+    def test_repetition_hand_computed(self, spark):
+        # doc 1: 4 lines, "aa bb" repeated 3x (each 5 chars), "cc dd" once.
+        #   dup_line_frac = (4-2)/4 = 0.5
+        #   line chars: all = 3*5+5 = 20, distinct = 10 -> dup_char = 0.5
+        #   normalized text = "aa bb aa bb cc dd aa bb" -> 23 chars
+        #   2-grams (7 total): 'aa bb'x3, then 'bb aa','bb cc','cc dd',
+        #   'dd aa' once each -> top2 mass = dup2 mass = 3*5 = 15 -> 15/23
+        # doc 2: no repeats at all -> all zeros
+        df = spark.createDataFrame(
+            [(1, "aa bb\naa bb\ncc dd\naa bb"), (2, "xx yy zz")],
+            "doc_id long, text string",
+        )
+        out = run("text.repetition", spark, [df], id_col="doc_id",
+                  text_col="text", top_ns=[2], dup_ns=[2]).collect()
+        r = {x.doc_id: x for x in out}
+        assert r[1].dup_line_frac == 0.5
+        assert r[1].dup_line_char_frac == 0.5
+        assert abs(r[1].top_2gram_char_frac - 15 / 23) < 1e-12
+        assert abs(r[1].dup_2gram_char_frac - 15 / 23) < 1e-12
+        assert r[2].dup_line_frac == 0.0
+        assert r[2].top_2gram_char_frac > 0  # most frequent exists (count 1)
+        assert r[2].dup_2gram_char_frac == 0.0
+
 
 def _png_bytes(w: int, h: int) -> bytes:
     """A real (if pixel-less) PNG header: signature + valid IHDR chunk."""
