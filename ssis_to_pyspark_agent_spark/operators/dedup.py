@@ -863,8 +863,12 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
         cand = ids.join(
             base.select(F.col("_id").alias("a"), F.col("_v").alias("va")), "a"
         ).join(base.select(F.col("_id").alias("b"), F.col("_v").alias("vb")), "b")
-    pairs = cand.select(
-        "a", "b", _cosine(F.col("va"), F.col("vb"), config.get("quantize")).alias("cosine")
+    from ssis_to_pyspark_agent_spark.operators.similarity import (
+        _pair_cosine_frame,
+    )
+
+    pairs = _pair_cosine_frame(
+        cand, "va", "vb", ["a", "b"], config.get("quantize")
     ).filter(F.col("cosine") >= threshold)
     out = _keep_min_survivors(df, id_col, pairs)
     if config.get("return_pairs"):

@@ -354,6 +354,87 @@ def probe_ngram(spark, n_docs=200_000, words_per_doc=80):
     docs.unpersist()
 
 
+def probe_ivf(spark, n_vec=500_000, dim=64, n_q=100, k=10, n_cent=64):
+    """IVF top-k at 500k vectors: the numpy assignment path (one matmul
+    per Arrow batch against the centroid matrix) + nprobe-list scan.
+    The scale metrics: corpus-assignment throughput (vectors/s) and the
+    candidate fraction actually scored (nprobe/centroids of the corpus)."""
+    def vec(seed_col):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.pmod(F.xxhash64(seed_col, i), 2000) - 1000).cast("float")
+            / 1000.0,
+        )
+
+    corpus = (
+        spark.range(n_vec)
+        .repartition(64)
+        .select(F.col("id").alias("vec_id"), vec(F.col("id")).alias("embedding"))
+        .persist()
+    )
+    corpus.count()
+    queries = corpus.filter(F.col("vec_id") < n_q)
+    cfg = {"id_col": "vec_id", "vec_col": "embedding",
+           "query_id_col": "vec_id", "query_vec_col": "embedding",
+           "k": k, "centroids": n_cent, "nprobe": 8, "quantize": 10000}
+    for label, extra in (
+        ("hash_centroids", {}),
+        ("kmeans", {"kmeans": True, "kmeans_sample": 20_000}),
+    ):
+        t0 = time.perf_counter()
+        n = get_operator("similarity.topk_ivf")(
+            spark, [corpus, queries], {**cfg, **extra}, {}
+        ).count()
+        dt = time.perf_counter() - t0
+        print(f"PROBE ivf {label}: corpus={n_vec} cent={n_cent} nprobe=8 "
+              f"q={n_q} {dt:.1f}s rows={n} ({n_vec/dt:,.0f} vec/s assign+scan)")
+    corpus.unpersist()
+
+
+def probe_repetition(spark, n_docs=2_000_000, words_per_doc=80):
+    """text.repetition at 2M docs: line stats are shuffle-free array
+    expressions; the n-gram stats shuffle (id, n, gram-hash) tuples once.
+    Throughput is the number that matters — the op is a per-doc scan."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    docs = (
+        spark.range(n_docs)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(words_per_doc // 8)),
+                    lambda ln: F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(8)),
+                            lambda i: F.element_at(
+                                vocab,
+                                (F.pmod(F.xxhash64(F.col("id"), ln, i), 500) + 1
+                                 ).cast("int"),
+                            ),
+                        ),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .persist()
+    )
+    total = docs.count()
+    t0 = time.perf_counter()
+    out = get_operator("text.repetition")(
+        spark, [docs],
+        {"id_col": "doc_id", "text_col": "text",
+         "top_ns": [2], "dup_ns": [5]}, {},
+    )
+    n = out.filter(F.col("dup_5gram_char_frac") > 0.2).count()
+    dt = time.perf_counter() - t0
+    print(f"PROBE repetition: n={total} {dt:.1f}s flagged={n} "
+          f"({total/dt:,.0f} docs/s)")
+    docs.unpersist()
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(
@@ -376,6 +457,10 @@ def main():
         probe_hygiene(spark)
     if which in ("ngram", "all"):
         probe_ngram(spark)
+    if which in ("ivf", "all"):
+        probe_ivf(spark)
+    if which in ("repetition", "all"):
+        probe_repetition(spark)
 
 
 if __name__ == "__main__":
