@@ -404,6 +404,28 @@ class TestTextOps:
         assert r[2].top_2gram_char_frac > 0  # most frequent exists (count 1)
         assert r[2].dup_2gram_char_frac == 0.0
 
+    def test_repetition_fold_matches_explode(self, spark):
+        # the zero-shuffle sorted-run fold (default) and the explode+
+        # groupBy implementation must agree exactly on a corpus with
+        # heavy, varied repetition (including empty-ish and tiny docs)
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randrange(0, 40))))
+                for i in range(60)]
+        rows += [(100, ""), (101, "solo"), (102, "a a a a a a")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        cfg = dict(id_col="doc_id", text_col="text",
+                   top_ns=[1, 2, 3], dup_ns=[2, 5])
+        a = run("text.repetition", spark, [df], impl="fold", **cfg)
+        b = run("text.repetition", spark, [df], impl="explode", **cfg)
+        cols = [c for c in a.columns if c.endswith("_frac")]
+        ra = {r.doc_id: tuple(r[c] for c in cols) for r in a.collect()}
+        rb = {r.doc_id: tuple(r[c] for c in cols) for r in b.collect()}
+        assert ra == rb
+
 
 def _png_bytes(w: int, h: int) -> bytes:
     """A real (if pixel-less) PNG header: signature + valid IHDR chunk."""
