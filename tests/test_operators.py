@@ -342,6 +342,21 @@ class TestSimilarity:
             spark.catalog.clearCache()
         assert got["numpy"] and got["numpy"] == got["expr"]
 
+    def test_embedding_verify_impls_agree(self, spark):
+        """in-bucket applyInPandas verify (default for quantized LSH) and
+        the candidate-join + pair-scorer verify must emit the identical
+        (a, b, cosine) set — same cohabitant candidates, same sorted-id
+        bucket cap, same exact quantized cosine."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = {}
+        for impl in ("bucket", "join"):
+            out = run("dedup.embedding", spark, [emb], id_col="vec_id",
+                      vec_col="embedding", threshold=0.35, quantize=10000,
+                      return_pairs=True, verify_impl=impl)
+            got[impl] = sorted(map(tuple, out["pairs"].collect()))
+            spark.catalog.clearCache()
+        assert got["bucket"] and got["bucket"] == got["join"]
+
     def test_lsh_recall_vs_bruteforce(self, spark):
         import random
 

@@ -190,16 +190,23 @@ def probe_embdedup(spark, n_vec=200_000, dim=64):
     )
     docs = base.unionByName(dups).persist()
     total = docs.count()
-    t0 = time.perf_counter()
-    n = get_operator("dedup.embedding")(
-        spark, [docs],
-        {"id_col": "vid", "vec_col": "v", "threshold": 0.98, "dim": dim}, {},
-    ).count()
-    dt = time.perf_counter() - t0
-    print(
-        f"PROBE embdedup: n={total} {dt:.1f}s survivors={n} "
-        f"dups_removed={total - n}/{n_vec // 100}"
-    )
+    for label, extra in (
+        ("float/join-verify", {}),
+        ("quantized/join-verify", {"quantize": 10000}),
+        ("quantized/bucket-verify", {"quantize": 10000,
+                                     "verify_impl": "bucket"}),
+    ):
+        t0 = time.perf_counter()
+        n = get_operator("dedup.embedding")(
+            spark, [docs],
+            {"id_col": "vid", "vec_col": "v", "threshold": 0.98,
+             "dim": dim, **extra}, {},
+        ).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"PROBE embdedup {label}: n={total} {dt:.1f}s survivors={n} "
+            f"dups_removed={total - n}/{n_vec // 100}"
+        )
     docs.unpersist()
 
 
