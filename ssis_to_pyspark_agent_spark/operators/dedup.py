@@ -629,7 +629,7 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             sh.alias("_sh"),
             F.array(*[c.cast("long") for c in cols]).alias("_blocks"),
         )
-        blocked = base.select("_id", F.explode("_blocks").alias("_block"))
+        blocked = base.select("_id", "_sh", F.explode("_blocks").alias("_block"))
     elif block_by := config.get("block_by"):
         # engine-neutral blocking on declared columns (e.g. lang+source):
         # semantics are then fully SQL-expressible for the oracle
@@ -640,40 +640,64 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
                 "_block"
             ),
         )
-        blocked = base.select("_id", "_block")
+        blocked = base.select("_id", "_sh", "_block")
     else:
         base = src.select(F.col(id_col).alias("_id"), sh.alias("_sh")).withColumn(
             "_mins", F.slice(F.col("_sh"), 1, n_blocks)
         )
-        blocked = base.select("_id", F.explode("_mins").alias("_block"))
+        blocked = base.select("_id", "_sh", F.explode("_mins").alias("_block"))
     base = base.persist()  # blocked ids + the verify join both read it
     # shingle-count column: the size-ratio prefilter below is a cheap
     # scalar comparison that runs in the candidate join, BEFORE any
     # intersection work
-    counts = base.select("_id", F.size("_sh").alias("_n"))
-    blocked = blocked.join(counts, "_id")
+    blocked = blocked.withColumn("_n", F.size("_sh"))
+    join_keys = [F.col("l._block") == F.col("r._block")]
+    if config.get("prefix_filter", True):
+        # PPJoin/AllPairs prefix filtering (Bayardo et al. 2007, public):
+        # under ANY fixed total order of shingles, a pair with
+        # J(A,B) >= t must share at least one element among each side's
+        # first |X| - ceil(t*|X|) + 1 elements (else the overlap is
+        # provably below t*|X|). `_sh` is already hash-sorted, so the
+        # prefix is a slice; candidates then join on (block, prefix
+        # token) — an EQUI key that shrinks in-block candidate counts
+        # from occupancy^2 to shared-rare-token pairs. Exact-preserving:
+        # it can only remove pairs the verify would reject, so oracles
+        # need no mirror clause. The 1e-9 guard keeps a non-representable
+        # threshold (0.7*10 -> 7.000000000000001) from OVER-shortening
+        # the prefix, which would silently lose valid pairs.
+        plen = (
+            F.col("_n")
+            - F.ceil(F.col("_n") * F.lit(float(threshold)) - F.lit(1e-9))
+            + 1
+        ).cast("int")
+        blocked = blocked.select(
+            "_id", "_n", "_block",
+            F.explode(F.slice("_sh", F.lit(1), plen)).alias("_tok"),
+        )
+        join_keys.append(F.col("l._tok") == F.col("r._tok"))
+    else:
+        blocked = blocked.select("_id", "_n", "_block")
     l, r = blocked.alias("l"), blocked.alias("r")
     # Exact-preserving prefilter: J(A,B) <= min|A|,|B| / max|A|,|B|, so a
     # pair whose distinct-shingle counts are too lopsided can never reach
     # the threshold — drop it before computing the intersection. Output is
-    # provably unchanged (oracles need no mirror clause). In big uniform
-    # blocks this is the difference between intersecting every in-block
-    # pair and only the size-compatible ones.
+    # provably unchanged (oracles need no mirror clause; the epsilon keeps
+    # a non-representable threshold from dropping an exactly-at-threshold
+    # pair). In big uniform blocks this is the difference between
+    # intersecting every in-block pair and only the size-compatible ones.
     size_ok = F.least(F.col("l._n"), F.col("r._n")) >= (
-        F.lit(threshold) * F.greatest(F.col("l._n"), F.col("r._n"))
+        F.lit(threshold) * F.greatest(F.col("l._n"), F.col("r._n")) - F.lit(1e-9)
     )
     # Candidates travel as (a, b) IDS ONLY and are deduped BEFORE the
     # verify: multi-probe blocking emits most true pairs once per shared
     # block (usually 2), so intersecting before dedup would do the O(|A|)
     # work twice per pair. The verify then joins each side's hashed
     # shingle array back in — shuffling |docs| arrays, never |pairs|.
+    cond = join_keys[0]
+    for k in join_keys[1:]:
+        cond = cond & k
     cand = (
-        l.join(
-            r,
-            (F.col("l._block") == F.col("r._block"))
-            & (F.col("l._id") < F.col("r._id"))
-            & size_ok,
-        )
+        l.join(r, cond & (F.col("l._id") < F.col("r._id")) & size_ok)
         .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
         .dropDuplicates(["a", "b"])
     )

@@ -342,6 +342,26 @@ class TestSimilarity:
             spark.catalog.clearCache()
         assert got["numpy"] and got["numpy"] == got["expr"]
 
+    def test_ngram_prefix_filter_preserves_pairs(self, spark):
+        """PPJoin prefix filtering must be exact-preserving: the verified
+        pair set with prefix_filter on equals the set with it off, on the
+        driver's documents at two thresholds (including the 0.7 ulp trap:
+        ceil(0.7*10) in float is 8 without the epsilon guard)."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        for thr in (0.5, 0.7):
+            got = {}
+            for pf in (True, False):
+                out = run(
+                    "dedup.ngram_jaccard", spark, [docs],
+                    id_col="doc_id", text_col="text", shingle_k=3,
+                    threshold=thr, return_pairs=True, prefix_filter=pf,
+                    block_exprs=["floor(n_chars / 16)",
+                                 "floor(n_chars / 16) + 1"],
+                )
+                got[pf] = sorted(map(tuple, out["pairs"].collect()))
+                spark.catalog.clearCache()
+            assert got[True] == got[False] and got[True]
+
     def test_embedding_verify_impls_agree(self, spark):
         """in-bucket applyInPandas verify (default for quantized LSH) and
         the candidate-join + pair-scorer verify must emit the identical
