@@ -39,9 +39,14 @@ def stream_events(
     r = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
-    if path.endswith(".parquet") and "/" in path:
+    import os
+
+    if path.endswith(".parquet") and "/" in path and not os.path.isdir(path):
         # FileStreamSource needs a directory; point at the parent and
-        # glob-filter to the single file
+        # glob-filter to the single file. A DIRECTORY named *.parquet
+        # (a normal multi-part dataset) must NOT take this branch — the
+        # glob would match zero part files and the stream silently
+        # produces nothing.
         base, _, fname = path.rpartition("/")
         r = r.option("pathGlobFilter", fname)
         path = base
