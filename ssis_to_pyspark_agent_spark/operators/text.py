@@ -488,3 +488,61 @@ def repetition(spark: SparkSession, inputs, config, context) -> DataFrame:
     return out.withColumns(fracs).drop(
         *[f"_top{n}" for n in top_ns], *[f"_dup{n}" for n in dup_ns]
     )
+
+
+@operator("text.line_dedup")
+def line_dedup(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Corpus-level boilerplate line removal (the CCNet / RefinedWeb
+    pretraining step): a line whose DOCUMENT frequency across the corpus
+    reaches ``min_df`` (default 2) is dropped from every document.
+
+    Adds ``text_clean`` (boilerplate occurrences removed, original line
+    order preserved), ``n_boilerplate_lines`` (occurrences dropped) and
+    ``n_kept_lines``. A line repeated only WITHIN one document has
+    df=1 and is kept — within-doc repetition is text.repetition's
+    domain; this operator targets cross-document boilerplate (headers,
+    footers, cookie banners).
+
+    Plan: posexplode lines; distinct (line, doc) -> groupBy line for the
+    df table; occurrences join df on the line (AQE picks broadcast when
+    the df table is small, shuffle otherwise — at web scale it is NOT
+    broadcastable and the shuffle is inherent to a corpus-global
+    statistic); one groupBy per doc rebuilds the cleaned text from the
+    position-sorted kept lines. Shuffle volume is line-level — the same
+    class as any corpus-frequency computation.
+    """
+    df: DataFrame = inputs[0]
+    id_col, text_col = config["id_col"], config["text_col"]
+    sep = config.get("line_sep", "\n")
+    min_df = config.get("min_df", 2)
+
+    occ = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    )
+    dfreq = (
+        occ.select("_line", "_id")
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    tagged = occ.join(dfreq, "_line")
+    kept = F.when(
+        F.col("_df") < min_df,
+        F.struct(F.col("_pos").alias("p"), F.col("_line").alias("l")),
+    )
+    agg = tagged.groupBy("_id").agg(
+        F.sum(F.when(F.col("_df") >= min_df, 1).otherwise(0))
+        .cast("int")
+        .alias("n_boilerplate_lines"),
+        F.sum(F.when(F.col("_df") < min_df, 1).otherwise(0))
+        .cast("int")
+        .alias("n_kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["l"]
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    return df.join(agg.withColumnRenamed("_id", id_col), id_col, "left")

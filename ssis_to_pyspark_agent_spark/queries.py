@@ -1493,7 +1493,18 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     nl AS (
       SELECT doc_id,
              length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS nlen
-      FROM documents WHERE doc_id % 100 != 0)
+      FROM documents WHERE doc_id % 100 != 0),
+    locc AS (SELECT doc_id, unnest(lines) AS line FROM lt),
+    ldf AS (SELECT line, COUNT(DISTINCT doc_id) AS dfc
+            FROM locc GROUP BY line),
+    bp AS (
+      SELECT o.doc_id,
+             CAST(SUM(CASE WHEN ldf.dfc >= 2 THEN 1 ELSE 0 END) AS INT)
+               AS n_boilerplate_lines,
+             CAST(SUM(CASE WHEN ldf.dfc < 2 THEN length(o.line) ELSE 0 END)
+                  + greatest(SUM(CASE WHEN ldf.dfc < 2 THEN 1 ELSE 0 END) - 1,
+                             0) AS INT) AS clean_len
+      FROM locc o JOIN ldf USING (line) GROUP BY o.doc_id)
     SELECT r.doc_id, r.n_email, r.n_ipv4, r.n_phone, r.red_len,
            CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
            COALESCE(o.n_overlap, 0) >= 1 AS contaminated,
@@ -1501,11 +1512,13 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(rs.top2, 0) AS DOUBLE)
              / CAST(greatest(nl.nlen, 1) AS DOUBLE) AS top_2gram_char_frac,
            CAST(COALESCE(rs.dup5, 0) AS DOUBLE)
-             / CAST(greatest(nl.nlen, 1) AS DOUBLE) AS dup_5gram_char_frac
+             / CAST(greatest(nl.nlen, 1) AS DOUBLE) AS dup_5gram_char_frac,
+           bp.n_boilerplate_lines, bp.clean_len
     FROM red r LEFT JOIN overlap o ON o.doc_id = r.doc_id
     JOIN lstat ls ON ls.doc_id = r.doc_id
     JOIN rstat rs ON rs.doc_id = r.doc_id
     JOIN nl ON nl.doc_id = r.doc_id
+    JOIN bp ON bp.doc_id = r.doc_id
     """,
 )
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1548,11 +1561,19 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         })
         .step("rep", "text.repetition", "lin", id_col="doc_id",
               text_col="text_l", top_ns=[2], dup_ns=[5])
-        .step("prj", "select", "rep",
+        # corpus-level boilerplate line removal over the same derived
+        # lines (153 of the 3434 distinct 8-word lines at sf0.01 occur
+        # in >= 2 docs, so min_df=2 fires on natural data)
+        .step("ld", "text.line_dedup", "rep", id_col="doc_id",
+              text_col="text_l", min_df=2)
+        .step("cl", "derived_column", "ld",
+              columns={"clean_len": F.length("text_clean")})
+        .step("prj", "select", "cl",
               columns=["doc_id", "n_email", "n_ipv4", "n_phone",
                        "red_len", "n_overlap", "contaminated",
                        "dup_line_frac", "dup_line_char_frac",
-                       "top_2gram_char_frac", "dup_5gram_char_frac"])
+                       "top_2gram_char_frac", "dup_5gram_char_frac",
+                       "n_boilerplate_lines", "clean_len"])
     )
     return run_pipeline(spark, p).df("prj")
 

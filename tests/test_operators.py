@@ -439,6 +439,25 @@ class TestTextOps:
         assert r[2].top_2gram_char_frac > 0  # most frequent exists (count 1)
         assert r[2].dup_2gram_char_frac == 0.0
 
+    def test_line_dedup_boilerplate_removed(self, spark):
+        # "FOOTER" appears in docs 1 and 2 (df=2 -> boilerplate at
+        # min_df=2); "only once" is unique; a line repeated twice WITHIN
+        # doc 3 has df=1 and must be kept (cross-doc statistic only)
+        df = spark.createDataFrame(
+            [(1, "alpha beta\nFOOTER\ngamma"),
+             (2, "FOOTER\ndelta"),
+             (3, "twice\ntwice\nepsilon")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in run(
+            "text.line_dedup", spark, [df],
+            id_col="doc_id", text_col="text", min_df=2).collect()}
+        assert out[1].text_clean == "alpha beta\ngamma"
+        assert out[1].n_boilerplate_lines == 1 and out[1].n_kept_lines == 2
+        assert out[2].text_clean == "delta"
+        assert out[3].text_clean == "twice\ntwice\nepsilon"
+        assert out[3].n_boilerplate_lines == 0
+
     def test_repetition_fold_matches_explode(self, spark):
         # the zero-shuffle sorted-run fold (default) and the explode+
         # groupBy implementation must agree exactly on a corpus with
