@@ -742,6 +742,7 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
     threshold = config.get("threshold", 0.95)
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    caches: list[DataFrame] = []  # persisted frames released after verify
     if config.get("brute_force"):
         # Brute force is the small-input exact baseline: the pandas path
         # collects the full id+vector matrix to the driver, the expr path
@@ -781,26 +782,18 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
             if len(rows) > cap:
                 raise ValueError(cap_err)
             all_ids = np.array([r["_id"] for r in rows])
+            from ssis_to_pyspark_agent_spark.operators.similarity import (
+                _half_up as _hu,
+            )
+
             m = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
-            if quant:
-                v = m * quant
-                mi = np.where(
-                    v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
-                ).astype(np.int64)
-            else:
-                mi = m
+            mi = _hu(m, quant).astype(np.int64) if quant else m
             norms = np.sqrt((mi * mi).sum(axis=1).astype(np.float64))
 
             def gen(it):
                 for pdf in it:
                     bm = np.array(list(map(list, pdf["_v"])), dtype=np.float64)
-                    if quant:
-                        bv = bm * quant
-                        bi = np.where(
-                            bv >= 0, np.floor(bv + 0.5), np.ceil(bv - 0.5)
-                        ).astype(np.int64)
-                    else:
-                        bi = bm
+                    bi = _hu(bm, quant).astype(np.int64) if quant else bm
                     bn = np.sqrt((bi * bi).sum(axis=1).astype(np.float64))
                     with np.errstate(divide="ignore", invalid="ignore"):
                         sims = (bi @ mi.T).astype(np.float64) / (
@@ -862,6 +855,7 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
             n_bits = n_bits if n_bits is not None else auto_bits
             n_tables = n_tables if n_tables is not None else auto_tables
         base = base.persist()  # bucket explode + vector verify both read it
+        caches.append(base)
         if config.get("bucket_impl", "numpy") == "numpy":
             from ssis_to_pyspark_agent_spark.operators.similarity import (
                 _bucket_frame,
@@ -908,6 +902,7 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
             import pandas as pd
 
             from ssis_to_pyspark_agent_spark.operators.similarity import (
+                _half_up,
                 _vecmat,
             )
 
@@ -919,8 +914,7 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
                     return pd.DataFrame({"a": [], "b": [],
                                          "cosine": pd.Series(dtype="float64")})
                 pdf = pdf.sort_values("_id").head(cap)
-                v = _vecmat(pdf["_v"]) * quantize
-                v = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+                v = _half_up(_vecmat(pdf["_v"]), quantize)
                 n = np.sqrt((v * v).sum(axis=1))
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = (v @ v.T) / (n[:, None] * n[None, :])
@@ -938,6 +932,13 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
                 .applyInPandas(ver, schema=f"a {id_t}, b {id_t}, cosine double")
                 .dropDuplicates(["a", "b"])
             )
+            # materialize once (survivor anti-join + optional pairs port
+            # both consume it), then release the corpus cache — the same
+            # hygiene as ngram_jaccard; without it every invocation
+            # leaked a corpus-sized cached relation
+            pairs = pairs.persist()
+            pairs.count()
+            base.unpersist()
             out = _keep_min_survivors(df, id_col, pairs)
             if config.get("return_pairs"):
                 return {"out": out, "pairs": pairs}
@@ -945,6 +946,7 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
         ids = _bucket_pairs(
             bucketed, ["_table", "_bucket"], cap
         ).persist()
+        caches.append(ids)
         cand = ids.join(
             base.select(F.col("_id").alias("a"), F.col("_v").alias("va")), "a"
         ).join(base.select(F.col("_id").alias("b"), F.col("_v").alias("vb")), "b")
@@ -955,6 +957,13 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
     pairs = _pair_cosine_frame(
         cand, "va", "vb", ["a", "b"], config.get("quantize")
     ).filter(F.col("cosine") >= threshold)
+    # materialize the verified pairs once (two consumers), then release
+    # the LSH branch's corpus-sized caches — previously `base` and `ids`
+    # stayed cached after every invocation
+    pairs = pairs.persist()
+    pairs.count()
+    for cached in caches:
+        cached.unpersist()
     out = _keep_min_survivors(df, id_col, pairs)
     if config.get("return_pairs"):
         return {"out": out, "pairs": pairs}

@@ -95,13 +95,20 @@ def parse_media_header(payload: bytes) -> dict[str, Any]:
     cost is bounded by header size, not payload size."""
     import struct as _s
 
+    def _dims_ok(w: int, h: int) -> bool:
+        # spec says u32, the output schema says Int32: a forged header
+        # with a dimension above 2^31-1 must come back ok=False, not
+        # blow up pd.array(dtype="Int32") and fail the whole Arrow task
+        return 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF
+
     p = payload or b""
     try:
         if p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
             w, h = _s.unpack(">II", p[16:24])
-            return {"format": "png", "width": w, "height": h,
-                    "duration_ms": None, "ok": True}
-        if p[:2] == b"\xff\xd8":
+            if _dims_ok(w, h):
+                return {"format": "png", "width": w, "height": h,
+                        "duration_ms": None, "ok": True}
+        elif p[:2] == b"\xff\xd8":
             i = 2
             while i + 9 < len(p):
                 if p[i] != 0xFF:
@@ -114,11 +121,20 @@ def parse_media_header(payload: bytes) -> dict[str, Any]:
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2  # standalone markers carry no length
                     continue
+                if marker in (0x00, 0xD9, 0xDA):
+                    # 0xFF00 is entropy byte-stuffing and 0xD9/0xDA mark
+                    # EOI / start-of-scan: a SOF must precede SOS, so
+                    # walking further would scan compressed data where a
+                    # coincidental 0xFFCx would yield FABRICATED
+                    # dimensions with ok=True
+                    break
                 (seglen,) = _s.unpack(">H", p[i + 2:i + 4])
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     h, w = _s.unpack(">HH", p[i + 5:i + 9])
-                    return {"format": "jpeg", "width": w, "height": h,
-                            "duration_ms": None, "ok": True}
+                    if _dims_ok(w, h):
+                        return {"format": "jpeg", "width": w, "height": h,
+                                "duration_ms": None, "ok": True}
+                    break
                 i += 2 + seglen
         if p[:6] in (b"GIF87a", b"GIF89a"):
             w, h = _s.unpack("<HH", p[6:10])

@@ -179,10 +179,7 @@ def _bucket_frame(
                 continue
             v = _vecmat(pdf[vec_name])
             if quantize:
-                # HALF_UP like Spark's F.round / SQL round() — np.round
-                # would banker's-round ties the other way
-                v = v * quantize
-                v = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+                v = _half_up(v, quantize)
             # int-valued float64 products stay < 2^53 -> the matmul is
             # exact integer arithmetic in any order (oracle-identical)
             signs = ((v @ proj) >= 0).reshape(len(pdf), n_tables, n_bits)
@@ -274,16 +271,10 @@ def topk_bruteforce(spark: SparkSession, inputs, config, context) -> DataFrame:
         qm = np.array([list(r._qv) for r in q_rows], dtype=np.float64)
 
         def _qint(m):
-            # Spark's F.round(double, 0) is decimal HALF_UP; floor(v+0.5)
-            # reproduces it for half-away-from-zero on magnitudes where
-            # v+0.5 is exactly representable (|v| < 2^52; embeddings are
-            # unit-ish so |v*q| ~ q). Bit-equality with the expr path is
-            # pinned by test_pandas_quantized_matches_expr on the driver's
-            # actual embeddings tables.
-            v = m * quant
-            return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
-                np.int64
-            )
+            # bit-equality with the expr path is pinned by
+            # test_pandas_quantized_matches_expr on the driver's actual
+            # embeddings tables (see _half_up for the rounding contract)
+            return _half_up(m, quant).astype(np.int64)
 
         if quant:
             qmi = _qint(qm)  # int64: dot/norm sums are exact, like the oracle
@@ -445,8 +436,7 @@ def _pair_cosine_frame(
     )
 
     def _qm(col):
-        m = _vecmat(col) * quantize
-        return np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5))
+        return _half_up(_vecmat(col), quantize)
 
     def gen(batches):
         for pdf in batches:
@@ -464,6 +454,18 @@ def _pair_cosine_frame(
             yield out
 
     return df.mapInPandas(gen, schema=f"{fields}, cosine double")
+
+
+def _half_up(m, quantize: int):
+    """Scale and HALF_UP-round to int-valued float64 — matches Spark's
+    F.round(double, 0) semantics (np.round would banker's-round ties the
+    other way). EVERY numpy kernel that claims value-identity with the
+    `_cosine(..., quantize)` expression must round through this one
+    helper — a divergent copy silently breaks the oracle guarantees."""
+    import numpy as np
+
+    m = np.asarray(m, dtype=np.float64) * quantize
+    return np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5))
 
 
 def _vecmat(col) -> "object":
@@ -506,9 +508,7 @@ def _ivf_score_frame(
             qmap.setdefault(int(cid), []).append(r)
     packed = {}
     for cid, rows in qmap.items():
-        qm = np.asarray([list(r["_qv"]) for r in rows], dtype=np.float64)
-        qm = qm * quantize
-        qm = np.where(qm >= 0, np.floor(qm + 0.5), np.ceil(qm - 0.5))
+        qm = _half_up([list(r["_qv"]) for r in rows], quantize)
         packed[cid] = (
             np.asarray([r["query_id"] for r in rows]),
             qm,
@@ -524,8 +524,7 @@ def _ivf_score_frame(
                      "cosine": pd.Series(dtype="float64")}
                 )
                 continue
-            v = _vecmat(pdf["_cv"]) * quantize
-            v = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+            v = _half_up(_vecmat(pdf["_cv"]), quantize)
             vnorm = np.sqrt((v * v).sum(axis=1))
             ids = pdf["corpus_id"].to_numpy()
             cids = pdf["_cid"].to_numpy()
@@ -579,8 +578,7 @@ def _ivf_assign_frame(
     import numpy as np
     import pandas as pd
 
-    cm = np.asarray(cents, dtype=np.float64) * quantize
-    cm = np.where(cm >= 0, np.floor(cm + 0.5), np.ceil(cm - 0.5))
+    cm = _half_up(cents, quantize)
     cent_norm = np.sqrt((cm * cm).sum(axis=1))
     id_type = df.schema[id_name].dataType.simpleString()
     vec_type = df.schema[vec_name].dataType.simpleString()
@@ -593,8 +591,7 @@ def _ivf_assign_frame(
                      "_cids": []}
                 )
                 continue
-            vq = _vecmat(pdf[vec_name]) * quantize
-            vq = np.where(vq >= 0, np.floor(vq + 0.5), np.ceil(vq - 0.5))
+            vq = _half_up(_vecmat(pdf[vec_name]), quantize)
             vnorm = np.sqrt((vq * vq).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (vq @ cm.T) / (vnorm[:, None] * cent_norm[None, :])

@@ -363,9 +363,13 @@ def repetition(spark: SparkSession, inputs, config, context) -> DataFrame:
     dup_ns = list(config.get("dup_ns", [5, 10]))
     line_sep = config.get("line_sep", "\n")
 
+    import re as _re
+
     c = F.col(text_col)
-    # ---- line stats: pure array ops, zero shuffle
-    lines = F.split(c, line_sep)
+    # ---- line stats: pure array ops, zero shuffle. F.split takes a
+    # REGEX — escape the configured separator or a metacharacter sep
+    # ('|', '.') silently shreds the text into per-character "lines"
+    lines = F.split(c, _re.escape(line_sep))
     n_lines = F.size(lines)
     dlines = F.array_distinct(lines)
     chars = lambda a: F.aggregate(  # noqa: E731
@@ -515,10 +519,15 @@ def line_dedup(spark: SparkSession, inputs, config, context) -> DataFrame:
     id_col, text_col = config["id_col"], config["text_col"]
     sep = config.get("line_sep", "\n")
     min_df = config.get("min_df", 2)
+    import re as _re
 
     occ = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+        # F.split takes a regex, array_join below takes a literal —
+        # escape so both sides agree for metacharacter separators
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("_pos", "_line"),
     )
     dfreq = (
         occ.select("_line", "_id")

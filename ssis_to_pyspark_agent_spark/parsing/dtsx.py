@@ -198,7 +198,14 @@ def _parse_executables(
             p = _parse_dataflow(
                 ex, tname, table_map, command_targets
             )
-            pipelines[tname] = p
+            # the catalog is flat across containers: two same-named Data
+            # Flow Tasks in different Sequence containers must not
+            # silently overwrite each other — qualify the later one with
+            # its container path (the graph task name stays local)
+            key = tname
+            if key in pipelines:
+                key = f"{g.name}.{tname}"
+            pipelines[key] = p
             g.task(tname, "pipeline", p, enabled=enabled)
         elif etype.upper().endswith("SEQUENCE"):
             sub = TaskGraph(tname)

@@ -218,15 +218,33 @@ class ControlFlowRunner:
                 return TaskResult(status="success")
             if task.kind == "graph":
                 # Sequence container: run the sub-graph once; variables
-                # written inside flow back into the outer context
-                self._run_body(task.payload, context)
+                # written inside flow back into the outer context. SSIS
+                # semantics (MaximumErrorCount=1): a container with ANY
+                # failed inner task fails itself, even when the failure
+                # was routed to an inner on-failure cleanup edge — outer
+                # on='success' edges must not fire.
+                if self._run_body(task.payload, context):
+                    return TaskResult(
+                        status="failure",
+                        error=ControlFlowError(
+                            "container had a failed inner task"
+                        ),
+                    )
                 return TaskResult(status="success")
             if task.kind == "foreach":
                 fe: Foreach = task.payload
                 items = fe.items(context) if callable(fe.items) else fe.items
+                any_failed = False
                 for item in items:
                     context[fe.var] = item
-                    self._run_body(fe.body, context)
+                    any_failed |= self._run_body(fe.body, context)
+                if any_failed:
+                    return TaskResult(
+                        status="failure",
+                        error=ControlFlowError(
+                            "container had a failed inner task"
+                        ),
+                    )
                 return TaskResult(status="success")
             if task.kind == "forloop":
                 fl: ForLoop = task.payload
@@ -240,7 +258,13 @@ class ControlFlowRunner:
                             f"{fl.max_iterations} (eval: {fl.eval_expr!r})"
                         )
                     it += 1
-                    self._run_body(fl.body, context)
+                    if self._run_body(fl.body, context):
+                        return TaskResult(
+                            status="failure",
+                            error=ControlFlowError(
+                                "container had a failed inner task"
+                            ),
+                        )
                     if fl.assign:
                         context[fl.assign[0]] = self._eval_scalar(
                             fl.assign[1], context
@@ -250,17 +274,27 @@ class ControlFlowRunner:
         except Exception as exc:  # noqa: BLE001 — failure edges need the error
             return TaskResult(status="failure", error=exc)
 
-    def _run_body(self, body: "TaskGraph | Pipeline", context: dict[str, Any]):
+    def _run_body(
+        self, body: "TaskGraph | Pipeline", context: dict[str, Any]
+    ) -> bool:
         """Run a container body (sub-graph or pipeline) with the current
-        context merged in; surviving variables flow back out."""
+        context merged in; surviving variables flow back out. Returns
+        True when an inner task FAILED but was handled by an inner
+        failure edge (an unhandled failure raises instead) — the caller
+        must then fail the container, per SSIS MaximumErrorCount=1."""
         if isinstance(body, TaskGraph):
             merged_graph = TaskGraph(
                 body.name, body.tasks, body.edges,
                 {**body.variables, **context},
             )
-            _, inner_ctx = ControlFlowRunner(self.spark).run(merged_graph)
+            inner_results, inner_ctx = ControlFlowRunner(self.spark).run(
+                merged_graph
+            )
             context.update(
                 {k: v for k, v in inner_ctx.items() if not k.startswith("_")}
+            )
+            return any(
+                r.status == "failure" for r in inner_results.values()
             )
         else:
             merged = Pipeline(
@@ -271,6 +305,7 @@ class ControlFlowRunner:
             context.update(
                 {k: v for k, v in run.context.items() if not k.startswith("_")}
             )
+            return False
 
     def _eval_scalar(self, expr: str, context: dict[str, Any]):
         """Evaluate an SSIS expression over package variables to a Python

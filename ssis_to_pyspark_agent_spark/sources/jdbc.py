@@ -101,7 +101,14 @@ def partition_predicates(column: str, lower: int, upper: int,
         # one partition must cover EVERYTHING (clamping to a single range
         # with the first-range '< hi' arm would silently drop col >= hi)
         return ["1=1"]
-    stride = (upper - lower) // n
+    # Spark's JDBCRelation.columnPartition stride is
+    # upperBound/n - lowerBound/n with JVM integer division (truncation
+    # toward zero) — NOT (upper-lower)//n, which differs for negative
+    # bounds (Python // floors). Matching it keeps the documented
+    # "identical partitioning to the bounds form" guarantee.
+    stride = int(upper / n) - int(lower / n)
+    if stride <= 0:
+        stride = 1
     preds, lo = [], lower
     for i in range(n):
         hi = lo + stride
@@ -115,12 +122,9 @@ def partition_predicates(column: str, lower: int, upper: int,
     return preds
 
 
-def jdbc_read_options(config: dict[str, Any]) -> dict[str, str]:
-    """Everything handed to ``spark.read.format('jdbc')`` — pure,
-    testable. `table` XOR `query` (query wrapped as a derived table, the
-    documented dbtable subquery form). A `connection_string` (SSIS style)
-    plus `kind` substitutes for url/user/password."""
-    cfg = dict(config)
+def _resolve_connection(cfg: dict[str, Any]) -> dict[str, Any]:
+    """Expand an SSIS `connection_string` (+ `kind`) into url/user/
+    password/driver defaults — shared by the read and write planners."""
     if cs := cfg.get("connection_string"):
         parsed = parse_ssis_connection_string(cs)
         cfg.setdefault("url", jdbc_url(
@@ -132,6 +136,15 @@ def jdbc_read_options(config: dict[str, Any]) -> dict[str, str]:
                 cfg.setdefault(k, parsed[k])
         if kind := cfg.get("kind"):
             cfg.setdefault("driver", DRIVER_CLASSES[kind.lower()])
+    return cfg
+
+
+def jdbc_read_options(config: dict[str, Any]) -> dict[str, str]:
+    """Everything handed to ``spark.read.format('jdbc')`` — pure,
+    testable. `table` XOR `query` (query wrapped as a derived table, the
+    documented dbtable subquery form). A `connection_string` (SSIS style)
+    plus `kind` substitutes for url/user/password."""
+    cfg = _resolve_connection(dict(config))
     if bool(cfg.get("table")) == bool(cfg.get("query")):
         raise ValueError("source.jdbc needs exactly one of table/query")
     opts = {
@@ -168,18 +181,7 @@ def jdbc_write_plan(config: dict[str, Any]) -> tuple[str, dict[str, str]]:
     maps to overwrite + truncate=true (drop-and-recreate loses indexes/
     grants; TRUNCATE keeps the table definition — the SSIS fast-load
     default behavior)."""
-    cfg = dict(config)
-    if cs := cfg.get("connection_string"):
-        parsed = parse_ssis_connection_string(cs)
-        cfg.setdefault("url", jdbc_url(
-            cfg.get("kind", "sqlserver"), parsed["host"],
-            parsed.get("port"), parsed.get("database"),
-        ))
-        for k in ("user", "password"):
-            if k in parsed:
-                cfg.setdefault(k, parsed[k])
-        if kind := cfg.get("kind"):
-            cfg.setdefault("driver", DRIVER_CLASSES[kind.lower()])
+    cfg = _resolve_connection(dict(config))
     mode_in = str(cfg.get("mode", "append")).lower()
     if mode_in not in _WRITE_MODES:
         raise ValueError(

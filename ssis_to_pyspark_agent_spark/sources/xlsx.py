@@ -48,6 +48,13 @@ def write_xlsx(path: str, rows: list[list], sheet_name: str = "Sheet1") -> None:
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
         if isinstance(v, (int, float)):
+            # OOXML numeric <v> cannot hold nan/inf — real Excel reports
+            # a corrupt workbook. Emit an empty cell (how Excel itself
+            # represents a blank) instead of repr(nan).
+            if isinstance(v, float) and (v != v or v in (
+                float("inf"), float("-inf")
+            )):
+                return ""
             return f'<c r="{ref}"><v>{v!r}</v></c>'
         return (f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
                 f"{escape(str(v))}</t></is></c>")

@@ -165,3 +165,49 @@ def test_for_loop_max_iterations_guard(spark):
     with pytest.raises(ControlFlowError) as ei:
         run_task_graph(spark, g)
     assert "max_iterations" in str(ei.value.__cause__)
+
+
+def test_container_fails_when_inner_failure_was_handled(spark):
+    # SSIS MaximumErrorCount=1: a Sequence container whose inner task
+    # failed FAILS ITSELF even when an inner on='failure' cleanup edge
+    # handled the error — outer on='success' edges must not fire
+    def boom(spark_, ctx):
+        raise RuntimeError("boom")
+
+    def cleanup(spark_, ctx):
+        ctx["cleaned"] = True
+
+    inner = TaskGraph("seq")
+    inner.task("bad", "python", boom)
+    inner.task("onfail", "python", cleanup)
+    inner.edge("bad", "onfail", on="failure")
+
+    g = TaskGraph("pkg")
+    g.task("seq", "graph", inner)
+    g.task("next", "sql", "SELECT 1")
+    g.task("recover", "sql", "SELECT 2")
+    g.edge("seq", "next", on="success")
+    g.edge("seq", "recover", on="failure")
+    results, ctx = run_task_graph(spark, g)
+    assert ctx["cleaned"] is True          # inner cleanup ran
+    assert results["seq"].status == "failure"
+    assert results["next"].status == "skipped"
+    assert results["recover"].status == "success"
+
+
+def test_foreach_container_propagates_handled_inner_failure(spark):
+    def boom(spark_, ctx):
+        raise RuntimeError("boom")
+
+    inner = TaskGraph("seq")
+    inner.task("bad", "python", boom)
+    inner.task("onfail", "sql", "SELECT 1")
+    inner.edge("bad", "onfail", on="failure")
+
+    g = TaskGraph("pkg")
+    g.task("fe", "foreach", Foreach(var="x", items=[1, 2], body=inner))
+    g.task("recover", "sql", "SELECT 2")
+    g.edge("fe", "recover", on="failure")
+    results, _ = run_task_graph(spark, g)
+    assert results["fe"].status == "failure"
+    assert results["recover"].status == "success"

@@ -240,3 +240,35 @@ class TestOperatorWiring:
         with pytest.raises(NotImplementedError, match="driver jar"):
             run("source.jdbc", spark, [],
                 url="jdbc:postgresql://nowhere:5432/db", table="t")
+
+
+def test_partition_predicates_negative_bounds_match_spark_stride():
+    # Spark's JDBCRelation.columnPartition: stride = upper/n - lower/n
+    # with JVM truncation toward zero. lower=-7, upper=8, n=3 gives
+    # stride 2-(-2)=4 and boundaries -3, 1 — Python floor division would
+    # give stride 5 / boundaries -2, 3.
+    from ssis_to_pyspark_agent_spark.sources.jdbc import partition_predicates
+
+    preds = partition_predicates("k", -7, 8, 3)
+    assert preds == [
+        "k < -3 OR k IS NULL",
+        "k >= -3 AND k < 1",
+        "k >= 1",
+    ]
+    # full coverage is preserved: every int is matched by exactly one arm
+    import re
+
+    for v in range(-20, 21):
+        hits = 0
+        for p in preds:
+            if "IS NULL" in p:
+                hi = int(re.match(r"k < (-?\d+)", p).group(1))
+                hits += v < hi
+            elif "AND" in p:
+                lo, hi = map(int, re.match(
+                    r"k >= (-?\d+) AND k < (-?\d+)", p).groups())
+                hits += lo <= v < hi
+            else:
+                lo = int(re.match(r"k >= (-?\d+)", p).group(1))
+                hits += v >= lo
+        assert hits == 1, (v, preds)

@@ -1089,6 +1089,49 @@ def test_jpeg_header_with_fill_bytes(spark):
     assert (got["format"], got["width"], got["height"]) == ("jpeg", 44, 33)
 
 
+def test_media_header_rejects_forged_and_sof_less_payloads(spark):
+    """ok=False, never a fabricated or schema-breaking answer: a PNG
+    claiming width 2^31 must not blow up the Int32 output column, and a
+    JPEG whose scan data starts before any SOF must not have entropy
+    bytes misread as a SOF segment."""
+    import struct
+    import zlib
+
+    from ssis_to_pyspark_agent_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 1 << 31, 10, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    forged_png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr))
+                  + chunk + struct.pack(">I", zlib.crc32(chunk)))
+    assert parse_media_header(forged_png)["ok"] is False
+
+    # SOI + SOS (no SOF), then entropy bytes containing a pseudo-SOF
+    # marker 0xFF 0xC0 followed by plausible length/dims garbage
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x00\x00\x3f\x00\x00"
+    entropy = b"\x12\xff\x00\x34" + b"\xff\xc0" + struct.pack(">H", 17) \
+        + b"\x08" + struct.pack(">HH", 123, 456) + b"\x03"
+    got = parse_media_header(b"\xff\xd8" + sos + entropy)
+    assert got["ok"] is False and got["width"] is None
+
+
+def test_xlsx_nonfinite_floats_become_blank_cells(tmp_path):
+    """OOXML numeric cells cannot hold nan/inf — the writer must emit a
+    blank cell (Excel's own representation) instead of repr(nan)."""
+    from ssis_to_pyspark_agent_spark.sources.xlsx import (
+        read_xlsx, write_xlsx,
+    )
+
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(path, [["a", "b"],
+                      [1.5, float("nan")],
+                      [float("inf"), 2.0]])
+    rows = read_xlsx(path)
+    assert rows[1][0] == 1.5 and rows[1][1] is None
+    assert rows[2][0] is None and rows[2][1] == 2.0
+
+
 def test_percentile_approx_accuracy_argument(spark):
     """A trailing int > 1 is percentile_approx's ACCURACY, not another
     percentage (Spark (col, percentage, accuracy) signature)."""
