@@ -968,3 +968,137 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
     if config.get("return_pairs"):
         return {"out": out, "pairs": pairs}
     return out
+
+
+@operator("dedup.spans")
+def dedup_spans(spark: SparkSession, inputs, config, context):
+    """Exact duplicated-substring-span dedup (the ExactSubstr method of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every position whose n-token gram occurs >= ``min_count``
+    times in the corpus (``scope='corpus'``; ``'cross_doc'`` = in more
+    than one document) is duplicated text; overlapping/adjacent flagged
+    positions merge into maximal spans, which are counted and (with
+    ``emit_clean``) removed from the document.
+
+    Single-node implementations use a corpus suffix array; the
+    distributed equivalent is position-explode + a corpus-global gram
+    frequency. Plan: ONE pass builds (doc, pos, xxhash64(gram)) rows
+    narrowly (sequence+slice, no per-token explode of text), ONE shuffle
+    partitions them by gram hash where a count-over-window flags
+    duplicated grams in place (no second scan, no groupBy+join-back),
+    then the flagged positions — and only those — shuffle per doc for
+    the span merge. Shuffle payload is (doc_id, pos, hash8B) rows,
+    never document text; gram equality via 64-bit hash (collision odds
+    ~|tokens|^2/2^65 — the same acceptance as the hashed shingle arrays
+    in dedup.ngram_jaccard).
+
+    Output: input columns + ``n_dup_spans``, ``dup_tokens``,
+    ``total_tokens``, ``dup_token_frac`` (+ ``text_clean`` over the
+    normalized token stream when ``emit_clean``). Span merge uses the
+    constant-gram-length identity: a flagged position p after p' adds
+    min(p - p', n) newly covered tokens and starts a new span iff
+    p - p' > n, so per-doc stats need only lag(), not an island groupBy.
+
+    Reference has no counterpart (nearest: Fuzzy Grouping,
+    data_engineering_parser.py:1114) — NEW per SURVEY §2.12.
+    """
+    from pyspark.sql import Window
+
+    df: DataFrame = inputs[0]
+    id_col, text_col = config["id_col"], config["text_col"]
+    n = int(config.get("n", 8))
+    min_count = int(config.get("min_count", 2))
+    scope = config.get("scope", "corpus")
+    emit_clean = bool(config.get("emit_clean", False))
+
+    base = df.select(
+        F.col(id_col).alias("_id"), _words(F.col(text_col)).alias("_w")
+    ).withColumn("_nw", F.size("_w"))
+    gh_arr = F.when(
+        F.col("_nw") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_nw") - (n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_w"), i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = base.select("_id", F.posexplode(gh_arr).alias("_gpos", "_gh"))
+
+    wgh = Window.partitionBy("_gh")
+    if scope == "cross_doc":
+        # >= 2 distinct docs <=> min(id) != max(id): countDistinct is not
+        # a window function, min/max are
+        dup = F.min("_id").over(wgh) != F.max("_id").over(wgh)
+    else:
+        dup = F.count(F.lit(1)).over(wgh) >= min_count
+    flagged = grams.withColumn("_dup", dup).filter("_dup").select("_id", "_gpos")
+
+    wdoc = Window.partitionBy("_id").orderBy("_gpos")
+    gap = F.col("_gpos") - F.lag("_gpos").over(wdoc)
+    covered = F.when(gap.isNull(), F.lit(n)).otherwise(F.least(gap, F.lit(n)))
+    newspan = F.when(gap.isNull() | (gap > n), 1).otherwise(0)
+
+    if emit_clean:
+        isl = F.sum(newspan).over(
+            wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        spans = (
+            flagged.withColumn("_isl", isl)
+            .groupBy("_id", "_isl")
+            .agg(
+                F.min("_gpos").alias("s"),
+                (F.max("_gpos") + n).alias("e"),
+            )
+        )
+        agg = spans.groupBy("_id").agg(
+            F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s")).cast("int").alias("dup_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("_spans"),
+        )
+        empty = F.array().cast("array<struct<s:int,e:int>>")
+        joined = (
+            base.join(agg, "_id", "left")
+            .withColumn("_sp", F.coalesce(F.col("_spans"), empty))
+            .withColumn(
+                "text_clean",
+                F.array_join(
+                    F.filter(
+                        F.col("_w"),
+                        lambda t, i: ~F.exists(
+                            F.col("_sp"),
+                            lambda p: (i >= p["s"]) & (i < p["e"]),
+                        ),
+                    ),
+                    " ",
+                ),
+            )
+        )
+        stats = joined.select(
+            "_id", "n_dup_spans", "dup_tokens", "_nw", "text_clean"
+        )
+    else:
+        stats = (
+            flagged.select(
+                "_id", covered.alias("_cov"), newspan.alias("_ns")
+            )
+            .groupBy("_id")
+            .agg(
+                F.sum("_ns").cast("int").alias("n_dup_spans"),
+                F.sum("_cov").cast("int").alias("dup_tokens"),
+            )
+            .join(base.select("_id", "_nw"), "_id", "right")
+        )
+    out_cols = [
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        F.col("_nw").alias("total_tokens"),
+        (
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            / F.greatest(F.col("_nw"), F.lit(1))
+        ).alias("dup_token_frac"),
+    ]
+    if emit_clean:
+        out_cols.append("text_clean")
+    stats = stats.select("_id", *out_cols)
+    return df.join(stats.withColumnRenamed("_id", id_col), id_col, "left")

@@ -112,3 +112,69 @@ def sample(spark: SparkSession, inputs, config, context) -> DataFrame:
             rate = F.when(strata == value, F.lit(float(frac))).otherwise(rate)
         return df.filter(slot < rate * buckets)
     raise ValueError(f"unknown sample method {method!r}")
+
+
+@operator("sample.mixture")
+def sample_mixture(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Domain-mixture reweighting — the pretraining data-mixing step
+    (Pile/DoReMi/LLaMA-style per-source weights): each row's group maps
+    to a target weight w and the row is emitted with multiplicity
+    floor(w) plus one extra copy with probability frac(w), so expected
+    multiplicity is exactly w. The extra-copy decision is a pure
+    function of (id, replica) via the engine-neutral 60-bit md5 hash
+    (NOTES invariant 5) — reproducible across runs AND engines, and
+    exactly re-derivable by the SQL oracle.
+
+    Plan: map-side explode of a <= ceil(w)-element sequence + a filter —
+    NO shuffle at any scale; upsampling multiplies bytes only at the
+    output. Downsampling (w < 1) is a pure filter. w = 0 drops the
+    group. Groups absent from `weights` get `default_weight` (1.0).
+
+    Output = input columns + `replica_col` (0-based copy index, so
+    upsampled duplicates stay distinguishable downstream).
+
+    Reference has no counterpart (nearest: Percentage Sampling,
+    data_engineering_parser.py:1096) — NEW per SURVEY §2.12.
+    """
+    df: DataFrame = inputs[0]
+    id_col, group_col = config["id_col"], config["group_col"]
+    weights = {k: float(v) for k, v in config["weights"].items()}
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("mixture weights must be >= 0")
+    default_w = float(config.get("default_weight", 1.0))
+    salt = config.get("salt", "")
+    rep_col = config.get("replica_col", "replica")
+
+    grp = F.col(group_col)
+    wt = F.lit(default_w)
+    for value, w in weights.items():
+        wt = F.when(grp == value, F.lit(w)).otherwise(wt)
+    # sequence(0, -1) would generate a DESCENDING [0, -1] — guard w = 0
+    # with an empty array instead (NOTES invariant: Spark sequence runs
+    # backwards when start > stop)
+    reps = F.when(
+        F.col("_wt") > 0,
+        F.sequence(F.lit(0), F.ceil(F.col("_wt")).cast("int") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    out = df.withColumn("_wt", wt).withColumn(rep_col, F.explode(reps))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col(rep_col).cast("string"),
+                    F.lit(salt),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    frac = F.col("_wt") - F.floor("_wt")
+    keep = (F.col(rep_col) < F.floor("_wt")) | (
+        h < frac * F.lit(float(1 << 60))
+    )
+    return out.filter(keep).drop("_wt")

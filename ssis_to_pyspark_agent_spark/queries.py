@@ -646,37 +646,70 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q23_sampling_modes",
-    # Merged q23+q79: deterministic mod sampling AND per-stratum-rate
-    # stratified sampling, row-exact, as one tagged union. Both are pure
-    # pushdown-friendly filters — no shuffle at any scale.
+    # Merged q23+q79+mixture: deterministic mod sampling, per-stratum-rate
+    # stratified sampling (both pure pushdown-friendly filters) AND
+    # sample.mixture — domain-mixture reweighting over documents.source
+    # (src0 2.5x up, src1 exact 2x, src2 0.3 down, src3 dropped, rest
+    # 1.0 passthrough); the fractional-replica decision is the
+    # engine-neutral 60-bit md5 hash, re-derived here verbatim.
     oracle="""
-    SELECT o_orderkey, o_orderstatus, 'mod' AS mode FROM orders
-    WHERE o_orderkey % 20 = 7
+    SELECT 'mod' AS mode, o_orderkey AS key, o_orderstatus AS grp,
+           0 AS replica
+    FROM orders WHERE o_orderkey % 20 = 7
     UNION ALL
-    SELECT o_orderkey, o_orderstatus, 'stratified' FROM orders
+    SELECT 'stratified', o_orderkey, o_orderstatus, 0 FROM orders
     WHERE o_orderkey % 10000 < (CASE o_orderstatus WHEN 'F' THEN 0.5
                                                    WHEN 'O' THEN 0.1
                                                    ELSE 0.02 END) * 10000
+    UNION ALL
+    SELECT 'mixture', doc_id, source, CAST(replica AS INT) FROM (
+      SELECT doc_id, source, wt,
+             unnest(range(0, CAST(ceil(wt) AS BIGINT))) AS replica
+      FROM (SELECT doc_id, source,
+                   CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0
+                               WHEN 'src2' THEN 0.3 WHEN 'src3' THEN 0.0
+                               ELSE 1.0 END AS wt
+            FROM documents))
+    WHERE replica < floor(wt)
+       OR CAST('0x' || substr(md5(doc_id || ':' || replica), 1, 15)
+               AS BIGINT) < (wt - floor(wt)) * 1152921504606846976
     """,
 )
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_orderkey", "o_orderstatus"]
     p = (
-        _p("q23", sf_dir, "orders")
+        _p("q23", sf_dir, "orders", "documents")
         # prune before the fan-out persist (two sample consumers)
         .step("prj0", "select", "orders", columns=cols)
         .step("m", "sample", "prj0", method="mod", key=["o_orderkey"],
               n=20, r=7)
-        .step("m_t", "derived_column", "m", columns={"mode": '"mod"'})
-        .step("m_p", "select", "m_t", columns=cols + ["mode"])
         .step("s", "sample", "prj0", method="stratified",
               strata_col="o_orderstatus", key=["o_orderkey"], mod=True,
               fractions={"F": 0.5, "O": 0.1}, default_fraction=0.02)
-        .step("s_t", "derived_column", "s", columns={"mode": '"stratified"'})
-        .step("s_p", "select", "s_t", columns=cols + ["mode"])
-        .step("u", "union_all", ["m_p", "s_p"])
+        .step("mixp", "select", "documents", columns=["doc_id", "source"])
+        .step("mix", "sample.mixture", "mixp", id_col="doc_id",
+              group_col="source",
+              weights={"src0": 2.5, "src1": 2.0, "src2": 0.3, "src3": 0.0},
+              default_weight=1.0)
     )
-    return run_pipeline(spark, p).df("u")
+    r = run_pipeline(spark, p)
+
+    def leg(df: DataFrame, mode: str, key: str, grp: str,
+            rep: str | None = None) -> DataFrame:
+        return df.select(
+            F.lit(mode).alias("mode"),
+            F.col(key).alias("key"),
+            F.col(grp).alias("grp"),
+            (F.col(rep) if rep else F.lit(0)).cast("int").alias("replica"),
+        )
+
+    return (
+        leg(r.df("m"), "mod", "o_orderkey", "o_orderstatus")
+        .unionByName(leg(r.df("s"), "stratified", "o_orderkey",
+                         "o_orderstatus"))
+        .unionByName(leg(r.df("mix"), "mixture", "doc_id", "source",
+                         "replica"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -796,16 +829,67 @@ _WORDS_SQL = "regexp_extract_all(lower(text), '\\S+')"
 
 @query(
     "q30_dedup_exact_digest",
+    # Merged q30+spans: ('doc', survivors of exact-digest dedup) plus
+    # ('span', per-doc exact duplicated-substring-span stats + cleaned
+    # length from dedup.spans — the ExactSubstr method of Lee et al.
+    # 2022). The oracle re-derives the spans from raw 8-gram strings
+    # (no hashing): flagged positions -> lag-gap islands -> covered
+    # token removal, mirroring the operator's constant-length span
+    # algebra exactly.
     oracle=f"""
-    SELECT doc_id, lang, source FROM (
+    WITH docs AS (SELECT doc_id, lang, source,
+                  string_split({_NORM_SQL}, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(w) - 7, 0))) AS gpos,
+             unnest(list_transform(range(1, greatest(len(w) - 7, 0) + 1),
+                    i -> array_to_string(w[i:i+7], ' '))) AS gram
+      FROM docs),
+    fg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    fp AS (SELECT g.doc_id, g.gpos FROM g JOIN fg USING (gram)),
+    lagged AS (SELECT doc_id, gpos,
+               gpos - lag(gpos) OVER (PARTITION BY doc_id ORDER BY gpos)
+                 AS gap
+               FROM fp),
+    isl AS (SELECT doc_id, gpos,
+            SUM(CASE WHEN gap IS NULL OR gap > 8 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY gpos
+                    ROWS UNBOUNDED PRECEDING) AS isl
+            FROM lagged),
+    spans AS (SELECT doc_id, MIN(gpos) AS s, MAX(gpos) + 8 AS e
+              FROM isl GROUP BY doc_id, isl),
+    sp AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_dup_spans,
+                  CAST(SUM(e - s) AS INT) AS dup_tokens
+           FROM spans GROUP BY doc_id),
+    toks AS (SELECT doc_id, unnest(range(0, len(w))) AS p, unnest(w) AS tok
+             FROM docs),
+    cov AS (SELECT doc_id, unnest(range(s, e)) AS p FROM spans),
+    kept AS (SELECT t.doc_id, t.p, t.tok
+             FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+             WHERE c.p IS NULL),
+    clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct
+              FROM kept GROUP BY doc_id),
+    surv AS (SELECT doc_id, lang, source FROM (
       SELECT doc_id, lang, source,
              ROW_NUMBER() OVER (PARTITION BY MD5({_NORM_SQL})
                                 ORDER BY doc_id) AS rn
-      FROM documents) WHERE rn = 1
+      FROM documents) WHERE rn = 1)
+    SELECT 'doc' AS kind, doc_id, lang, source,
+           CAST(NULL AS INT) AS n_dup_spans,
+           CAST(NULL AS INT) AS dup_tokens,
+           CAST(NULL AS INT) AS clean_len
+    FROM surv
+    UNION ALL
+    SELECT 'span', d.doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           COALESCE(sp.n_dup_spans, 0), COALESCE(sp.dup_tokens, 0),
+           CAST(length(COALESCE(c.ct, '')) AS INT)
+    FROM docs d LEFT JOIN sp ON sp.doc_id = d.doc_id
+    LEFT JOIN clean c ON c.doc_id = d.doc_id
     """,
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on normalized-text digest, keep-min-doc_id."""
+    """Exact dedup on normalized-text digest (keep-min-doc_id) unioned
+    with per-doc exact duplicated-substring-span stats (dedup.spans)."""
     from ssis_to_pyspark_agent_spark.operators.dedup import _norm_text
 
     p = (
@@ -814,9 +898,24 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
               columns={"_digest": F.md5(_norm_text(F.col("text")))})
         .step("dd", "dedup.exact", "fp", columns=["_digest"],
               keep_by=[("doc_id", "asc")])
-        .step("prj", "select", "dd", columns=["doc_id", "lang", "source"])
+        .step("sp", "dedup.spans", "documents", id_col="doc_id",
+              text_col="text", n=8, emit_clean=True)
     )
-    return run_pipeline(spark, p).df("prj")
+    r = run_pipeline(spark, p)
+    surv = r.df("dd").select(
+        F.lit("doc").alias("kind"), "doc_id", "lang", "source",
+        F.lit(None).cast("int").alias("n_dup_spans"),
+        F.lit(None).cast("int").alias("dup_tokens"),
+        F.lit(None).cast("int").alias("clean_len"),
+    )
+    spans = r.df("sp").select(
+        F.lit("span").alias("kind"), "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        "n_dup_spans", "dup_tokens",
+        F.length("text_clean").cast("int").alias("clean_len"),
+    )
+    return surv.unionByName(spans)
 
 
 _SHINGLE_SQL = """

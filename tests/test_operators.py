@@ -458,6 +458,65 @@ class TestTextOps:
         assert out[3].text_clean == "twice\ntwice\nepsilon"
         assert out[3].n_boilerplate_lines == 0
 
+    def test_dedup_spans_hand_computed(self, spark):
+        # n=3 grams, corpus scope. docs 1 and 2 share "a b c d" -> grams
+        # "a b c" (pos 0) and "b c d" (pos 1) each occur twice corpus-wide.
+        # doc 1: flagged pos {0,1} -> ONE merged span [0,4): dup_tokens=4,
+        #   clean = tokens 4.. -> "x y z"
+        # doc 2: same prefix -> span [0,4), clean = "q r"
+        # doc 3: within-doc repeat "e f g ... e f g" -> gram "e f g" at
+        #   pos 0 and 4 (gap 4 > n=3) -> TWO spans, 6 covered tokens
+        # doc 4: too short for any gram (2 tokens) -> zeros, clean = text
+        df = spark.createDataFrame(
+            [(1, "a b c d x y z"), (2, "a b c d q r"),
+             (3, "e f g hh e f g"), (4, "u v")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in run(
+            "dedup.spans", spark, [df], id_col="doc_id", text_col="text",
+            n=3, emit_clean=True).collect()}
+        assert (out[1].n_dup_spans, out[1].dup_tokens) == (1, 4)
+        assert out[1].text_clean == "x y z" and out[1].total_tokens == 7
+        assert (out[2].n_dup_spans, out[2].dup_tokens) == (1, 4)
+        assert out[2].text_clean == "q r"
+        assert (out[3].n_dup_spans, out[3].dup_tokens) == (2, 6)
+        assert out[3].text_clean == "hh"
+        assert abs(out[3].dup_token_frac - 6 / 7) < 1e-12
+        assert (out[4].n_dup_spans, out[4].dup_tokens) == (0, 0)
+        assert out[4].text_clean == "u v"
+
+    def test_dedup_spans_scope_and_adjacency(self, spark):
+        # cross_doc scope ignores within-doc repeats: doc 3's repeat from
+        # the test above is NOT flagged, docs 1/2's shared prefix still is.
+        df = spark.createDataFrame(
+            [(1, "a b c d x y z"), (2, "a b c d q r"),
+             (3, "e f g hh e f g")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in run(
+            "dedup.spans", spark, [df], id_col="doc_id", text_col="text",
+            n=3, scope="cross_doc").collect()}
+        assert out[1].n_dup_spans == 1 and out[3].n_dup_spans == 0
+        # overlap merge: "a b" x4 makes every gram at pos 0..5 duplicated
+        # (docs 1 and 3 share them all, doc 2 shares the first two) ->
+        # ONE span [0, 8) in doc 1, never six.
+        df2 = spark.createDataFrame(
+            [(1, "a b a b a b a b z"), (2, "a b a b w"),
+             (3, "a b a b a b a b y")],
+            "doc_id long, text string",
+        )
+        out2 = {r.doc_id: r for r in run(
+            "dedup.spans", spark, [df2], id_col="doc_id", text_col="text",
+            n=3).collect()}
+        assert out2[1].n_dup_spans == 1 and out2[1].dup_tokens == 8
+        # stats mode (no clean text) must agree with clean mode
+        out3 = {r.doc_id: r for r in run(
+            "dedup.spans", spark, [df2], id_col="doc_id", text_col="text",
+            n=3, emit_clean=True).collect()}
+        for k in out2:
+            assert (out2[k].n_dup_spans, out2[k].dup_tokens) == (
+                out3[k].n_dup_spans, out3[k].dup_tokens)
+
     def test_repetition_fold_matches_explode(self, spark):
         # the zero-shuffle sorted-run fold (default) and the explode+
         # groupBy implementation must agree exactly on a corpus with
@@ -698,6 +757,42 @@ class TestSampleModes:
         df = spark.range(1000)
         out = run("sample", spark, [df], method="rows", key=["id"], n=37)
         assert out.count() == 37
+
+    def test_mixture_multiplicities(self, spark):
+        # 400 rows over 4 groups; weights: exact 3x up, fractional 1.5x,
+        # 0.25 down, drop; absent group -> default 1.0 passthrough
+        df = spark.createDataFrame(
+            [(i, f"g{i % 5}") for i in range(400)], "id long, grp string"
+        )
+        out = run("sample.mixture", spark, [df], id_col="id",
+                  group_col="grp",
+                  weights={"g0": 3.0, "g1": 1.5, "g2": 0.25, "g3": 0.0})
+        rows = out.collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r.grp, []).append(r)
+        # integer weights are EXACT per-row multiplicities
+        assert len(by["g0"]) == 240 and {r.replica for r in by["g0"]} == {0, 1, 2}
+        assert "g3" not in by
+        assert len(by["g4"]) == 80 and all(r.replica == 0 for r in by["g4"])
+        # fractional weights: every row keeps its floor(w) replicas and the
+        # extra copy lands within a loose binomial band
+        g1_ids = {r.id for r in by["g1"] if r.replica == 0}
+        assert len(g1_ids) == 80  # floor(1.5) = 1 guaranteed copy
+        assert 80 * 1.2 < len(by["g1"]) < 80 * 1.8
+        assert 80 * 0.1 < len(by["g2"]) < 80 * 0.45
+        # deterministic: same output on re-run
+        again = run("sample.mixture", spark, [df], id_col="id",
+                    group_col="grp",
+                    weights={"g0": 3.0, "g1": 1.5, "g2": 0.25, "g3": 0.0})
+        key = lambda r: (r.id, r.replica)
+        assert sorted(map(key, rows)) == sorted(map(key, again.collect()))
+
+    def test_mixture_rejects_negative_weight(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id long, grp string")
+        with pytest.raises(ValueError, match=">= 0"):
+            run("sample.mixture", spark, [df], id_col="id", group_col="grp",
+                weights={"a": -1.0})
 
 
 class TestAsofJoin:
