@@ -517,6 +517,49 @@ class TestTextOps:
             assert (out2[k].n_dup_spans, out2[k].dup_tokens) == (
                 out3[k].n_dup_spans, out3[k].dup_tokens)
 
+    def test_dedup_spans_matches_bruteforce(self, spark):
+        # random tiny-vocab corpus (heavy accidental gram repeats, empty
+        # and sub-n docs included) vs a per-doc python reference of the
+        # same span algebra: corpus gram counts -> flagged positions ->
+        # merged-span count / covered tokens / cleaned text
+        import random
+        from collections import Counter
+
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(6)]
+        rows = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randrange(0, 25))))
+                for i in range(40)]
+        n = 3
+        grams: Counter = Counter()
+        words = {}
+        for i, t in rows:
+            w = t.split(" ")
+            words[i] = w
+            grams.update(tuple(w[j:j + n]) for j in range(len(w) - n + 1))
+        expect = {}
+        for i, w in words.items():
+            flagged = [j for j in range(max(len(w) - n + 1, 0))
+                       if grams[tuple(w[j:j + n])] >= 2]
+            spans = covered = 0
+            prev = None
+            cov: set = set()
+            for j in flagged:
+                if prev is None or j - prev > n:
+                    spans += 1
+                covered += n if prev is None else min(j - prev, n)
+                cov.update(range(j, j + n))
+                prev = j
+            clean = " ".join(t for k, t in enumerate(w) if k not in cov)
+            expect[i] = (spans, covered, clean)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in run(
+            "dedup.spans", spark, [df], id_col="doc_id", text_col="text",
+            n=n, emit_clean=True).collect()}
+        got = {i: (out[i].n_dup_spans, out[i].dup_tokens, out[i].text_clean)
+               for i, _ in rows}
+        assert got == expect
+
     def test_repetition_fold_matches_explode(self, spark):
         # the zero-shuffle sorted-run fold (default) and the explode+
         # groupBy implementation must agree exactly on a corpus with

@@ -442,6 +442,59 @@ def probe_repetition(spark, n_docs=2_000_000, words_per_doc=80):
     docs.unpersist()
 
 
+
+def probe_spans(spark, n_docs=2_000_000, words_per_doc=80, span_len=20):
+    """dedup.spans (ExactSubstr) at 100-1000x: plant a shared
+    span_len-token boilerplate snippet in every 50th doc — every 8-gram
+    inside the snippet repeats corpus-wide, boundary grams don't, so the
+    expected result is exactly one merged span of span_len covered
+    tokens per planted doc (chance 8-gram repeats from a 500-word vocab:
+    ~(n*73)^2 / 2*500^8 ≈ 3e-6 — negligible)."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    bp = " ".join(f"bp{i}" for i in range(span_len))
+    half = (words_per_doc - span_len) // 2
+
+    def rand(cnt, off):
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1 + off), F.lit(cnt + off)),
+                lambda i: F.element_at(
+                    vocab,
+                    (F.pmod(F.xxhash64(F.col("id"), i), 500) + 1).cast("int"),
+                ),
+            ),
+        )
+
+    text = F.when(
+        F.pmod(F.col("id"), 50) == 0,
+        F.concat_ws(" ", rand(half, 0), F.lit(bp), rand(half, half)),
+    ).otherwise(rand(words_per_doc, 0))
+    docs = (
+        spark.range(n_docs)
+        .repartition(64)
+        .select(F.col("id").alias("doc_id"), text.alias("text"))
+        .persist()
+    )
+    total = docs.count()
+
+    t0 = time.perf_counter()
+    out = get_operator("dedup.spans")(
+        spark, [docs], {"id_col": "doc_id", "text_col": "text", "n": 8}, {}
+    )
+    r = out.filter("n_dup_spans > 0").agg(
+        F.count(F.lit(1)), F.sum("n_dup_spans"), F.sum("dup_tokens")
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    exp = n_docs // 50
+    print(
+        f"PROBE spans: n={total} span_dedup={dt:.1f}s flagged={r[0]} "
+        f"(expect {exp}) spans={r[1]} dup_tokens={r[2]} "
+        f"(expect {exp * span_len}) ({total/dt:,.0f} docs/s)"
+    )
+    docs.unpersist()
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(
@@ -468,6 +521,8 @@ def main():
         probe_ivf(spark)
     if which in ("repetition", "all"):
         probe_repetition(spark)
+    if which in ("spans", "all"):
+        probe_spans(spark)
 
 
 if __name__ == "__main__":
