@@ -1102,3 +1102,154 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
         out_cols.append("text_clean")
     stats = stats.select("_id", *out_cols)
     return df.join(stats.withColumnRenamed("_id", id_col), id_col, "left")
+
+
+@operator("dedup.minhash_incremental")
+def dedup_minhash_incremental(spark: SparkSession, inputs, config, context):
+    """Incremental MinHash/LSH dedup of a NEW BATCH against an existing
+    corpus — the shape a 100 TB ingest pipeline actually runs daily:
+    re-deduplicating the whole corpus per batch is O(corpus), this is
+    O(batch + candidates).
+
+    inputs: [batch, history] (+ optional third input: a PRECOMPUTED
+    history band table (_id, _band, _bh) — e.g. the `bands` port of a
+    previous run persisted to parquet — which skips the history
+    signature pass entirely; the raw history input is then touched only
+    by the candidate-pruned verify re-shingle, an O(candidates) scan).
+
+    Semantics: a batch doc is dropped when a verified exact-Jaccard >=
+    threshold partner exists in history (history always wins) or
+    earlier in the batch (keep-min-id). History rows are never dropped.
+    When ids are globally ordered (history ids < batch ids), the
+    surviving batch == full-corpus keep-min survivors restricted to the
+    batch (test-pinned) — incremental runs compose into exactly the
+    one-shot result.
+
+    Plan: batch bands broadcast into the history band join by default
+    (`broadcast_batch=True`) — the 100 TB history table STREAMS through
+    the probe side with no shuffle; within-batch candidates reuse the
+    one-shuffle bucket-groupBy path. Candidate pairs (ids only) are the
+    only other shuffle; shingle arrays join back candidate-pruned, as in
+    dedup.minhash. `cand_cap` bounds per-batch-doc candidates against
+    degenerate boilerplate buckets (a capped window over the candidate
+    frame only, never over history).
+
+    Ports: out (surviving batch rows), pairs (a=keeper, b=dropped-side
+    candidate, jaccard) when return_pairs, bands (the batch band table,
+    to append to the signature store) when return_bands.
+
+    Reference has no counterpart — NEW per SURVEY §2.12.
+    """
+    from pyspark.sql import Window
+
+    batch: DataFrame = inputs[0]
+    history: DataFrame = inputs[1]
+    hist_bands_in = inputs[2] if len(inputs) > 2 else None
+    id_col, text_col = config["id_col"], config["text_col"]
+    k = config.get("shingle_k", 3)
+    num_hashes = config.get("num_hashes", 128)
+    threshold = config.get("threshold", 0.8)
+    bands = config.get("bands")
+    if bands is None:
+        bands = _auto_bands(num_hashes, threshold)
+    rows = num_hashes // bands
+    seed = config.get("seed", 42)
+    sig_impl = config.get("sig_impl", "numpy")
+    bucket_cap = config.get("bucket_cap", 200)
+    cand_cap = config.get("cand_cap", 1000)
+    caches = []
+
+    def band_rows(src: DataFrame) -> DataFrame:
+        base = src.select(
+            F.col(id_col).alias("_id"),
+            _shingles(F.col(text_col), k).alias("_sh"),
+        ).withColumn(
+            "_hs", F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(seed)))
+        )
+        if sig_impl == "numpy":
+            bf = _numpy_band_frame(base, bands, rows, seed)
+        else:
+            # expr path: persist or CollapseProject inlines _hs into the
+            # 128 minhash lambdas (NOTES invariant 2)
+            base = base.persist()
+            caches.append(base)
+            bf = base.select(
+                "_id", _minhash_band_hashes(F.col("_hs"), bands, rows).alias("_bh")
+            )
+        return bf.select("_id", F.posexplode("_bh").alias("_band", "_bh"))
+
+    b_banded = band_rows(_spread(spark, batch)).persist()
+    caches.append(b_banded)
+    h_banded = (
+        hist_bands_in.select("_id", "_band", "_bh")
+        if hist_bands_in is not None
+        else band_rows(_spread(spark, history))
+    )
+
+    # within-batch candidates: one bucket-groupBy shuffle (a < b)
+    cand_bb = _bucket_pairs(b_banded, ["_band", "_bh"], bucket_cap)
+    # cross candidates: history streams against the (broadcast) batch
+    # band table — zero shuffle of history when the batch is small
+    bb = b_banded.select(F.col("_id").alias("b"), "_band", "_bh")
+    if config.get("broadcast_batch", True):
+        bb = F.broadcast(bb)
+    cand_bh = (
+        h_banded.select(F.col("_id").alias("a"), "_band", "_bh")
+        .join(bb, ["_band", "_bh"])
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    cand = cand_bb.unionByName(cand_bh)
+    if cand_cap:
+        wc = Window.partitionBy("b").orderBy("a")
+        cand = (
+            cand.withColumn("_rn", F.row_number().over(wc))
+            .filter(F.col("_rn") <= cand_cap)
+            .drop("_rn")
+        )
+    cand = cand.persist()
+    cand.count()
+
+    # verify: candidate-pruned re-shingle from BOTH raw sides, then the
+    # exact Jaccard — arrays never shuffle, candidates broadcast
+    cand_ids = (
+        cand.select(F.col("a").alias("_id"))
+        .unionByName(cand.select(F.col("b").alias("_id")))
+        .distinct()
+    )
+
+    def pruned_shingles(src: DataFrame) -> DataFrame:
+        keep = src.join(
+            F.broadcast(cand_ids.select(F.col("_id").alias(id_col))),
+            id_col, "left_semi",
+        )
+        return keep.select(
+            F.col(id_col).alias("_id"), _shingles(F.col(text_col), k).alias("_sh")
+        )
+
+    sh = pruned_shingles(batch).unionByName(pruned_shingles(history))
+    pairs = (
+        F.broadcast(cand)
+        .join(sh.select(F.col("_id").alias("a"), F.col("_sh").alias("sha")), "a")
+        .join(sh.select(F.col("_id").alias("b"), F.col("_sh").alias("shb")), "b")
+        .withColumn("jaccard", _jaccard(F.col("sha"), F.col("shb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+        .persist()
+    )
+    pairs.count()
+    cand.unpersist()
+
+    out = _keep_min_survivors(batch, id_col, pairs)
+    result = {"out": out}
+    if config.get("return_pairs"):
+        result["pairs"] = pairs
+    if config.get("return_bands"):
+        result["bands"] = b_banded
+    for c in caches:
+        if config.get("return_bands") and c is b_banded:
+            continue  # the returned bands port stays materialized
+        c.unpersist()
+    if len(result) == 1:
+        return out
+    return result

@@ -1013,21 +1013,43 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / (len(a.shingles) + len(b.shingles)
                - len(list_intersect(a.shingles, b.shingles))) >= 0.7)
-    SELECT doc_id, lang, source FROM documents
+    SELECT 'full' AS kind, doc_id, lang, source FROM documents
     WHERE doc_id NOT IN (SELECT b FROM dominated)
+    UNION ALL
+    SELECT 'inc', doc_id, lang, source FROM documents
+    WHERE doc_id >= 250 AND doc_id NOT IN (SELECT b FROM dominated)
     """,
 )
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _p("q32", sf_dir, "documents").step(
-        "dd", "dedup.minhash", "documents",
-        id_col="doc_id", text_col="text", threshold=0.7,
-        # 16 bands x 8 rows: s-curve midpoint (1/16)^(1/8) ~= 0.71 sits at
-        # the 0.7 threshold -- 32x4 (midpoint 0.42) floods the verify stage
-        # with sub-threshold candidates (measured 7.7x slower, same output)
-        num_hashes=128, bands=16,
+    """Full-corpus minhash survivors ('full') UNION the incremental
+    batch-vs-history run ('inc': history = doc_id < 250, batch = the
+    rest, via dedup.minhash_incremental). With ids globally ordered,
+    incremental keep-min == full keep-min restricted to the batch, so
+    BOTH legs share one brute-force dominated-set oracle — the identity
+    the incremental operator exists to satisfy (and is test-pinned on)."""
+    p = (
+        _p("q32", sf_dir, "documents")
+        .step(
+            "dd", "dedup.minhash", "documents",
+            id_col="doc_id", text_col="text", threshold=0.7,
+            # 16 bands x 8 rows: s-curve midpoint (1/16)^(1/8) ~= 0.71 sits
+            # at the 0.7 threshold -- 32x4 (midpoint 0.42) floods the verify
+            # stage with sub-threshold candidates (measured 7.7x slower,
+            # same output)
+            num_hashes=128, bands=16,
+        )
+        .step("hist", "filter", "documents", predicate="[doc_id] < 250")
+        .step("batch", "filter", "documents", predicate="[doc_id] >= 250")
+        .step("inc", "dedup.minhash_incremental", ["batch", "hist"],
+              id_col="doc_id", text_col="text", threshold=0.7,
+              num_hashes=128, bands=16)
     )
-    r = run_pipeline(spark, p).df("dd")
-    return r.select("doc_id", "lang", "source")
+    r = run_pipeline(spark, p)
+    full = r.df("dd").select(
+        F.lit("full").alias("kind"), "doc_id", "lang", "source")
+    inc = r.df("inc").select(
+        F.lit("inc").alias("kind"), "doc_id", "lang", "source")
+    return full.unionByName(inc)
 
 
 @query(

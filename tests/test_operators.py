@@ -257,6 +257,67 @@ class TestDedup:
             spark.catalog.clearCache()
         assert got["numpy"] and got["numpy"] == got["expr"]
 
+    def test_minhash_incremental_hand_case(self, spark):
+        # history: A(10), B(11). batch: 20 ~ A (dropped, history wins),
+        # 21 unique (kept), 22 and 23 near-identical new docs (keep 22,
+        # drop 23), 24 ~ B and ~ nothing in batch (dropped)
+        # 60-token docs; near-dup = one appended token (jaccard ~ 0.95,
+        # far above the 16x4 banding midpoint at threshold 0.5)
+        a = " ".join(f"alpha{i}" for i in range(60))
+        b = " ".join(f"beta{i}" for i in range(60))
+        u = " ".join(f"uniq{i}" for i in range(60))
+        c = " ".join(f"gamma{i}" for i in range(60))
+        hist = spark.createDataFrame(
+            [(10, a), (11, b)], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(20, a + " tail"), (21, u),
+             (22, c), (23, c + " tail"),
+             (24, b + " tail")],
+            "doc_id long, text string")
+        out = run("dedup.minhash_incremental", spark, [batch, hist],
+                  id_col="doc_id", text_col="text", threshold=0.5,
+                  num_hashes=64, bands=16, return_pairs=True)
+        assert sorted(r.doc_id for r in out["out"].collect()) == [21, 22]
+        got = {(r.a, r.b) for r in out["pairs"].collect()}
+        assert {(10, 20), (22, 23), (11, 24)} <= got
+        spark.catalog.clearCache()
+
+    def test_minhash_incremental_composes_to_full(self, spark):
+        # ordered-id split: incremental survivors of the batch must equal
+        # the one-shot full-corpus survivors restricted to batch ids
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        cut = 250
+        hist = df.filter(f"doc_id < {cut}")
+        batch = df.filter(f"doc_id >= {cut}")
+        cfg = dict(id_col="doc_id", text_col="text", threshold=0.7,
+                   num_hashes=128, bands=16)
+        full = run("dedup.minhash", spark, [df], **cfg)
+        inc = run("dedup.minhash_incremental", spark, [batch, hist], **cfg)
+        full_batch = sorted(r.doc_id for r in
+                            full.filter(f"doc_id >= {cut}").collect())
+        assert sorted(r.doc_id for r in inc.collect()) == full_batch
+        spark.catalog.clearCache()
+
+    def test_minhash_incremental_precomputed_bands(self, spark):
+        # the bands port of a history-as-batch run, fed back as the third
+        # input, must reproduce the on-the-fly result without a history
+        # signature pass
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        cut = 250
+        hist = df.filter(f"doc_id < {cut}")
+        batch = df.filter(f"doc_id >= {cut}")
+        cfg = dict(id_col="doc_id", text_col="text", threshold=0.7,
+                   num_hashes=128, bands=16)
+        hb = run("dedup.minhash_incremental", spark,
+                 [hist, hist.limit(0)], return_bands=True, **cfg)["bands"]
+        on_fly = run("dedup.minhash_incremental", spark, [batch, hist],
+                     **cfg)
+        pre = run("dedup.minhash_incremental", spark, [batch, hist, hb],
+                  **cfg)
+        assert sorted(r.doc_id for r in pre.collect()) == \
+            sorted(r.doc_id for r in on_fly.collect())
+        spark.catalog.clearCache()
+
     def test_simhash_near_dup(self, spark):
         base = " ".join(f"tok{i}" for i in range(200))
         near = base.replace("tok5 ", "tok5x ")

@@ -495,6 +495,90 @@ def probe_spans(spark, n_docs=2_000_000, words_per_doc=80, span_len=20):
     docs.unpersist()
 
 
+
+def probe_incremental(spark, n_hist=1_000_000, n_batch=50_000,
+                      words_per_doc=80):
+    """dedup.minhash_incremental: the daily-ingest shape. The history
+    bootstrap (band build + self-dedup, amortized once) is timed apart;
+    the per-batch step then runs against the precomputed band store. Plant 2% of the batch as near-dups of
+    history docs and 1% as internal batch near-dups; expected drops =
+    both planted sets. Compare wall-clock vs re-running full-corpus
+    dedup over history+batch."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+
+    def mk(ids, salt):
+        return ids.select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(words_per_doc)),
+                    lambda i: F.element_at(
+                        vocab,
+                        (F.pmod(F.xxhash64(F.col("seed"), i, F.lit(salt)),
+                                500) + 1).cast("int"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+
+    hist = mk(
+        spark.range(n_hist).repartition(64).withColumn("seed", F.col("id")),
+        0,
+    ).persist()
+    # batch ids live above history; 2% near-dup a history doc (same seed
+    # + appended token), 1% near-dup an EARLIER batch doc, rest fresh
+    bids = spark.range(n_batch).repartition(32).select(
+        (F.col("id") + n_hist).alias("id"), F.col("id").alias("k"))
+    fresh = mk(
+        bids.filter("k % 100 >= 3").withColumn("seed", F.col("id")), 1)
+    dup_h = mk(
+        bids.filter("k % 100 = 0").withColumn(
+            "seed", F.pmod(F.col("k") * 37, F.lit(n_hist))), 0
+    ).select("doc_id", F.concat(F.col("text"), F.lit(" extradup")).alias("text"))
+    base_b = mk(bids.filter("k % 100 = 1").withColumn("seed", F.col("id")), 1)
+    dup_b = mk(
+        bids.filter("k % 100 = 2").withColumn("seed", F.col("id") - 1), 1
+    ).select("doc_id", F.concat(F.col("text"), F.lit(" dupb")).alias("text"))
+    batch = fresh.unionByName(dup_h).unionByName(base_b).unionByName(dup_b).persist()
+    nb = batch.count()
+    hist.count()
+
+    cfg = {"id_col": "doc_id", "text_col": "text", "threshold": 0.8,
+           "num_hashes": 128, "bands": 16}
+    t0 = time.perf_counter()
+    hb = get_operator("dedup.minhash_incremental")(
+        spark, [hist, hist.limit(0)], {**cfg, "return_bands": True}, {}
+    )["bands"]
+    hb.count()
+    t_bands = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out = get_operator("dedup.minhash_incremental")(
+        spark, [batch, hist, hb], cfg, {}
+    )
+    surv = out.count()
+    t_inc = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    full = get_operator("dedup.minhash")(
+        spark, [hist.unionByName(batch)], cfg, {}
+    )
+    fsurv = full.where(f"doc_id >= {n_hist}").count()
+    t_full = time.perf_counter() - t0
+
+    exp_drop = (n_batch // 100) * 2  # the %100==0 and %100==2 sets
+    print(
+        f"PROBE incremental: hist={n_hist} batch={nb} "
+        f"hist_bootstrap_once={t_bands:.1f}s batch_step={t_inc:.1f}s "
+        f"(={nb/t_inc:,.0f} docs/s) full_rededup={t_full:.1f}s "
+        f"speedup={t_full/t_inc:.1f}x survivors={surv} "
+        f"(expect {nb - exp_drop}) full_restricted={fsurv}"
+    )
+    hist.unpersist()
+    batch.unpersist()
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(
@@ -523,6 +607,8 @@ def main():
         probe_repetition(spark)
     if which in ("spans", "all"):
         probe_spans(spark)
+    if which in ("incremental", "all"):
+        probe_incremental(spark)
 
 
 if __name__ == "__main__":
