@@ -555,3 +555,122 @@ def line_dedup(spark: SparkSession, inputs, config, context) -> DataFrame:
         ).alias("text_clean"),
     )
     return df.join(agg.withColumnRenamed("_id", id_col), id_col, "left")
+
+
+@operator("text.pack")
+def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Sequence packing for pretraining (the concat-and-chunk scheme:
+    concatenate all documents in a fixed order, slice the token stream
+    every `capacity` tokens): assigns each doc its global token offset
+    and the chunk range it lands in.
+
+    The global prefix sum is TWO-PHASE, never a single-partition global
+    window: range-partition the slim (id, count) projection by
+    `order_col`, per-partition window cumsum in parallel, tiny
+    per-partition totals collected to the driver (bounded by partition
+    count) and added back as broadcast literals — the classic
+    distributed scan; at 100 TB no stage sees more than its partition.
+
+    config: id_col, count_col (precomputed token count — chain
+    text.token_count upstream), capacity, order_col (default id_col —
+    must be unique for a deterministic packing), emit:
+      'docs'   (default) -> input + tok_offset, first_chunk, last_chunk,
+               n_chunks (zero-count docs get n_chunks=0, NULL chunks)
+      'chunks' -> one row per (doc, chunk): chunk_id, id, doc_tok_start,
+               doc_tok_end (token slice of the doc inside that chunk)
+
+    Reference has no counterpart — NEW per SURVEY §2.12.
+    """
+    from pyspark.sql import Window
+
+    df: DataFrame = inputs[0]
+    id_col = config["id_col"]
+    cnt_col = config["count_col"]
+    order_col = config.get("order_col", id_col)
+    cap = int(config["capacity"])
+    if cap <= 0:
+        raise ValueError("capacity must be > 0")
+    emit = config.get("emit", "docs")
+
+    cols = (
+        [id_col, order_col, cnt_col] if order_col != id_col
+        else [id_col, cnt_col]
+    )
+    slim = (
+        df.select(*cols)
+        .repartitionByRange(F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = {
+        r["_pid"]: r["_s"]
+        for r in slim.groupBy("_pid").agg(F.sum(cnt_col).alias("_s")).collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(psums):
+        prefix[pid] = acc
+        acc += psums[pid] or 0
+    pref_col = F.lit(0).cast("bigint")
+    for pid, off in prefix.items():
+        pref_col = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(pref_col)
+
+    w_in = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cnt = F.col(cnt_col).cast("bigint")
+    offs = (
+        slim.withColumn(
+            "tok_offset",
+            (F.coalesce(F.sum(cnt_col).over(w_in), F.lit(0)) + pref_col).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "first_chunk",
+            F.when(cnt > 0, F.floor(F.col("tok_offset") / cap)).cast("int"),
+        )
+        .withColumn(
+            "last_chunk",
+            F.when(
+                cnt > 0, F.floor((F.col("tok_offset") + cnt - 1) / cap)
+            ).cast("int"),
+        )
+        .withColumn(
+            "n_chunks",
+            F.coalesce(
+                F.col("last_chunk") - F.col("first_chunk") + 1, F.lit(0)
+            ).cast("int"),
+        )
+        .select(id_col, "tok_offset", "first_chunk", "last_chunk", "n_chunks")
+    )
+    slim.unpersist(blocking=False)
+    out = df.join(offs, id_col)
+    if emit == "docs":
+        return out
+    # chunks: each doc contributes a token slice to every chunk it spans
+    chunk = F.explode(
+        F.when(
+            F.col("n_chunks") > 0,
+            F.sequence(F.col("first_chunk"), F.col("last_chunk")),
+        ).otherwise(F.array().cast("array<int>"))
+    ).alias("chunk_id")
+    return (
+        out.select(id_col, "tok_offset", F.col(cnt_col).cast("bigint").alias("_cnt"), chunk)
+        .withColumn(
+            "doc_tok_start",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.col("chunk_id").cast("bigint") * cap - F.col("tok_offset"),
+            ),
+        )
+        .withColumn(
+            "doc_tok_end",
+            F.least(
+                F.col("_cnt"),
+                (F.col("chunk_id") + 1).cast("bigint") * cap
+                - F.col("tok_offset"),
+            ),
+        )
+        .select(id_col, "chunk_id", "doc_tok_start", "doc_tok_end")
+    )

@@ -1101,9 +1101,11 @@ _LANGS_SQL = {
 
 @query(
     "q34_text_features",
-    # Merged q34+q35+q36: token counts, md5 fingerprint, quality metrics,
-    # and n-gram-heuristic language ID — all per-doc 1:1 operators chained
-    # in one pipeline, one narrow pass, one combined projection.
+    # Merged q34+q35+q36+pack: token counts, md5 fingerprint, quality
+    # metrics, n-gram-heuristic language ID — all per-doc 1:1 operators
+    # chained in one pipeline — plus text.pack sequence packing (global
+    # ws_tokens prefix sum in doc_id order, capacity 512; the engine's
+    # two-phase distributed scan must equal this naive SQL cumsum).
     oracle=f"""
     WITH tok AS (
       SELECT doc_id,
@@ -1143,13 +1145,32 @@ _LANGS_SQL = {
              score AS lang_score,
              ROW_NUMBER() OVER (PARTITION BY doc_id
                                 ORDER BY score DESC, lang DESC) AS rn
-      FROM lscored)
+      FROM lscored),
+    pk AS (
+      SELECT doc_id,
+             CAST(COALESCE(SUM(ws_tokens) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS tok_offset,
+             ws_tokens FROM tok),
+    pk2 AS (
+      SELECT doc_id, tok_offset,
+             CASE WHEN ws_tokens > 0
+                  THEN CAST(tok_offset // 512 AS INT) END AS first_chunk,
+             CASE WHEN ws_tokens > 0
+                  THEN CAST((tok_offset + ws_tokens - 1) // 512 AS INT)
+             END AS last_chunk
+      FROM pk)
     SELECT t.doc_id, t.ws_tokens, t.bpe_tokens, t.fp_md5,
            q.n_chars, q.n_words, q.mean_word_len, q.punct_ratio,
-           q.digit_ratio, q.stopword_ratio, l.lang_pred, l.lang_score
+           q.digit_ratio, q.stopword_ratio, l.lang_pred, l.lang_score,
+           p.tok_offset, p.first_chunk, p.last_chunk,
+           CAST(COALESCE(p.last_chunk - p.first_chunk + 1, 0) AS INT)
+             AS n_chunks
     FROM tok t
     JOIN qual q ON q.doc_id = t.doc_id
     JOIN (SELECT * FROM lbest WHERE rn = 1) l ON l.doc_id = t.doc_id
+    JOIN pk2 p ON p.doc_id = t.doc_id
     """,
 )
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1159,11 +1180,14 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("fp", "text.fingerprint", "tc", text_col="text")
         .step("q", "text.quality", "fp", text_col="text")
         .step("l", "text.lang_id", "q", text_col="text")
-        .step("prj", "select", "l",
+        .step("pk", "text.pack", "l", id_col="doc_id",
+              count_col="ws_tokens", capacity=512)
+        .step("prj", "select", "pk",
               columns=["doc_id", "ws_tokens", "bpe_tokens", "fp_md5",
                        "n_chars", "n_words", "mean_word_len", "punct_ratio",
                        "digit_ratio", "stopword_ratio", "lang_pred",
-                       "lang_score"])
+                       "lang_score", "tok_offset", "first_chunk",
+                       "last_chunk", "n_chunks"])
     )
     return run_pipeline(spark, p).df("prj")
 

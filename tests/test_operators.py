@@ -578,6 +578,48 @@ class TestTextOps:
             assert (out2[k].n_dup_spans, out2[k].dup_tokens) == (
                 out3[k].n_dup_spans, out3[k].dup_tokens)
 
+    def test_pack_hand_computed(self, spark):
+        # counts 3,4,5,2 in id order, capacity 4:
+        # offsets 0,3,7,12; chunks: doc1 [0,3)->c0; doc2 [3,7)->c0,c1;
+        # doc3 [7,12)->c1,c2; doc4 [12,14)->c3; doc5 count 0 -> none
+        df = spark.createDataFrame(
+            [(1, 3), (2, 4), (3, 5), (4, 2), (5, 0)], "id long, cnt int"
+        )
+        out = {r.id: r for r in run(
+            "text.pack", spark, [df], id_col="id", count_col="cnt",
+            capacity=4).collect()}
+        assert [out[i].tok_offset for i in (1, 2, 3, 4, 5)] == [0, 3, 7, 12, 14]
+        assert (out[2].first_chunk, out[2].last_chunk, out[2].n_chunks) == (0, 1, 2)
+        assert (out[3].first_chunk, out[3].last_chunk, out[3].n_chunks) == (1, 2, 2)
+        assert (out[4].first_chunk, out[4].last_chunk, out[4].n_chunks) == (3, 3, 1)
+        assert out[5].n_chunks == 0 and out[5].first_chunk is None
+        ch = sorted((r.id, r.chunk_id, r.doc_tok_start, r.doc_tok_end)
+                    for r in run("text.pack", spark, [df], id_col="id",
+                                 count_col="cnt", capacity=4,
+                                 emit="chunks").collect())
+        assert ch == [(1, 0, 0, 3), (2, 0, 0, 1), (2, 1, 1, 4),
+                      (3, 1, 0, 1), (3, 2, 1, 5), (4, 3, 0, 2)]
+        # every chunk except the last is filled to exactly `capacity`
+        tot = {}
+        for i, c, s, e in ch:
+            tot[c] = tot.get(c, 0) + (e - s)
+        assert tot == {0: 4, 1: 4, 2: 4, 3: 2}
+
+    def test_pack_two_phase_matches_global(self, spark):
+        # 5000 rows over many range partitions: the two-phase prefix sum
+        # must equal the naive single-pass cumulative sum
+        import random
+        rng = random.Random(3)
+        rows = [(i, rng.randrange(0, 30)) for i in range(5000)]
+        df = spark.createDataFrame(rows, "id long, cnt int").repartition(16)
+        out = run("text.pack", spark, [df], id_col="id", count_col="cnt",
+                  capacity=100)
+        got = {r.id: r.tok_offset for r in out.collect()}
+        acc = 0
+        for i, c in rows:
+            assert got[i] == acc, i
+            acc += c
+
     def test_dedup_spans_matches_bruteforce(self, spark):
         # random tiny-vocab corpus (heavy accidental gram repeats, empty
         # and sub-n docs included) vs a per-doc python reference of the
