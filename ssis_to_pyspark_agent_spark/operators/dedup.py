@@ -33,6 +33,16 @@ from ssis_to_pyspark_agent_spark.operators import operator
 _P = (1 << 61) - 1
 
 
+def _md5_60bit(c: Column) -> Column:
+    """Engine-neutral 60-bit hash (NOTES invariant 5): 15 hex chars of
+    md5 as a bigint — DuckDB computes the identical value with
+    CAST('0x'||substr(md5(x),1,15) AS BIGINT). The ONE shared definition
+    for every oracle-pinned md5 hash decision (simhash fingerprints,
+    sample.mixture replica draws): the bit layout is an oracle contract,
+    so it must not be re-derived per call site."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def _norm_text(c: Column) -> Column:
     """Lowercase + collapse whitespace — the canonical form every textual
     dedup method starts from."""
@@ -488,8 +498,7 @@ def dedup_simhash(spark: SparkSession, inputs, config, context):
     # AS BIGINT)) so the whole fingerprint is oracle-checkable. xxhash64
     # (default) is the fast JVM path for production corpora.
     if config.get("hash_fn", "xxhash64") == "md5":
-        def _tok_hash(t):
-            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        _tok_hash = _md5_60bit
     else:
         def _tok_hash(t):
             # wrapped: F.xxhash64's *cols signature can't be passed to
@@ -1014,6 +1023,14 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
     base = df.select(
         F.col(id_col).alias("_id"), _words(F.col(text_col)).alias("_w")
     ).withColumn("_nw", F.size("_w"))
+    # emit_clean consumes the token arrays TWICE (gram pass + the
+    # clean-text join-back) — persist to tokenize once. Stats mode
+    # deliberately does NOT cache: its second consumer needs only
+    # (_id, _nw), so the cost is one extra scan-bound narrow pass vs a
+    # memory-∝-corpus array cache (the same tradeoff dedup.minhash's
+    # numpy path makes — PLANS.md known-costs).
+    if emit_clean:
+        base = base.persist()
     gh_arr = F.when(
         F.col("_nw") >= n,
         F.transform(
@@ -1130,9 +1147,12 @@ def dedup_minhash_incremental(spark: SparkSession, inputs, config, context):
     the probe side with no shuffle; within-batch candidates reuse the
     one-shuffle bucket-groupBy path. Candidate pairs (ids only) are the
     only other shuffle; shingle arrays join back candidate-pruned, as in
-    dedup.minhash. `cand_cap` bounds per-batch-doc candidates against
-    degenerate boilerplate buckets (a capped window over the candidate
-    frame only, never over history).
+    dedup.minhash. Two caps guard degenerate boilerplate buckets: the
+    batch band table is capped at `bucket_cap` rows per (band, hash)
+    BEFORE the cross join (so join output is linear in history, never a
+    bucket cross product), and `cand_cap` bounds surviving candidates
+    per batch doc (a window over the candidate frame only — history is
+    never shuffled).
 
     Ports: out (surviving batch rows), pairs (a=keeper, b=dropped-side
     candidate, jaccard) when return_pairs, bands (the batch band table,
@@ -1189,8 +1209,21 @@ def dedup_minhash_incremental(spark: SparkSession, inputs, config, context):
     # within-batch candidates: one bucket-groupBy shuffle (a < b)
     cand_bb = _bucket_pairs(b_banded, ["_band", "_bh"], bucket_cap)
     # cross candidates: history streams against the (broadcast) batch
-    # band table — zero shuffle of history when the batch is small
-    bb = b_banded.select(F.col("_id").alias("b"), "_band", "_bh")
+    # band table — zero shuffle of history when the batch is small.
+    # Cap the BATCH side per (band, hash) BEFORE the join: a degenerate
+    # shared band value (boilerplate / empty docs on both sides) would
+    # otherwise materialize |h_bucket| x |b_bucket| join rows before any
+    # downstream dedup/cap could bound them; with the pre-cap the join
+    # output is <= bucket_cap rows per history band row — linear in
+    # history, never a cross product. (The window shuffles only the
+    # batch band table.)
+    wbb = Window.partitionBy("_band", "_bh").orderBy("_id")
+    bb = (
+        b_banded.withColumn("_rn", F.row_number().over(wbb))
+        .filter(F.col("_rn") <= bucket_cap)
+        .drop("_rn")
+        .select(F.col("_id").alias("b"), "_band", "_bh")
+    )
     if config.get("broadcast_batch", True):
         bb = F.broadcast(bb)
     cand_bh = (

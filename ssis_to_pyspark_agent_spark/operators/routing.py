@@ -157,22 +157,16 @@ def sample_mixture(spark: SparkSession, inputs, config, context) -> DataFrame:
         F.sequence(F.lit(0), F.ceil(F.col("_wt")).cast("int") - 1),
     ).otherwise(F.array().cast("array<int>"))
     out = df.withColumn("_wt", wt).withColumn(rep_col, F.explode(reps))
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col(id_col).cast("string"),
-                    F.lit(":"),
-                    F.col(rep_col).cast("string"),
-                    F.lit(salt),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from ssis_to_pyspark_agent_spark.operators.dedup import _md5_60bit
+
+    h = _md5_60bit(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col(rep_col).cast("string"),
+            F.lit(salt),
+        )
+    )
     frac = F.col("_wt") - F.floor("_wt")
     keep = (F.col(rep_col) < F.floor("_wt")) | (
         h < frac * F.lit(float(1 << 60))

@@ -607,13 +607,18 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
         r["_pid"]: r["_s"]
         for r in slim.groupBy("_pid").agg(F.sum(cnt_col).alias("_s")).collect()
     }
-    prefix, acc = {}, 0
-    for pid in sorted(psums):
-        prefix[pid] = acc
-        acc += psums[pid] or 0
-    pref_col = F.lit(0).cast("bigint")
-    for pid, off in prefix.items():
-        pref_col = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(pref_col)
+    # partition prefix offsets as ONE array literal indexed by pid — a
+    # per-partition CASE WHEN chain is O(P) branch evaluations per row
+    # and overflows Catalyst codegen at the partition counts this
+    # operator targets
+    offsets, acc = [], 0
+    for pid in range(max(psums, default=0) + 1):
+        offsets.append(acc)
+        acc += psums.get(pid) or 0
+    pref_col = F.element_at(
+        F.array(*[F.lit(o).cast("bigint") for o in offsets]),
+        F.col("_pid") + 1,
+    )
 
     w_in = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, -1
@@ -644,6 +649,15 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
         )
         .select(id_col, "tok_offset", "first_chunk", "last_chunk", "n_chunks")
     )
+    # materialize offs from the STILL-CACHED slim before releasing it:
+    # unpersisting during plan construction would recompute the range
+    # shuffle at action time, and RangePartitioner's sampled boundaries
+    # are not stable across recomputes — rows could land in a different
+    # partition than the one whose prefix sum they were tallied into
+    # (silently wrong offsets). offs is the slimmest possible cache
+    # (id + 4 ints per row).
+    offs = offs.persist()
+    offs.count()
     slim.unpersist(blocking=False)
     out = df.join(offs, id_col)
     if emit == "docs":

@@ -1017,16 +1017,22 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE doc_id NOT IN (SELECT b FROM dominated)
     UNION ALL
     SELECT 'inc', doc_id, lang, source FROM documents
-    WHERE doc_id >= 250 AND doc_id NOT IN (SELECT b FROM dominated)
+    WHERE doc_id >= (SELECT COUNT(*) // 2 FROM documents)
+      AND doc_id NOT IN (SELECT b FROM dominated)
     """,
 )
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus minhash survivors ('full') UNION the incremental
-    batch-vs-history run ('inc': history = doc_id < 250, batch = the
-    rest, via dedup.minhash_incremental). With ids globally ordered,
-    incremental keep-min == full keep-min restricted to the batch, so
-    BOTH legs share one brute-force dominated-set oracle — the identity
-    the incremental operator exists to satisfy (and is test-pinned on)."""
+    batch-vs-history run ('inc': history = the first half of the corpus
+    by doc_id — ids are dense from 0, so count//2 is the midpoint at
+    every sf — batch = the rest, via dedup.minhash_incremental). With
+    ids globally ordered, incremental keep-min == full keep-min
+    restricted to the batch, so BOTH legs share one brute-force
+    dominated-set oracle — the identity the incremental operator exists
+    to satisfy (and is test-pinned on)."""
+    cut = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count() // 2
+    )
     p = (
         _p("q32", sf_dir, "documents")
         .step(
@@ -1038,8 +1044,9 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
             # same output)
             num_hashes=128, bands=16,
         )
-        .step("hist", "filter", "documents", predicate="[doc_id] < 250")
-        .step("batch", "filter", "documents", predicate="[doc_id] >= 250")
+        .step("hist", "filter", "documents", predicate=f"[doc_id] < {cut}")
+        .step("batch", "filter", "documents",
+              predicate=f"[doc_id] >= {cut}")
         .step("inc", "dedup.minhash_incremental", ["batch", "hist"],
               id_col="doc_id", text_col="text", threshold=0.7,
               num_hashes=128, bands=16)
