@@ -1240,8 +1240,10 @@ def dedup_minhash_incremental(spark: SparkSession, inputs, config, context):
             .filter(F.col("_rn") <= cand_cap)
             .drop("_rn")
         )
+    # persisted, but NOT eagerly counted: pairs.count() below is the
+    # first action and materializes this cache as a side effect — an
+    # extra count here would re-run the whole candidate pipeline once
     cand = cand.persist()
-    cand.count()
 
     # verify: candidate-pruned re-shingle from BOTH raw sides, then the
     # exact Jaccard — arrays never shuffle, candidates broadcast

@@ -1017,22 +1017,35 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE doc_id NOT IN (SELECT b FROM dominated)
     UNION ALL
     SELECT 'inc', doc_id, lang, source FROM documents
-    WHERE doc_id >= (SELECT COUNT(*) // 2 FROM documents)
-      AND doc_id NOT IN (SELECT b FROM dominated)
+    WHERE doc_id >= (SELECT COUNT(*) // 10 FROM documents)
+      AND doc_id < (SELECT COUNT(*) // 5 FROM documents)
+      AND doc_id NOT IN (
+        SELECT b.doc_id
+        FROM sh a JOIN sh b
+          ON a.doc_id < b.doc_id
+         AND b.doc_id >= (SELECT COUNT(*) // 10 FROM documents)
+         AND b.doc_id < (SELECT COUNT(*) // 5 FROM documents)
+         AND a.doc_id < (SELECT COUNT(*) // 5 FROM documents)
+         AND least(len(a.shingles), len(b.shingles)) * 1.0
+             / greatest(len(a.shingles), len(b.shingles)) >= 0.7
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= 0.7)
     """,
 )
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus minhash survivors ('full') UNION the incremental
-    batch-vs-history run ('inc': history = the first half of the corpus
-    by doc_id — ids are dense from 0, so count//2 is the midpoint at
-    every sf — batch = the rest, via dedup.minhash_incremental). With
-    ids globally ordered, incremental keep-min == full keep-min
-    restricted to the batch, so BOTH legs share one brute-force
-    dominated-set oracle — the identity the incremental operator exists
-    to satisfy (and is test-pinned on)."""
-    cut = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet").count() // 2
-    )
+    batch-vs-history run ('inc') via dedup.minhash_incremental over a
+    bounded window: history = the first 10% of the corpus by doc_id,
+    batch = the second 10% (ids are dense from 0, so the cuts are
+    count//10 and count//5 at every sf) — the daily-ingest shape with a
+    cost that stays a fixed fraction of the corpus. With ids globally
+    ordered, a batch doc is dropped iff it has a smaller-id partner
+    below the upper cut, so the inc oracle is the same brute-force
+    dominated join restricted to both sides < count//5 (the
+    compose-to-full identity is test-pinned separately)."""
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    cut1, cut2 = n_docs // 10, n_docs // 5
     p = (
         _p("q32", sf_dir, "documents")
         .step(
@@ -1044,9 +1057,10 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
             # same output)
             num_hashes=128, bands=16,
         )
-        .step("hist", "filter", "documents", predicate=f"[doc_id] < {cut}")
+        .step("hist", "filter", "documents",
+              predicate=f"[doc_id] < {cut1}")
         .step("batch", "filter", "documents",
-              predicate=f"[doc_id] >= {cut}")
+              predicate=f"[doc_id] >= {cut1} && [doc_id] < {cut2}")
         .step("inc", "dedup.minhash_incremental", ["batch", "hist"],
               id_col="doc_id", text_col="text", threshold=0.7,
               num_hashes=128, bands=16)
