@@ -1023,13 +1023,15 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
     base = df.select(
         F.col(id_col).alias("_id"), _words(F.col(text_col)).alias("_w")
     ).withColumn("_nw", F.size("_w"))
-    # emit_clean consumes the token arrays TWICE (gram pass + the
-    # clean-text join-back) — persist to tokenize once. Stats mode
-    # deliberately does NOT cache: its second consumer needs only
-    # (_id, _nw), so the cost is one extra scan-bound narrow pass vs a
-    # memory-∝-corpus array cache (the same tradeoff dedup.minhash's
-    # numpy path makes — PLANS.md known-costs).
-    if emit_clean:
+    # emit_clean consumes the token arrays twice (gram pass + the
+    # clean-text join-back); `cache_base=True` persists them to
+    # tokenize once. Default is OFF: an operator-held corpus-sized
+    # cache outlives the call (nothing can safely unpersist it after
+    # the lazy result is returned) and was measured slowing LATER
+    # queries in the same session at 10x scale — the default trades one
+    # extra scan-bound narrow pass for a leak-free session (the same
+    # tradeoff dedup.minhash's numpy path makes — PLANS.md known-costs).
+    if config.get("cache_base", False):
         base = base.persist()
     gh_arr = F.when(
         F.col("_nw") >= n,
