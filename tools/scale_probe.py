@@ -579,6 +579,76 @@ def probe_incremental(spark, n_hist=1_000_000, n_batch=50_000,
     batch.unpersist()
 
 
+
+def probe_pack(spark, n=20_000_000, cap=2048):
+    """text.pack at 20M rows: the RangePartitioner-sampling regime the
+    two-phase prefix sum must survive. Correctness check is complete
+    without a driver-side O(n) pass: if ANY offset were wrong, some
+    chunk's fill would break — assert every chunk except the last sums
+    to exactly `cap` and the chunk count equals ceil(total/cap)."""
+    df = (
+        spark.range(n)
+        .repartition(64)
+        .select(
+            F.col("id"),
+            (F.pmod(F.xxhash64(F.col("id")), 100) + 1).cast("int").alias("cnt"),
+        )
+        .persist()
+    )
+    total = df.agg(F.sum("cnt")).collect()[0][0]
+    t0 = time.perf_counter()
+    ch = get_operator("text.pack")(
+        spark, [df],
+        {"id_col": "id", "count_col": "cnt", "capacity": cap,
+         "emit": "chunks"}, {},
+    )
+    fills = ch.groupBy("chunk_id").agg(
+        F.sum(F.col("doc_tok_end") - F.col("doc_tok_start")).alias("fill")
+    ).persist()
+    n_chunks = fills.count()
+    bad = fills.filter(
+        (F.col("fill") != cap)
+        & (F.col("chunk_id") != (total - 1) // cap)
+    ).count()
+    dt = time.perf_counter() - t0
+    exp_chunks = (total + cap - 1) // cap
+    print(
+        f"PROBE pack: n={n} total_tokens={total} pack+verify={dt:.1f}s "
+        f"({n/dt:,.0f} docs/s) chunks={n_chunks} (expect {exp_chunks}) "
+        f"underfilled_nonfinal={bad} (expect 0)"
+    )
+    fills.unpersist()
+    df.unpersist()
+
+
+def probe_mixture(spark, n=20_000_000):
+    """sample.mixture at 20M rows — zero-shuffle by design; exact
+    multiplicities for integer weights, binomial for fractional."""
+    df = (
+        spark.range(n)
+        .repartition(64)
+        .select(F.col("id"), F.concat(F.lit("g"), F.pmod(F.col("id"), 4)).alias("grp"))
+        .persist()
+    )
+    df.count()
+    t0 = time.perf_counter()
+    out = get_operator("sample.mixture")(
+        spark, [df],
+        {"id_col": "id", "group_col": "grp",
+         "weights": {"g0": 2.0, "g1": 1.5, "g2": 0.25, "g3": 0.0}}, {},
+    )
+    got = {r["grp"]: r["c"] for r in
+           out.groupBy("grp").agg(F.count(F.lit(1)).alias("c")).collect()}
+    dt = time.perf_counter() - t0
+    q = n // 4
+    print(
+        f"PROBE mixture: n={n} pass={dt:.1f}s ({n/dt:,.0f} rows/s) "
+        f"g0={got.get('g0')} (expect {2*q}) g1={got.get('g1')} "
+        f"(~{int(1.5*q)}) g2={got.get('g2')} (~{q//4}) g3={got.get('g3')}"
+    )
+    df.unpersist()
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(
@@ -609,6 +679,10 @@ def main():
         probe_spans(spark)
     if which in ("incremental", "all"):
         probe_incremental(spark)
+    if which in ("pack", "all"):
+        probe_pack(spark)
+    if which in ("mixture", "all"):
+        probe_mixture(spark)
 
 
 if __name__ == "__main__":
