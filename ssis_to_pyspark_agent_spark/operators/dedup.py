@@ -206,6 +206,49 @@ def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFr
     )
 
 
+def _signature_bands(
+    src: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    bands: int,
+    rows: int,
+    seed: int,
+    sig_impl: str,
+    persist_base: bool,
+):
+    """The shared MinHash stage 1+2 (dedup.minhash AND
+    dedup.minhash_incremental — ONE definition so the CollapseProject
+    workaround and seed handling cannot drift between them): shingle +
+    per-shingle xxhash64, then the band-hash frame.
+
+    Two band implementations: 'numpy' (default) — Arrow-batched
+    vectorized signatures via mapInPandas, measured ~2x faster at every
+    size tried (97s vs 174s at 510k docs) because 128 universal hashes
+    per shingle collapse into one broadcast-multiply numpy kernel per
+    doc instead of 128 Catalyst folds re-walking the shingle array;
+    'expr' — pure-JVM Catalyst folds, kept for Python-worker-free
+    deployments. The expr path REQUIRES persist_base=True: without the
+    cache barrier CollapseProject inlines the _hs expression into all
+    128 minhash lambdas (>10x blowup, NOTES invariant 2). Returns
+    (base, band_frame); base carries (_id, _sh, _hs)."""
+    base = src.select(
+        F.col(id_col).alias("_id"),
+        _shingles(F.col(text_col), k).alias("_sh"),
+    ).withColumn(
+        "_hs", F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(seed)))
+    )
+    if persist_base:
+        base = base.persist()
+    if sig_impl == "numpy":
+        band_frame = _numpy_band_frame(base, bands, rows, seed)
+    else:
+        band_frame = base.select(
+            "_id", _minhash_band_hashes(F.col("_hs"), bands, rows).alias("_bh")
+        )
+    return base, band_frame
+
+
 def _keep_min_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Drop every row that has a near-duplicate with a smaller id.
 
@@ -388,35 +431,13 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
     # Signature compute is CPU-bound: spread it across the cluster even when
     # the input is a handful of parquet splits.
     src = _spread(spark, df)
-    base = src.select(
-        F.col(id_col).alias("_id"),
-        _shingles(F.col(text_col), k).alias("_sh"),
-    ).withColumn(
-        "_hs", F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(seed)))
-    )
     cache_base = config.get(
         "cache_base", config.get("sig_impl", "numpy") != "numpy"
     )
-    if cache_base:
-        base = base.persist()
-
-    # Stage 2: band hashes off the cached _hs column; explode carries only
-    # (_id, band, band_hash) into the one shuffle. Two implementations:
-    # 'numpy' (default) — Arrow-batched vectorized signatures via
-    # mapInPandas: measured ~2x faster at every size tried (2.0s vs 3.9s
-    # for q32 at sf0.1; 97s vs 174s at 510k docs, tools/scale_probe.py),
-    # because 128 universal hashes per shingle collapse into one
-    # broadcast-multiply numpy kernel per doc instead of 128 Catalyst
-    # folds re-walking the shingle array. 'expr' — pure-JVM Catalyst
-    # folds, kept for Python-worker-free deployments. (An adaptive
-    # count()-based switch was tried and rejected: the serial cache-
-    # materialization job cost more than either impl saved.)
-    if config.get("sig_impl", "numpy") == "numpy":
-        band_frame = _numpy_band_frame(base, bands, rows, seed)
-    else:
-        band_frame = base.select(
-            "_id", _minhash_band_hashes(F.col("_hs"), bands, rows).alias("_bh")
-        )
+    base, band_frame = _signature_bands(
+        src, id_col, text_col, k, bands, rows, seed,
+        config.get("sig_impl", "numpy"), cache_base,
+    )
     banded = band_frame.select(
         "_id", F.posexplode("_bh").alias("_band", "_bh")
     )
@@ -1147,7 +1168,11 @@ def dedup_minhash_incremental(spark: SparkSession, inputs, config, context):
     Plan: batch bands broadcast into the history band join by default
     (`broadcast_batch=True`) — the 100 TB history table STREAMS through
     the probe side with no shuffle; within-batch candidates reuse the
-    one-shuffle bucket-groupBy path. Candidate pairs (ids only) are the
+    one-shuffle bucket-groupBy path. The broadcast assumes the batch is
+    ingest-sized: when using the BOOTSTRAP idiom (the whole corpus as
+    the "batch" against an empty history, to build the initial band
+    store) pass `broadcast_batch=False` — broadcasting a corpus-sized
+    band table is exactly what the design avoids. Candidate pairs (ids only) are the
     only other shuffle; shingle arrays join back candidate-pruned, as in
     dedup.minhash. Two caps guard degenerate boilerplate buckets: the
     batch band table is capped at `bucket_cap` rows per (band, hash)
@@ -1182,22 +1207,12 @@ def dedup_minhash_incremental(spark: SparkSession, inputs, config, context):
     caches = []
 
     def band_rows(src: DataFrame) -> DataFrame:
-        base = src.select(
-            F.col(id_col).alias("_id"),
-            _shingles(F.col(text_col), k).alias("_sh"),
-        ).withColumn(
-            "_hs", F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(seed)))
+        base, bf = _signature_bands(
+            src, id_col, text_col, k, bands, rows, seed, sig_impl,
+            persist_base=sig_impl != "numpy",
         )
-        if sig_impl == "numpy":
-            bf = _numpy_band_frame(base, bands, rows, seed)
-        else:
-            # expr path: persist or CollapseProject inlines _hs into the
-            # 128 minhash lambdas (NOTES invariant 2)
-            base = base.persist()
+        if sig_impl != "numpy":
             caches.append(base)
-            bf = base.select(
-                "_id", _minhash_band_hashes(F.col("_hs"), bands, rows).alias("_bh")
-            )
         return bf.select("_id", F.posexplode("_bh").alias("_band", "_bh"))
 
     b_banded = band_rows(_spread(spark, batch)).persist()
@@ -1248,16 +1263,23 @@ def dedup_minhash_incremental(spark: SparkSession, inputs, config, context):
     cand = cand.persist()
 
     # verify: candidate-pruned re-shingle from BOTH raw sides, then the
-    # exact Jaccard — arrays never shuffle, candidates broadcast
+    # exact Jaccard — arrays never shuffle; candidates broadcast by
+    # default (bounded by true-dup volume x LSH precision), with the
+    # same verify_broadcast=False hatch as dedup.minhash for degenerate
+    # boilerplate-heavy corpora where even the capped candidate set is
+    # too big for the driver
+    verify_bc = config.get("verify_broadcast", True)
     cand_ids = (
         cand.select(F.col("a").alias("_id"))
         .unionByName(cand.select(F.col("b").alias("_id")))
         .distinct()
     )
+    if verify_bc:
+        cand_ids = F.broadcast(cand_ids)
 
     def pruned_shingles(src: DataFrame) -> DataFrame:
         keep = src.join(
-            F.broadcast(cand_ids.select(F.col("_id").alias(id_col))),
+            cand_ids.select(F.col("_id").alias(id_col)),
             id_col, "left_semi",
         )
         return keep.select(
@@ -1266,7 +1288,7 @@ def dedup_minhash_incremental(spark: SparkSession, inputs, config, context):
 
     sh = pruned_shingles(batch).unionByName(pruned_shingles(history))
     pairs = (
-        F.broadcast(cand)
+        (F.broadcast(cand) if verify_bc else cand)
         .join(sh.select(F.col("_id").alias("a"), F.col("_sh").alias("sha")), "a")
         .join(sh.select(F.col("_id").alias("b"), F.col("_sh").alias("shb")), "b")
         .withColumn("jaccard", _jaccard(F.col("sha"), F.col("shb")))

@@ -565,17 +565,26 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
     and the chunk range it lands in.
 
     The global prefix sum is TWO-PHASE, never a single-partition global
-    window: range-partition the slim (id, count) projection by
-    `order_col`, per-partition window cumsum in parallel, tiny
-    per-partition totals collected to the driver (bounded by partition
-    count) and added back as broadcast literals — the classic
-    distributed scan; at 100 TB no stage sees more than its partition.
+    window: rows map to ordered partitions by DETERMINISTIC equal-width
+    bucketing of the numeric `order_col` (width_bucket over the
+    min..max span — a pure function of the row, stable across plan
+    recomputes, so no cache is needed to keep phase 2 consistent with
+    the phase-1 per-partition totals, and the operator holds NO
+    session-outliving persist); per-partition window cumsums run in
+    parallel, and the tiny per-bucket totals are collected to the
+    driver (bounded by `partitions`) and added back as one array
+    literal. Bucket skew from sparse/clustered ids affects only
+    balance, never correctness.
 
     config: id_col, count_col (precomputed token count — chain
     text.token_count upstream), capacity, order_col (default id_col —
-    must be unique for a deterministic packing), emit:
-      'docs'   (default) -> input + tok_offset, first_chunk, last_chunk,
-               n_chunks (zero-count docs get n_chunks=0, NULL chunks)
+    NUMERIC and unique, it defines the concatenation order),
+    partitions (prefix-sum buckets, default spark.sql.shuffle.
+    partitions), emit:
+      'docs'   (default) -> input + tok_offset, first_chunk, last_chunk
+               (bigint — int chunk ids would wrap past 2^31 chunks,
+               reachable at the 100 TB design point), n_chunks
+               (zero-count docs get n_chunks=0, NULL chunks)
       'chunks' -> one row per (doc, chunk): chunk_id, id, doc_tok_start,
                doc_tok_end (token slice of the doc inside that chunk)
 
@@ -591,33 +600,47 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
     if cap <= 0:
         raise ValueError("capacity must be > 0")
     emit = config.get("emit", "docs")
+    if emit not in ("docs", "chunks"):
+        raise ValueError(f"emit must be 'docs' or 'chunks', got {emit!r}")
+    n_part = int(
+        config.get("partitions")
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
 
+    bounds = df.agg(
+        F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
+    ).collect()[0]
+    if bounds["mn"] is None:
+        pid = F.lit(1)
+    else:
+        try:
+            mn, mx = int(bounds["mn"]), int(bounds["mx"])
+        except (TypeError, ValueError):
+            raise ValueError(
+                "text.pack needs a NUMERIC order_col (deterministic "
+                "width_bucket partitioning) — project one first"
+            )
+        pid = F.width_bucket(
+            F.col(order_col), F.lit(mn), F.lit(mx + 1), F.lit(n_part)
+        ).cast("int")
     cols = (
         [id_col, order_col, cnt_col] if order_col != id_col
         else [id_col, cnt_col]
     )
-    slim = (
-        df.select(*cols)
-        .repartitionByRange(F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    slim = df.select(*cols).withColumn("_pid", pid)
     psums = {
         r["_pid"]: r["_s"]
         for r in slim.groupBy("_pid").agg(F.sum(cnt_col).alias("_s")).collect()
     }
-    # partition prefix offsets as ONE array literal indexed by pid — a
+    # per-bucket prefix offsets as ONE array literal indexed by pid — a
     # per-partition CASE WHEN chain is O(P) branch evaluations per row
-    # and overflows Catalyst codegen at the partition counts this
-    # operator targets
+    # and overflows Catalyst codegen at large partition counts
     offsets, acc = [], 0
-    for pid in range(max(psums, default=0) + 1):
+    for b in range(1, max(psums, default=1) + 1):
         offsets.append(acc)
-        acc += psums.get(pid) or 0
+        acc += psums.get(b) or 0
     pref_col = F.element_at(
-        F.array(*[F.lit(o).cast("bigint") for o in offsets]),
-        F.col("_pid") + 1,
+        F.array(*[F.lit(o).cast("bigint") for o in offsets]), F.col("_pid")
     )
 
     w_in = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
@@ -633,13 +656,13 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
         )
         .withColumn(
             "first_chunk",
-            F.when(cnt > 0, F.floor(F.col("tok_offset") / cap)).cast("int"),
+            F.when(cnt > 0, F.floor(F.col("tok_offset") / cap)).cast("bigint"),
         )
         .withColumn(
             "last_chunk",
             F.when(
                 cnt > 0, F.floor((F.col("tok_offset") + cnt - 1) / cap)
-            ).cast("int"),
+            ).cast("bigint"),
         )
         .withColumn(
             "n_chunks",
@@ -649,16 +672,6 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
         )
         .select(id_col, "tok_offset", "first_chunk", "last_chunk", "n_chunks")
     )
-    # materialize offs from the STILL-CACHED slim before releasing it:
-    # unpersisting during plan construction would recompute the range
-    # shuffle at action time, and RangePartitioner's sampled boundaries
-    # are not stable across recomputes — rows could land in a different
-    # partition than the one whose prefix sum they were tallied into
-    # (silently wrong offsets). offs is the slimmest possible cache
-    # (id + 4 ints per row).
-    offs = offs.persist()
-    offs.count()
-    slim.unpersist(blocking=False)
     out = df.join(offs, id_col)
     if emit == "docs":
         return out
@@ -667,23 +680,25 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
         F.when(
             F.col("n_chunks") > 0,
             F.sequence(F.col("first_chunk"), F.col("last_chunk")),
-        ).otherwise(F.array().cast("array<int>"))
+        ).otherwise(F.array().cast("array<bigint>")),
     ).alias("chunk_id")
     return (
-        out.select(id_col, "tok_offset", F.col(cnt_col).cast("bigint").alias("_cnt"), chunk)
+        out.select(
+            id_col, "tok_offset",
+            F.col(cnt_col).cast("bigint").alias("_cnt"), chunk,
+        )
         .withColumn(
             "doc_tok_start",
             F.greatest(
                 F.lit(0).cast("bigint"),
-                F.col("chunk_id").cast("bigint") * cap - F.col("tok_offset"),
+                F.col("chunk_id") * cap - F.col("tok_offset"),
             ),
         )
         .withColumn(
             "doc_tok_end",
             F.least(
                 F.col("_cnt"),
-                (F.col("chunk_id") + 1).cast("bigint") * cap
-                - F.col("tok_offset"),
+                (F.col("chunk_id") + 1) * cap - F.col("tok_offset"),
             ),
         )
         .select(id_col, "chunk_id", "doc_tok_start", "doc_tok_end")

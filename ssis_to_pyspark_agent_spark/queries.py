@@ -1044,7 +1044,10 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the upper cut, so the inc oracle is the same brute-force
     dominated join restricted to both sides < count//5 (the
     compose-to-full identity is test-pinned separately)."""
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    import pyarrow.dataset as _pads
+
+    # row count from parquet footer metadata — no Spark job, no scan
+    n_docs = _pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
     cut1, cut2 = n_docs // 10, n_docs // 5
     p = (
         _p("q32", sf_dir, "documents")
@@ -1177,9 +1180,9 @@ _LANGS_SQL = {
     pk2 AS (
       SELECT doc_id, tok_offset,
              CASE WHEN ws_tokens > 0
-                  THEN CAST(tok_offset // 512 AS INT) END AS first_chunk,
+                  THEN CAST(tok_offset // 512 AS BIGINT) END AS first_chunk,
              CASE WHEN ws_tokens > 0
-                  THEN CAST((tok_offset + ws_tokens - 1) // 512 AS INT)
+                  THEN CAST((tok_offset + ws_tokens - 1) // 512 AS BIGINT)
              END AS last_chunk
       FROM pk)
     SELECT t.doc_id, t.ws_tokens, t.bpe_tokens, t.fp_md5,

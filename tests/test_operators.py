@@ -309,7 +309,8 @@ class TestDedup:
         cfg = dict(id_col="doc_id", text_col="text", threshold=0.7,
                    num_hashes=128, bands=16)
         hb = run("dedup.minhash_incremental", spark,
-                 [hist, hist.limit(0)], return_bands=True, **cfg)["bands"]
+                 [hist, hist.limit(0)], return_bands=True,
+                 broadcast_batch=False, **cfg)["bands"]
         on_fly = run("dedup.minhash_incremental", spark, [batch, hist],
                      **cfg)
         pre = run("dedup.minhash_incremental", spark, [batch, hist, hb],

@@ -548,7 +548,8 @@ def probe_incremental(spark, n_hist=1_000_000, n_batch=50_000,
            "num_hashes": 128, "bands": 16}
     t0 = time.perf_counter()
     hb = get_operator("dedup.minhash_incremental")(
-        spark, [hist, hist.limit(0)], {**cfg, "return_bands": True}, {}
+        spark, [hist, hist.limit(0)],
+        {**cfg, "return_bands": True, "broadcast_batch": False}, {}
     )["bands"]
     hb.count()
     t_bands = time.perf_counter() - t0
