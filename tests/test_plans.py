@@ -134,3 +134,50 @@ class TestPartitionPruning:
         )[1].split("]")[0]
         # only the matching partition directory is read
         assert df.count() == orders.filter("o_orderstatus = 'O'").count()
+
+
+class TestNewOpPlanShapes:
+    """Scale properties of the third-block operators, pinned in the plan."""
+
+    def test_mixture_is_pure_narrow(self, spark):
+        # domain-mixture reweighting must add ZERO exchanges: explode +
+        # filter only (the zero-shuffle claim in its docstring)
+        from ssis_to_pyspark_agent_spark.operators import get_operator
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = get_operator("sample.mixture")(
+            spark, [docs],
+            {"id_col": "doc_id", "group_col": "source",
+             "weights": {"src0": 2.5, "src1": 0.3}}, {},
+        )
+        assert "Exchange" not in plan_of(out)
+
+    def test_pack_never_single_partition_windows(self, spark):
+        # the two-phase prefix sum must NOT fall back to a global
+        # single-partition window (the naive cumsum shape)
+        from ssis_to_pyspark_agent_spark.operators import get_operator
+
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 30 + 1) for i in range(2000)], "id long, cnt int"
+        )
+        out = get_operator("text.pack")(
+            spark, [df], {"id_col": "id", "count_col": "cnt",
+                          "capacity": 64}, {},
+        )
+        p = plan_of(out)
+        assert "Window" in p
+        assert "Exchange SinglePartition" not in p
+
+    def test_spans_no_cartesian(self, spark):
+        # gram flagging + span merge must stay equi-join/window shaped
+        from ssis_to_pyspark_agent_spark.operators import get_operator
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = get_operator("dedup.spans")(
+            spark, [docs],
+            {"id_col": "doc_id", "text_col": "text", "n": 8,
+             "emit_clean": True}, {},
+        )
+        p = plan_of(out)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
