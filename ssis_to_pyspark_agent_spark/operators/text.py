@@ -703,3 +703,76 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
         )
         .select(id_col, "chunk_id", "doc_tok_start", "doc_tok_end")
     )
+
+
+@operator("text.ngram_novelty")
+def ngram_novelty(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Corpus-trained n-gram typicality — the quality-filter family CCNet
+    implements with a KenLM perplexity: here the "LM" is an n-gram
+    frequency table trained on the corpus itself (or a second `train`
+    input), and the per-doc signals stay in exact integer/rational space
+    (cross-engine ln() differs in final ulps, which would poison the
+    bit-exact oracle hash — a log-prob column is deliberately absent).
+
+    Adds per doc: ``n_ngrams``, ``rare_ngrams`` (train count <
+    ``min_count``; self-trained, count < 2 means the gram exists nowhere
+    else in the corpus), ``rare_frac``, ``mean_ngram_freq`` (average
+    train count of the doc's grams — low for atypical text, high for
+    boilerplate; both ends are filter signals). Docs with fewer than
+    ``n`` tokens get zeros/NULL.
+
+    Plan: gram arrays built narrowly (sequence+slice, as dedup.spans),
+    ONE groupBy shuffle builds the corpus-global count table over
+    64-bit gram hashes, one hash-keyed join back (AQE broadcasts the
+    count table when small; at web scale the shuffle is inherent to a
+    corpus-global statistic — the same class as text.line_dedup), one
+    per-doc agg. Payloads never shuffle: (doc, hash8B) rows only.
+
+    Reference has no counterpart — NEW per SURVEY §2.12.
+    """
+    df: DataFrame = inputs[0]
+    train: DataFrame = inputs[1] if len(inputs) > 1 else df
+    id_col, text_col = config["id_col"], config["text_col"]
+    n = int(config.get("n", 2))
+    min_count = int(config.get("min_count", 2))
+
+    def grams(src: DataFrame) -> DataFrame:
+        w = _words(F.col(text_col))
+        arr = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return src.select(
+            F.col(id_col).alias("_id"), F.explode(arr).alias("_g")
+        )
+
+    counts = grams(train).groupBy("_g").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = (
+        grams(df)
+        .join(counts, "_g", "left")
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum(F.when(F.col("_c") < min_count, 1).otherwise(0))
+            .cast("bigint")
+            .alias("rare_ngrams"),
+            (F.sum("_c").cast("double") / F.count(F.lit(1))).alias(
+                "mean_ngram_freq"
+            ),
+        )
+        .withColumn(
+            "rare_frac",
+            F.col("rare_ngrams") / F.col("n_ngrams").cast("double"),
+        )
+    )
+    out = df.join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+    return out.withColumns(
+        {
+            "n_ngrams": F.coalesce(F.col("n_ngrams"), F.lit(0)),
+            "rare_ngrams": F.coalesce(F.col("rare_ngrams"), F.lit(0)),
+        }
+    )

@@ -2287,9 +2287,12 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q53_term_text_stats",
-    # Merged q53+q63: Term Lookup (dictionary occurrence counts via
-    # explode + broadcast equi-join) and exact TF-IDF, as one tagged
-    # union over (doc_id, term) rows.
+    # Merged q53+q63+novelty: Term Lookup (dictionary occurrence counts
+    # via explode + broadcast equi-join), exact TF-IDF, and
+    # text.ngram_novelty (corpus-self-trained bigram typicality — the
+    # integer-exact CCNet-style quality signal) as one tagged union over
+    # (doc_id, term) rows; novelty rows carry per-doc stats in the
+    # cnt/df/tfidf slots (n_ngrams / rare_ngrams / mean_ngram_freq).
     oracle=f"""
     WITH terms(term) AS (VALUES ('data'), ('query'), ('stream'), ('vector')),
     docs AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS words
@@ -2305,7 +2308,20 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHERE term != '' GROUP BY doc_id, term),
     dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
               HAVING COUNT(*) >= 5),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    nwords AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+               FROM documents),
+    ng AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                  i -> array_to_string(w[i:i+1], ' '))) AS g
+           FROM nwords),
+    gc AS (SELECT g, COUNT(*) AS c FROM ng GROUP BY g),
+    nov AS (SELECT ng.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+            CAST(SUM(CASE WHEN gc.c < 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS rare,
+            CAST(SUM(gc.c) AS DOUBLE) / COUNT(*) AS mean_freq
+            FROM ng JOIN gc USING (g) GROUP BY ng.doc_id)
     SELECT 'lookup' AS kind, doc_id, term, cnt,
            CAST(NULL AS BIGINT) AS df, CAST(NULL AS DOUBLE) AS tfidf
     FROM lookup
@@ -2314,6 +2330,10 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1), 6)
     FROM tf JOIN dfreq USING (term), n
     WHERE tf.doc_id % 10 = 0
+    UNION ALL
+    SELECT 'novelty', doc_id, CAST(NULL AS VARCHAR), n_ngrams, rare,
+           mean_freq
+    FROM nov
     """,
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2328,6 +2348,8 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("ti", "text.tfidf", "documents", id_col="doc_id",
               text_col="text", min_df=5)
         .step("tif", "filter", "ti", predicate="[doc_id] % 10 == 0")
+        .step("nv", "text.ngram_novelty", "documents", id_col="doc_id",
+              text_col="text", n=2, min_count=2)
     )
     r = run_pipeline(spark, p)
     lk = r.df("tl").select(
@@ -2341,7 +2363,14 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf").cast("bigint").alias("cnt"), F.col("df").cast("bigint"),
         F.col("tfidf").cast("double"),
     )
-    return lk.unionByName(ti)
+    nv = r.df("nv").filter(F.col("n_ngrams") > 0).select(
+        F.lit("novelty").alias("kind"), "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.col("n_ngrams").cast("bigint").alias("cnt"),
+        F.col("rare_ngrams").cast("bigint").alias("df"),
+        F.col("mean_ngram_freq").cast("double").alias("tfidf"),
+    )
+    return lk.unionByName(ti).unionByName(nv)
 
 
 @query(

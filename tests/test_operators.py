@@ -579,6 +579,37 @@ class TestTextOps:
             assert (out2[k].n_dup_spans, out2[k].dup_tokens) == (
                 out3[k].n_dup_spans, out3[k].dup_tokens)
 
+    def test_ngram_novelty_hand_computed(self, spark):
+        # self-trained bigram counts: doc1 "a b a b" -> grams [ab, ba, ab];
+        # doc2 "a b c" -> [ab, bc]; doc3 "x" -> no grams.
+        # corpus counts: ab=3, ba=1, bc=1.
+        # doc1: n=3, rare(c<2)=1 (ba), mean=(3+1+3)/3
+        # doc2: n=2, rare=1 (bc),      mean=(3+1)/2
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "x")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in run(
+            "text.ngram_novelty", spark, [df], id_col="doc_id",
+            text_col="text", n=2).collect()}
+        assert (out[1].n_ngrams, out[1].rare_ngrams) == (3, 1)
+        assert abs(out[1].mean_ngram_freq - 7 / 3) < 1e-12
+        assert abs(out[1].rare_frac - 1 / 3) < 1e-12
+        assert (out[2].n_ngrams, out[2].rare_ngrams) == (2, 1)
+        assert out[2].mean_ngram_freq == 2.0
+        assert (out[3].n_ngrams, out[3].rare_ngrams) == (0, 0)
+        assert out[3].mean_ngram_freq is None
+        # separate train corpus: grams absent from train count as 0 (rare,
+        # mean drops) — doc2's bc is OOV vs a train of doc1 only
+        out2 = {r.doc_id: r for r in run(
+            "text.ngram_novelty", spark,
+            [df, df.filter("doc_id = 1")], id_col="doc_id",
+            text_col="text", n=2).collect()}
+        # train counts: ab=2, ba=1. doc2 grams: ab(2), bc(0) -> rare=1,
+        # mean=(2+0)/2=1.0
+        assert (out2[2].n_ngrams, out2[2].rare_ngrams) == (2, 1)
+        assert out2[2].mean_ngram_freq == 1.0
+
     def test_pack_hand_computed(self, spark):
         # counts 3,4,5,2 in id order, capacity 4:
         # offsets 0,3,7,12; chunks: doc1 [0,3)->c0; doc2 [3,7)->c0,c1;
