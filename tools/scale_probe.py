@@ -650,6 +650,49 @@ def probe_mixture(spark, n=20_000_000):
     df.unpersist()
 
 
+
+def probe_novelty(spark, n_docs=2_000_000, words_per_doc=80):
+    """text.ngram_novelty at 2M docs: corpus-global bigram table
+    (groupBy) + hash-keyed join-back — the same shuffle class as
+    line_dedup. Sanity: sum(n_ngrams) == docs * (words-1); with a
+    500-word vocab the bigram space (~250k) is saturated, so rare
+    grams (count < 2) should be ~0."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    docs = (
+        spark.range(n_docs)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(words_per_doc)),
+                    lambda i: F.element_at(
+                        vocab,
+                        (F.pmod(F.xxhash64(F.col("id"), i), 500) + 1).cast("int"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .persist()
+    )
+    docs.count()
+    t0 = time.perf_counter()
+    out = get_operator("text.ngram_novelty")(
+        spark, [docs], {"id_col": "doc_id", "text_col": "text", "n": 2}, {}
+    )
+    r = out.agg(
+        F.sum("n_ngrams"), F.sum("rare_ngrams"), F.avg("mean_ngram_freq")
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    print(
+        f"PROBE novelty: n={n_docs} pass={dt:.1f}s ({n_docs/dt:,.0f} docs/s) "
+        f"total_grams={r[0]} (expect {n_docs*(words_per_doc-1)}) "
+        f"rare={r[1]} mean_freq={r[2]:,.0f}"
+    )
+    docs.unpersist()
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(
@@ -684,6 +727,8 @@ def main():
         probe_pack(spark)
     if which in ("mixture", "all"):
         probe_mixture(spark)
+    if which in ("novelty", "all"):
+        probe_novelty(spark)
 
 
 if __name__ == "__main__":
