@@ -1008,7 +1008,11 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
     times in the corpus (``scope='corpus'``; ``'cross_doc'`` = in more
     than one document) is duplicated text; overlapping/adjacent flagged
     positions merge into maximal spans, which are counted and (with
-    ``emit_clean``) removed from the document.
+    ``emit_clean``) removed from the document. With a SECOND input the
+    flagging flips to span-level decontamination: positions whose
+    n-gram appears anywhere in that reference corpus (benchmark/eval
+    set) are flagged instead — text.decontaminate marks whole
+    documents, this surgically removes the overlapping spans.
 
     Single-node implementations use a corpus suffix array; the
     distributed equivalent is position-explode + a corpus-global gram
@@ -1063,14 +1067,39 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
     ).otherwise(F.array().cast("array<bigint>"))
     grams = base.select("_id", F.posexplode(gh_arr).alias("_gpos", "_gh"))
 
-    wgh = Window.partitionBy("_gh")
-    if scope == "cross_doc":
-        # >= 2 distinct docs <=> min(id) != max(id): countDistinct is not
-        # a window function, min/max are
-        dup = F.min("_id").over(wgh) != F.max("_id").over(wgh)
+    if len(inputs) > 1:
+        # span-level DECONTAMINATION: a second input is a reference
+        # corpus (benchmark/eval set) — flag every position whose n-gram
+        # appears ANYWHERE in it, regardless of corpus-internal counts.
+        # text.decontaminate flags whole documents by overlap; this
+        # variant surgically removes the overlapping spans. The
+        # reference gram set is distinct-hashed (bounded by the eval
+        # corpus) and the join is the only extra shuffle.
+        ref: DataFrame = inputs[1]
+        ref_text = config.get("ref_text_col", text_col)
+        rw = _words(F.col(ref_text))
+        ref_arr = F.when(
+            F.size(rw) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(rw) - (n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(rw, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        ref_grams = ref.select(F.explode(ref_arr).alias("_gh")).distinct()
+        flagged = (
+            grams.join(ref_grams, "_gh", "left_semi").select("_id", "_gpos")
+        )
     else:
-        dup = F.count(F.lit(1)).over(wgh) >= min_count
-    flagged = grams.withColumn("_dup", dup).filter("_dup").select("_id", "_gpos")
+        wgh = Window.partitionBy("_gh")
+        if scope == "cross_doc":
+            # >= 2 distinct docs <=> min(id) != max(id): countDistinct
+            # is not a window function, min/max are
+            dup = F.min("_id").over(wgh) != F.max("_id").over(wgh)
+        else:
+            dup = F.count(F.lit(1)).over(wgh) >= min_count
+        flagged = (
+            grams.withColumn("_dup", dup).filter("_dup").select("_id", "_gpos")
+        )
 
     wdoc = Window.partitionBy("_id").orderBy("_gpos")
     gap = F.col("_gpos") - F.lag("_gpos").over(wdoc)

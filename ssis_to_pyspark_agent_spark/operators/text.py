@@ -587,6 +587,12 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
                (zero-count docs get n_chunks=0, NULL chunks)
       'chunks' -> one row per (doc, chunk): chunk_id, id, doc_tok_start,
                doc_tok_end (token slice of the doc inside that chunk)
+      'text'   -> the packed sequences themselves: (chunk_id, text,
+               n_tokens). Requires `text_col`; tokenization is the
+               normalized whitespace split (count_col is ignored —
+               offsets must agree with the slicer's own token count).
+               This mode shuffles document text by chunk_id — the
+               inherent cost of materializing packed sequences.
 
     Reference has no counterpart — NEW per SURVEY §2.12.
     """
@@ -600,8 +606,16 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
     if cap <= 0:
         raise ValueError("capacity must be > 0")
     emit = config.get("emit", "docs")
-    if emit not in ("docs", "chunks"):
-        raise ValueError(f"emit must be 'docs' or 'chunks', got {emit!r}")
+    if emit not in ("docs", "chunks", "text"):
+        raise ValueError(
+            f"emit must be 'docs', 'chunks' or 'text', got {emit!r}"
+        )
+    if emit == "text":
+        text_col = config["text_col"]
+        df = df.withColumn(
+            "_cnt_pack", F.size(_words(F.col(text_col)))
+        )
+        cnt_col = "_cnt_pack"
     n_part = int(
         config.get("partitions")
         or spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -674,7 +688,7 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
     )
     out = df.join(offs, id_col)
     if emit == "docs":
-        return out
+        return out.drop("_cnt_pack")
     # chunks: each doc contributes a token slice to every chunk it spans
     chunk = F.explode(
         F.when(
@@ -682,11 +696,11 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
             F.sequence(F.col("first_chunk"), F.col("last_chunk")),
         ).otherwise(F.array().cast("array<bigint>")),
     ).alias("chunk_id")
-    return (
-        out.select(
-            id_col, "tok_offset",
-            F.col(cnt_col).cast("bigint").alias("_cnt"), chunk,
-        )
+    sel = [id_col, "tok_offset", F.col(cnt_col).cast("bigint").alias("_cnt"), chunk]
+    if emit == "text":
+        sel.append(text_col)
+    ch = (
+        out.select(*sel)
         .withColumn(
             "doc_tok_start",
             F.greatest(
@@ -701,7 +715,31 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
                 (F.col("chunk_id") + 1) * cap - F.col("tok_offset"),
             ),
         )
-        .select(id_col, "chunk_id", "doc_tok_start", "doc_tok_end")
+    )
+    if emit == "chunks":
+        return ch.select(id_col, "chunk_id", "doc_tok_start", "doc_tok_end")
+    # emit == "text": slice each doc's token contribution and assemble
+    # chunks in token order (one shuffle of text by chunk_id)
+    piece = F.slice(
+        _words(F.col(text_col)),
+        F.col("doc_tok_start").cast("int") + 1,
+        (F.col("doc_tok_end") - F.col("doc_tok_start")).cast("int"),
+    )
+    toks = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tok_offset"), F.col("_p")))
+            ),
+            lambda st: st["_p"],
+        )
+    )
+    return (
+        ch.withColumn("_p", piece)
+        .groupBy("chunk_id")
+        .agg(
+            F.array_join(toks, " ").alias("text"),
+            F.size(toks).cast("int").alias("n_tokens"),
+        )
     )
 
 

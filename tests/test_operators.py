@@ -637,6 +637,27 @@ class TestTextOps:
             tot[c] = tot.get(c, 0) + (e - s)
         assert tot == {0: 4, 1: 4, 2: 4, 3: 2}
 
+    def test_pack_text_round_trip(self, spark):
+        # emit='text': chunk texts concatenated in chunk order must equal
+        # the normalized docs concatenated in id order, with every
+        # non-final chunk filled to exactly `capacity` tokens
+        import random
+        rng = random.Random(5)
+        rows = [(i, " ".join(f"d{i}w{j}" for j in range(rng.randrange(1, 15))))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = sorted(
+            (r.chunk_id, r.text, r.n_tokens)
+            for r in run("text.pack", spark, [df], id_col="id",
+                         count_col=None, text_col="text", capacity=16,
+                         emit="text").collect()
+        )
+        all_tokens = [t for _, txt in rows for t in txt.split()]
+        got = [t for _, txt, _ in out for t in txt.split()]
+        assert got == all_tokens
+        assert all(n == 16 for _, _, n in out[:-1])
+        assert out[-1][2] == len(all_tokens) - 16 * (len(out) - 1)
+
     def test_pack_two_phase_matches_global(self, spark):
         # 5000 rows over many range partitions: the two-phase prefix sum
         # must equal the naive single-pass cumulative sum
@@ -651,6 +672,29 @@ class TestTextOps:
         for i, c in rows:
             assert got[i] == acc, i
             acc += c
+
+    def test_dedup_spans_against_reference(self, spark):
+        # second input = benchmark corpus -> span-level decontamination:
+        # doc 1 embeds the benchmark phrase "q1 q2 q3 q4" (grams at pos
+        # 2,3 with n=3 -> ONE span [2,7)); doc 2 is clean even though it
+        # repeats ITSELF (within-corpus counts must be ignored here)
+        df = spark.createDataFrame(
+            [(1, "a b q1 q2 q3 q4 z w"), (2, "r s t r s t r s t")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "header q1 q2 q3 q4 footer")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in run(
+            "dedup.spans", spark, [df, bench], id_col="doc_id",
+            text_col="text", n=3, emit_clean=True).collect()}
+        # benchmark grams of len 3 include "q1 q2 q3" and "q2 q3 q4":
+        # doc1 flagged pos {2,3} -> one merged span [2, 6) = exactly the
+        # 4 benchmark tokens
+        assert out[1].n_dup_spans == 1 and out[1].dup_tokens == 4
+        assert out[1].text_clean == "a b z w"
+        assert out[2].n_dup_spans == 0
+        assert out[2].text_clean == "r s t r s t r s t"
 
     def test_dedup_spans_matches_bruteforce(self, spark):
         # random tiny-vocab corpus (heavy accidental gram repeats, empty
