@@ -658,6 +658,20 @@ class TestTextOps:
         assert all(n == 16 for _, _, n in out[:-1])
         assert out[-1][2] == len(all_tokens) - 16 * (len(out) - 1)
 
+    def test_pack_partition_count_invariant(self, spark):
+        # the packing is defined by (order, capacity) alone — the number
+        # of prefix-sum buckets must never change any offset
+        df = spark.createDataFrame(
+            [(i, (i * 13) % 40 + 1) for i in range(777)], "id long, cnt int"
+        ).repartition(7)
+        outs = []
+        for p in (1, 3, 64):
+            out = run("text.pack", spark, [df], id_col="id",
+                      count_col="cnt", capacity=50, partitions=p)
+            outs.append(sorted((r.id, r.tok_offset, r.first_chunk,
+                                r.last_chunk) for r in out.collect()))
+        assert outs[0] == outs[1] == outs[2]
+
     def test_pack_two_phase_matches_global(self, spark):
         # 5000 rows over many range partitions: the two-phase prefix sum
         # must equal the naive single-pass cumulative sum
