@@ -1016,15 +1016,23 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
 
     Single-node implementations use a corpus suffix array; the
     distributed equivalent is position-explode + a corpus-global gram
-    frequency. Plan: ONE pass builds (doc, pos, xxhash64(gram)) rows
-    narrowly (sequence+slice, no per-token explode of text), ONE shuffle
-    partitions them by gram hash where a count-over-window flags
-    duplicated grams in place (no second scan, no groupBy+join-back),
-    then the flagged positions — and only those — shuffle per doc for
-    the span merge. Shuffle payload is (doc_id, pos, hash8B) rows,
-    never document text; gram equality via 64-bit hash (collision odds
-    ~|tokens|^2/2^65 — the same acceptance as the hashed shingle arrays
-    in dedup.ngram_jaccard).
+    frequency. Plan: a pass builds (doc, pos, xxhash64(gram)) rows
+    narrowly (sequence+slice, no per-token explode of text), a
+    PARTIAL-AGGREGATED ``groupBy(gram_hash)`` computes the corpus
+    frequency (map-side combine collapses every in-partition repeat of
+    a hot gram before the shuffle), the dup-gram set — only hashes that
+    cleared ``min_count`` — joins back LEFT SEMI on the gram hash, then
+    the flagged positions, and only those, shuffle per doc for the span
+    merge. The earlier design flagged in place with
+    ``count() OVER (PARTITION BY gram_hash)``: one shuffle fewer, but a
+    window partition has no map-side combine and cannot be split, so
+    the hottest gram — by construction the boilerplate this operator
+    exists to find — serializes into a single straggler task at scale.
+    The semi-join probe side CAN be split (AQE skew-join), and the
+    build side is only the duplicated-gram hash set. Shuffle payload is
+    (doc_id, pos, hash8B) rows, never document text; gram equality via
+    64-bit hash (collision odds ~|tokens|^2/2^65 — the same acceptance
+    as the hashed shingle arrays in dedup.ngram_jaccard).
 
     Output: input columns + ``n_dup_spans``, ``dup_tokens``,
     ``total_tokens``, ``dup_token_frac`` (+ ``text_clean`` over the
@@ -1090,15 +1098,31 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
             grams.join(ref_grams, "_gh", "left_semi").select("_id", "_gpos")
         )
     else:
-        wgh = Window.partitionBy("_gh")
+        # Partial-aggregated dup-gram set: map-side combine collapses
+        # every in-partition occurrence of a hot gram to one (hash,
+        # partial) row before the shuffle, so a gram planted in 10^8
+        # positions costs its partition count, not its occurrence
+        # count. grams is recomputed for the probe side (narrow
+        # tokenize+hash pass — same recompute-over-cache tradeoff as
+        # emit_clean; cache_base=True tokenizes once).
         if scope == "cross_doc":
-            # >= 2 distinct docs <=> min(id) != max(id): countDistinct
-            # is not a window function, min/max are
-            dup = F.min("_id").over(wgh) != F.max("_id").over(wgh)
+            # >= 2 distinct docs <=> min(id) != max(id); min/max have
+            # map-side combine, countDistinct would not collapse
+            dup_grams = (
+                grams.groupBy("_gh")
+                .agg(F.min("_id").alias("_mn"), F.max("_id").alias("_mx"))
+                .filter(F.col("_mn") != F.col("_mx"))
+                .select("_gh")
+            )
         else:
-            dup = F.count(F.lit(1)).over(wgh) >= min_count
+            dup_grams = (
+                grams.groupBy("_gh")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .filter(F.col("_c") >= min_count)
+                .select("_gh")
+            )
         flagged = (
-            grams.withColumn("_dup", dup).filter("_dup").select("_id", "_gpos")
+            grams.join(dup_grams, "_gh", "left_semi").select("_id", "_gpos")
         )
 
     wdoc = Window.partitionBy("_id").orderBy("_gpos")

@@ -10,6 +10,8 @@ at 100 TB).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -574,7 +576,11 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
     parallel, and the tiny per-bucket totals are collected to the
     driver (bounded by `partitions`) and added back as one array
     literal. Bucket skew from sparse/clustered ids affects only
-    balance, never correctness.
+    balance, never correctness — and when the phase-1 aggregate shows a
+    bucket holding > 4/n_part of the rows, the operator automatically
+    re-buckets on exact-histogram quantiles (`rebalance`, default True;
+    `rebalance_fan` fine buckets per partition, default 256) so
+    snowflake-style sparse ids still pack in parallel.
 
     config: id_col, count_col (precomputed token count — chain
     text.token_count upstream), capacity, order_col (default id_col —
@@ -612,8 +618,13 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
         )
     if emit == "text":
         text_col = config["text_col"]
+        # array_remove drops the [''] that _words yields for empty /
+        # whitespace-only docs, so they count 0 tokens — matching
+        # text.token_count's ws_tokens and the docs/chunks modes — and
+        # contribute nothing to packed chunks (the slicer below uses
+        # the same filtered array, keeping offsets and slices aligned)
         df = df.withColumn(
-            "_cnt_pack", F.size(_words(F.col(text_col)))
+            "_cnt_pack", F.size(F.array_remove(_words(F.col(text_col)), ""))
         )
         cnt_col = "_cnt_pack"
     n_part = int(
@@ -626,9 +637,15 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
     ).collect()[0]
     if bounds["mn"] is None:
         pid = F.lit(1)
+        mn = mx = 0
     else:
         try:
-            mn, mx = int(bounds["mn"]), int(bounds["mx"])
+            # floor, NOT int(): int() truncates toward zero, so a
+            # negative fractional min (e.g. -3.5 -> -3) would leave
+            # values below it in width_bucket's underflow bucket 0,
+            # where element_at(offsets, 0) errors (SQL arrays are
+            # 1-based) instead of packing
+            mn, mx = math.floor(bounds["mn"]), math.floor(bounds["mx"])
         except (TypeError, ValueError):
             raise ValueError(
                 "text.pack needs a NUMERIC order_col (deterministic "
@@ -642,10 +659,134 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
         else [id_col, cnt_col]
     )
     slim = df.select(*cols).withColumn("_pid", pid)
-    psums = {
-        r["_pid"]: r["_s"]
-        for r in slim.groupBy("_pid").agg(F.sum(cnt_col).alias("_s")).collect()
+    stats = {
+        r["_pid"]: (r["_n"], r["_s"] or 0)
+        for r in slim.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(cnt_col).alias("_s"))
+        .collect()
     }
+    total_rows = sum(n for n, _ in stats.values())
+    max_rows = max((n for n, _ in stats.values()), default=0)
+    if (
+        config.get("rebalance", True)
+        and n_part > 1
+        and mx > mn
+        and total_rows > 0
+        and max_rows * n_part > 4 * total_rows
+    ):
+        # Equal-width bucketing collapsed under a sparse/clustered
+        # order_col (snowflake-style ids: dense clusters separated by
+        # huge gaps) — one bucket holds > 4/n_part of the rows and its
+        # window cumsum degrades toward a single-partition sort.
+        # Re-bucket on QUANTILES, still deterministic (quantiles come
+        # from exact histogram aggregates, never sampling — invariant
+        # 14 stays moot): a fine equal-width histogram counts rows per
+        # `rebalance_fan * n_part` buckets, and any bucket still
+        # holding more than a partition's share RECURSIVELY zooms —
+        # one further aggregate over just that bucket's rows, depth-
+        # capped — until leaves are splittable. The driver greedily
+        # packs the in-order leaves into row-balanced groups; pid is a
+        # pure nested width_bucket/array-lookup expression (a function
+        # of the row value and collected exact aggregates only, stable
+        # across recomputes). Coarse token sums derive from the same
+        # leaf aggregates, so offsets need no further pass. Cost: one
+        # planning aggregate per zoom level, each scanning only the
+        # still-overfull buckets' rows.
+        fan = int(config.get("rebalance_fan", 256))
+        max_depth = int(config.get("rebalance_depth", 6))
+        target = total_rows / n_part
+
+        def _wb(lo: float, hi: float, k: int):
+            raw = F.width_bucket(
+                F.col(order_col), F.lit(lo), F.lit(hi), F.lit(k)
+            )
+            # clamp: a zoomed range's float edges may disagree with the
+            # parent bucket's membership by an ulp — rows stay in-range
+            return F.least(F.greatest(raw, F.lit(1)), F.lit(k)).cast("int")
+
+        def _explore(filt, lo: float, hi: float, k: int, depth: int):
+            """Histogram [lo, hi) into k equal buckets over rows passing
+            `filt`; returns an ordered tree: list of k entries, each a
+            (rows, toks) leaf or a nested (lo, hi, k, children) zoom."""
+            base_f = df.select(F.col(order_col), F.col(cnt_col))
+            if filt is not None:
+                base_f = base_f.filter(filt)
+            hd = {
+                r["_b"]: (r["_n"], r["_s"] or 0)
+                for r in base_f.withColumn("_b", _wb(lo, hi, k))
+                .groupBy("_b")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum(cnt_col).alias("_s"),
+                )
+                .collect()
+            }
+            children = []
+            for b in range(1, k + 1):
+                n_b, s_b = hd.get(b, (0, 0))
+                if n_b > target and depth < max_depth:
+                    w = (hi - lo) / k
+                    sub_f = _wb(lo, hi, k) == b
+                    if filt is not None:
+                        sub_f = filt & sub_f
+                    sub_lo, sub_hi = lo + (b - 1) * w, lo + b * w
+                    children.append(
+                        (
+                            sub_lo,
+                            sub_hi,
+                            fan,
+                            _explore(sub_f, sub_lo, sub_hi, fan, depth + 1),
+                        )
+                    )
+                else:
+                    children.append((n_b, s_b))
+            return children
+
+        k0 = n_part * fan
+        tree = _explore(None, float(mn), float(mx + 1), k0, 1)
+
+        # greedy in-order pack of the leaves into <= n_part row-balanced
+        # contiguous groups; group ids assigned by mutating leaves into
+        # group ints, accumulating per-group row/token totals
+        grp, acc_rows = 1, 0
+        psums, crows = {}, {}
+
+        def _assign(children):
+            nonlocal grp, acc_rows
+            out = []
+            for ch in children:
+                if len(ch) == 2:
+                    n_b, s_b = ch
+                    if acc_rows > 0 and acc_rows + n_b > target and grp < n_part:
+                        grp += 1
+                        acc_rows = 0
+                    acc_rows += n_b
+                    psums[grp] = psums.get(grp, 0) + s_b
+                    crows[grp] = crows.get(grp, 0) + n_b
+                    out.append(grp)
+                else:
+                    lo, hi, k, sub = ch
+                    out.append((lo, hi, k, _assign(sub)))
+            return out
+
+        def _expr(lo, hi, k, children):
+            wb = _wb(lo, hi, k)
+            m = [c if isinstance(c, int) else -1 for c in children]
+            e = F.element_at(F.lit(m), wb)
+            for b, c in enumerate(children, start=1):
+                if not isinstance(c, int):
+                    e = F.when(wb == b, _expr(*c)).otherwise(e)
+            return e
+
+        assigned = _assign(tree)
+        pid = _expr(float(mn), float(mx + 1), k0, assigned)
+        slim = df.select(*cols).withColumn("_pid", pid)
+        context["_pack_bucket_rows"] = {
+            k: v for k, v in crows.items() if v > 0
+        }
+    else:
+        psums = {k: s for k, (_n, s) in stats.items()}
+        context["_pack_bucket_rows"] = {k: n for k, (n, _s) in stats.items()}
     # per-bucket prefix offsets as ONE array literal indexed by pid — a
     # per-partition CASE WHEN chain is O(P) branch evaluations per row
     # and overflows Catalyst codegen at large partition counts
@@ -721,7 +862,7 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
     # emit == "text": slice each doc's token contribution and assemble
     # chunks in token order (one shuffle of text by chunk_id)
     piece = F.slice(
-        _words(F.col(text_col)),
+        F.array_remove(_words(F.col(text_col)), ""),
         F.col("doc_tok_start").cast("int") + 1,
         (F.col("doc_tok_end") - F.col("doc_tok_start")).cast("int"),
     )
@@ -765,33 +906,52 @@ def ngram_novelty(spark: SparkSession, inputs, config, context) -> DataFrame:
     count table when small; at web scale the shuffle is inherent to a
     corpus-global statistic — the same class as text.line_dedup), one
     per-doc agg. Payloads never shuffle: (doc, hash8B) rows only.
+    Self-trained (no second input), the count table drops its hapax
+    tail before the join-back: a doc gram occurs >= 1 time in the
+    corpus by construction, so absence from a count>=2 table means its
+    count is EXACTLY 1 — coalescing missing to 1 keeps every output
+    value identical while removing the (typically majority) singleton
+    rows, often the difference between a broadcast join-back and a
+    shuffle of every (doc, gram) row. With an external train corpus
+    the inference fails (missing could be 0 or 1), so the full table
+    is kept — exactness forbids the prune there.
+
+    A second `train` input may use a different text column via
+    ``train_text_col`` (default: ``text_col``); only that column is
+    read from it.
 
     Reference has no counterpart — NEW per SURVEY §2.12.
     """
     df: DataFrame = inputs[0]
-    train: DataFrame = inputs[1] if len(inputs) > 1 else df
+    self_trained = len(inputs) <= 1
+    train: DataFrame = df if self_trained else inputs[1]
     id_col, text_col = config["id_col"], config["text_col"]
+    train_text_col = config.get("train_text_col", text_col)
     n = int(config.get("n", 2))
     min_count = int(config.get("min_count", 2))
 
-    def grams(src: DataFrame) -> DataFrame:
-        w = _words(F.col(text_col))
-        arr = F.when(
+    def gram_arr(tcol: str) -> Column:
+        w = _words(F.col(tcol))
+        return F.when(
             F.size(w) >= n,
             F.transform(
                 F.sequence(F.lit(1), F.size(w) - (n - 1)),
                 lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, n))),
             ),
         ).otherwise(F.array().cast("array<bigint>"))
-        return src.select(
-            F.col(id_col).alias("_id"), F.explode(arr).alias("_g")
-        )
 
-    counts = grams(train).groupBy("_g").agg(F.count(F.lit(1)).alias("_c"))
+    counts = (
+        train.select(F.explode(gram_arr(train_text_col if not self_trained else text_col)).alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    if self_trained:
+        counts = counts.filter(F.col("_c") >= 2)
+    missing = 1 if self_trained else 0
     per_doc = (
-        grams(df)
+        df.select(F.col(id_col).alias("_id"), F.explode(gram_arr(text_col)).alias("_g"))
         .join(counts, "_g", "left")
-        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(missing)))
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),

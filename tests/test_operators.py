@@ -687,6 +687,125 @@ class TestTextOps:
             assert got[i] == acc, i
             acc += c
 
+    def test_pack_empty_doc_text_mode(self, spark):
+        # empty / whitespace-only docs count 0 tokens in emit='text'
+        # (matching token_count / docs mode via an upstream
+        # text.token_count) and contribute nothing to packed chunks —
+        # no empty-string 'token', no double spaces
+        rows = [(1, "a b c"), (2, ""), (3, "   "), (4, "d e")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = sorted(
+            (r.chunk_id, r.text, r.n_tokens)
+            for r in run("text.pack", spark, [df], id_col="id",
+                         count_col=None, text_col="text", capacity=4,
+                         emit="text").collect()
+        )
+        assert [t for _, txt, _ in out for t in txt.split()] == \
+            ["a", "b", "c", "d", "e"]
+        assert all("  " not in txt for _, txt, _ in out)
+        assert sum(n for _, _, n in out) == 5
+        toks = run("text.token_count", spark, [df], text_col="text")
+        docs = {r.id: r for r in run(
+            "text.pack", spark, [toks], id_col="id",
+            count_col="ws_tokens", capacity=4).collect()}
+        assert docs[2].n_chunks == 0 and docs[3].n_chunks == 0
+        assert [docs[i].tok_offset for i in (1, 2, 3, 4)] == [0, 3, 3, 3]
+
+    def test_pack_negative_fractional_order(self, spark):
+        # a negative fractional order_col min (-3.5) must floor, not
+        # truncate toward zero — truncation leaves values below the
+        # bound in width_bucket's bucket 0 where element_at(offsets, 0)
+        # errors out
+        rows = [(1, -3.5, 2), (2, -1.25, 3), (3, 0.75, 1), (4, 2.5, 4)]
+        df = spark.createDataFrame(rows, "id long, ord double, cnt int")
+        out = {r.id: r.tok_offset for r in run(
+            "text.pack", spark, [df], id_col="id", count_col="cnt",
+            order_col="ord", capacity=5, partitions=8).collect()}
+        assert out == {1: 0, 2: 2, 3: 5, 4: 6}
+
+    def test_pack_rebalance_sparse_ids(self, spark):
+        # snowflake-style sparse ids: 2990 rows in a dense cluster plus
+        # 10 stragglers stretching the span to 1e15, so equal-width
+        # bucketing puts ~every row in ONE bucket — and the cluster is
+        # far below one fine bucket's width, forcing the recursive
+        # zoom. The rebalance must spread them (no bucket > 4/n_part of
+        # the rows) while leaving every offset identical to the
+        # unbalanced run.
+        rows = [(i, (i * 7) % 20 + 1) for i in range(2990)] + [
+            (10**15 - j * 10**13, 5) for j in range(10)
+        ]
+        df = spark.createDataFrame(rows, "id long, cnt int").repartition(8)
+        n_part = 16
+        kw = dict(id_col="id", count_col="cnt", capacity=64,
+                  partitions=n_part)
+        ctx = {}
+        out_bal = sorted(
+            (r.id, r.tok_offset, r.first_chunk, r.last_chunk)
+            for r in run("text.pack", spark, [df], _context=ctx,
+                         **kw).collect()
+        )
+        out_raw = sorted(
+            (r.id, r.tok_offset, r.first_chunk, r.last_chunk)
+            for r in run("text.pack", spark, [df], rebalance=False,
+                         **kw).collect()
+        )
+        assert out_bal == out_raw
+        buckets = ctx["_pack_bucket_rows"]
+        assert len(buckets) > 1
+        assert max(buckets.values()) * n_part <= 4 * 3000
+        # dense ids must NOT trigger the extra rebalance pass (one
+        # bucket per width stripe already)
+        ctx2 = {}
+        dense = spark.createDataFrame(
+            [(i, (i * 7) % 20 + 1) for i in range(3000)], "id long, cnt int"
+        )
+        run("text.pack", spark, [dense], _context=ctx2, **kw).collect()
+        assert max(ctx2["_pack_bucket_rows"].values()) * n_part <= 4 * 3000
+
+    def test_ngram_novelty_train_text_col(self, spark):
+        # a train corpus with neither the id column nor the text column
+        # name of the main input — train_text_col selects its text, and
+        # no id is read from it
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "x y z")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            [("a b q",), ("a b r",)], "corpus string"
+        )
+        out = {r.doc_id: r for r in run(
+            "text.ngram_novelty", spark, [df, train], id_col="doc_id",
+            text_col="text", train_text_col="corpus", n=2).collect()}
+        # train counts: ab=2, bq=1, br=1. doc1 grams ab(2), bc(0):
+        # rare=1, mean=1.0; doc2 all OOV: rare=2, mean=0.0
+        assert (out[1].n_ngrams, out[1].rare_ngrams) == (2, 1)
+        assert out[1].mean_ngram_freq == 1.0
+        assert (out[2].n_ngrams, out[2].rare_ngrams) == (2, 2)
+        assert out[2].mean_ngram_freq == 0.0
+
+    def test_ngram_novelty_hapax_prune_exact(self, spark):
+        # self-trained: the count table drops its hapax tail but every
+        # output must match a no-prune external-train run on the same
+        # corpus (missing-from-table => corpus count exactly 1)
+        import random
+        rng = random.Random(11)
+        rows = [
+            (i, " ".join(f"w{rng.randrange(60)}" for _ in range(30)))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(
+            (r.doc_id, r.n_ngrams, r.rare_ngrams, r.mean_ngram_freq)
+            for r in run("text.ngram_novelty", spark, [df],
+                         id_col="doc_id", text_col="text", n=3).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.n_ngrams, r.rare_ngrams, r.mean_ngram_freq)
+            for r in run("text.ngram_novelty", spark, [df, df.select("text")],
+                         id_col="doc_id", text_col="text", n=3,
+                         train_text_col="text").collect()
+        )
+        assert a == b
+
     def test_dedup_spans_against_reference(self, spark):
         # second input = benchmark corpus -> span-level decontamination:
         # doc 1 embeds the benchmark phrase "q1 q2 q3 q4" (grams at pos
