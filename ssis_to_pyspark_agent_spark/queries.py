@@ -829,13 +829,16 @@ _WORDS_SQL = "regexp_extract_all(lower(text), '\\S+')"
 
 @query(
     "q30_dedup_exact_digest",
-    # Merged q30+spans: ('doc', survivors of exact-digest dedup) plus
+    # Merged q30+spans+decon: ('doc', survivors of exact-digest dedup),
     # ('span', per-doc exact duplicated-substring-span stats + cleaned
     # length from dedup.spans — the ExactSubstr method of Lee et al.
-    # 2022). The oracle re-derives the spans from raw 8-gram strings
-    # (no hashing): flagged positions -> lag-gap islands -> covered
-    # token removal, mirroring the operator's constant-length span
-    # algebra exactly.
+    # 2022), and ('decon', span-level DECONTAMINATION: docs whose
+    # doc_id % 17 == 0 act as the benchmark corpus; every 8-gram of the
+    # remaining docs that appears ANYWHERE in it flags its positions,
+    # regardless of corpus-internal counts). The oracle re-derives both
+    # span legs from raw 8-gram strings (no hashing): flagged positions
+    # -> lag-gap islands -> covered token removal, mirroring the
+    # operator's constant-length span algebra exactly.
     oracle=f"""
     WITH docs AS (SELECT doc_id, lang, source,
                   string_split({_NORM_SQL}, ' ') AS w FROM documents),
@@ -873,7 +876,30 @@ _WORDS_SQL = "regexp_extract_all(lower(text), '\\S+')"
       SELECT doc_id, lang, source,
              ROW_NUMBER() OVER (PARTITION BY MD5({_NORM_SQL})
                                 ORDER BY doc_id) AS rn
-      FROM documents) WHERE rn = 1)
+      FROM documents) WHERE rn = 1),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+    fp2 AS (SELECT g.doc_id, g.gpos FROM g JOIN bg USING (gram)
+            WHERE g.doc_id % 17 <> 0),
+    lag2 AS (SELECT doc_id, gpos,
+             gpos - lag(gpos) OVER (PARTITION BY doc_id ORDER BY gpos)
+               AS gap
+             FROM fp2),
+    isl2 AS (SELECT doc_id, gpos,
+             SUM(CASE WHEN gap IS NULL OR gap > 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY gpos
+                     ROWS UNBOUNDED PRECEDING) AS isl
+             FROM lag2),
+    spans2 AS (SELECT doc_id, MIN(gpos) AS s, MAX(gpos) + 8 AS e
+               FROM isl2 GROUP BY doc_id, isl),
+    sp2 AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_dup_spans,
+                   CAST(SUM(e - s) AS INT) AS dup_tokens
+            FROM spans2 GROUP BY doc_id),
+    cov2 AS (SELECT doc_id, unnest(range(s, e)) AS p FROM spans2),
+    kept2 AS (SELECT t.doc_id, t.p, t.tok
+              FROM toks t LEFT JOIN cov2 c ON c.doc_id = t.doc_id AND c.p = t.p
+              WHERE t.doc_id % 17 <> 0 AND c.p IS NULL),
+    clean2 AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct
+               FROM kept2 GROUP BY doc_id)
     SELECT 'doc' AS kind, doc_id, lang, source,
            CAST(NULL AS INT) AS n_dup_spans,
            CAST(NULL AS INT) AS dup_tokens,
@@ -885,11 +911,20 @@ _WORDS_SQL = "regexp_extract_all(lower(text), '\\S+')"
            CAST(length(COALESCE(c.ct, '')) AS INT)
     FROM docs d LEFT JOIN sp ON sp.doc_id = d.doc_id
     LEFT JOIN clean c ON c.doc_id = d.doc_id
+    UNION ALL
+    SELECT 'decon', d.doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           COALESCE(sp2.n_dup_spans, 0), COALESCE(sp2.dup_tokens, 0),
+           CAST(length(COALESCE(c2.ct, '')) AS INT)
+    FROM docs d LEFT JOIN sp2 ON sp2.doc_id = d.doc_id
+    LEFT JOIN clean2 c2 ON c2.doc_id = d.doc_id
+    WHERE d.doc_id % 17 <> 0
     """,
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized-text digest (keep-min-doc_id) unioned
-    with per-doc exact duplicated-substring-span stats (dedup.spans)."""
+    with per-doc exact duplicated-substring-span stats (dedup.spans)
+    and span-level decontamination against an in-corpus benchmark split
+    (dedup.spans with a second input)."""
     from ssis_to_pyspark_agent_spark.operators.dedup import _norm_text
 
     p = (
@@ -899,6 +934,12 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("dd", "dedup.exact", "fp", columns=["_digest"],
               keep_by=[("doc_id", "asc")])
         .step("sp", "dedup.spans", "documents", id_col="doc_id",
+              text_col="text", n=8, emit_clean=True)
+        .step("bench", "filter", "documents",
+              predicate="doc_id % 17 = 0", sql=True)
+        .step("main", "filter", "documents",
+              predicate="doc_id % 17 != 0", sql=True)
+        .step("dc", "dedup.spans", ["main", "bench"], id_col="doc_id",
               text_col="text", n=8, emit_clean=True)
     )
     r = run_pipeline(spark, p)
@@ -915,7 +956,14 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_spans", "dup_tokens",
         F.length("text_clean").cast("int").alias("clean_len"),
     )
-    return surv.unionByName(spans)
+    decon = r.df("dc").select(
+        F.lit("decon").alias("kind"), "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        "n_dup_spans", "dup_tokens",
+        F.length("text_clean").cast("int").alias("clean_len"),
+    )
+    return surv.unionByName(spans).unionByName(decon)
 
 
 _SHINGLE_SQL = """
@@ -1130,6 +1178,10 @@ _LANGS_SQL = {
     # chained in one pipeline — plus text.pack sequence packing (global
     # ws_tokens prefix sum in doc_id order, capacity 512; the engine's
     # two-phase distributed scan must equal this naive SQL cumsum).
+    # Tagged union: ('doc', per-doc features) rows plus ('chunk',
+    # text.pack emit='text' materialized packed sequences — md5 + token
+    # count of each 512-token chunk of the normalized global token
+    # stream, re-derived in SQL from the same cumsum).
     oracle=f"""
     WITH tok AS (
       SELECT doc_id,
@@ -1184,17 +1236,37 @@ _LANGS_SQL = {
              CASE WHEN ws_tokens > 0
                   THEN CAST((tok_offset + ws_tokens - 1) // 512 AS BIGINT)
              END AS last_chunk
-      FROM pk)
-    SELECT t.doc_id, t.ws_tokens, t.bpe_tokens, t.fp_md5,
+      FROM pk),
+    pwords AS (SELECT doc_id,
+                      list_filter(string_split({_NORM_SQL}, ' '),
+                                  t -> t <> '') AS w
+               FROM documents),
+    pstream AS (SELECT doc_id, unnest(range(0, len(w))) AS i,
+                       unnest(w) AS tok
+                FROM pwords),
+    pglob AS (SELECT p.tok_offset + s.i AS g, s.tok
+              FROM pstream s JOIN pk p USING (doc_id)),
+    pchunk AS (SELECT CAST(g // 512 AS BIGINT) AS chunk_id,
+                      MD5(string_agg(tok, ' ' ORDER BY g)) AS packed_md5,
+                      CAST(COUNT(*) AS INT) AS packed_tokens
+               FROM pglob GROUP BY g // 512)
+    SELECT 'doc' AS kind, t.doc_id, t.ws_tokens, t.bpe_tokens, t.fp_md5,
            q.n_chars, q.n_words, q.mean_word_len, q.punct_ratio,
            q.digit_ratio, q.stopword_ratio, l.lang_pred, l.lang_score,
            p.tok_offset, p.first_chunk, p.last_chunk,
            CAST(COALESCE(p.last_chunk - p.first_chunk + 1, 0) AS INT)
-             AS n_chunks
+             AS n_chunks,
+           CAST(NULL AS VARCHAR) AS packed_md5,
+           CAST(NULL AS INT) AS packed_tokens
     FROM tok t
     JOIN qual q ON q.doc_id = t.doc_id
     JOIN (SELECT * FROM lbest WHERE rn = 1) l ON l.doc_id = t.doc_id
     JOIN pk2 p ON p.doc_id = t.doc_id
+    UNION ALL
+    SELECT 'chunk', chunk_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           packed_md5, packed_tokens
+    FROM pchunk
     """,
 )
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1212,8 +1284,31 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "digit_ratio", "stopword_ratio", "lang_pred",
                        "lang_score", "tok_offset", "first_chunk",
                        "last_chunk", "n_chunks"])
+        .step("pkt", "text.pack", "documents", id_col="doc_id",
+              count_col=None, text_col="text", capacity=512, emit="text")
     )
-    return run_pipeline(spark, p).df("prj")
+    r = run_pipeline(spark, p)
+    docs = (
+        r.df("prj")
+        .withColumn("kind", F.lit("doc"))
+        .withColumn("packed_md5", F.lit(None).cast("string"))
+        .withColumn("packed_tokens", F.lit(None).cast("int"))
+    )
+    doc_cols = [c for c in docs.columns if c != "kind"]
+    docs = docs.select("kind", *doc_cols)
+    null_of = {c: docs.schema[c].dataType for c in doc_cols}
+    chunks = r.df("pkt").select(
+        F.lit("chunk").alias("kind"),
+        F.col("chunk_id").alias("doc_id"),
+        *[
+            F.lit(None).cast(null_of[c]).alias(c)
+            for c in doc_cols
+            if c not in ("doc_id", "packed_md5", "packed_tokens")
+        ],
+        F.md5("text").alias("packed_md5"),
+        F.col("n_tokens").cast("int").alias("packed_tokens"),
+    )
+    return docs.unionByName(chunks)
 
 
 # -- similarity search ------------------------------------------------------
@@ -1868,6 +1963,14 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `pick_wm` foreach container: iterates watermark candidates and
       keeps the max via an Expression Task (skipping the container would
       leave the 1990 sentinel -> more rows -> hash mismatch);
+    - `set_threshold` FOR LOOP container (For Loop at reference
+      data_engineering_parser.py:336-361): Init sets PriceThreshold to
+      15625, Eval re-runs while < 250000, Assign doubles — exactly 4
+      iterations land on 250000.0, which both filters the rows and is
+      emitted as `threshold_used`, so a skipped container, an off-by-one
+      iteration, or a mis-ordered Assign all corrupt the hash (and the
+      doubling means a sabotage-zeroed threshold can never silently
+      re-reach 250000 — it would spin to max_iterations and FAIL);
     - edge count_src -> pick_wm guarded by `@[User::SourceRowCount] > 0`
       (a false/unevaluated guard skips the container -> mismatch);
     - `on_fail` (failure edge) and `sabotage` (DTS:Disabled) would BOTH
@@ -1875,7 +1978,7 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
       only way this query hashes green.
     """
     from ssis_to_pyspark_agent_spark.plans.control import (
-        Foreach, TaskGraph, run_task_graph,
+        Foreach, ForLoop, TaskGraph, run_task_graph,
     )
 
     spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
@@ -1910,8 +2013,8 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "threshold_used"])
 
     g = TaskGraph("q48", variables={
-        "PriceThreshold": 250000.0, "Status": "F",
-        "watermark": "1990-01-01 00:00:00", "SourceRowCount": 0,
+        "Status": "F", "watermark": "1990-01-01 00:00:00",
+        "SourceRowCount": 0, "LoopIters": 0,
     })
     g.task("count_src", "python", bind_rowcount)
     g.task("pick_wm", "foreach", Foreach(
@@ -1919,6 +2022,17 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
         items=["1995-03-15 00:00:00", "1997-06-01 00:00:00",
                "1996-01-01 00:00:00"],
         body=body,
+    ))
+    # For Loop: doubles PriceThreshold 15625 -> 250000 in exactly 4
+    # iterations; the body's Expression Task counts them
+    g.task("set_threshold", "forloop", ForLoop(
+        init=("PriceThreshold", "15625.0"),
+        eval_expr="@[User::PriceThreshold] < 250000",
+        assign=("PriceThreshold", "@[User::PriceThreshold] * 2"),
+        body=TaskGraph("tick").task(
+            "bump", "expression", ("LoopIters", "@[User::LoopIters] + 1")
+        ),
+        max_iterations=64,
     ))
     # would-corrupt tasks: only correct skip semantics keep the hash green
     g.task("on_fail", "expression", ("Status", '"O"'))
@@ -1928,11 +2042,13 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.edge("count_src", "pick_wm", on="success",
            condition="@[User::SourceRowCount] > 0")
     g.edge("count_src", "on_fail", on="failure")
-    g.edge("pick_wm", "sabotage", on="success")
-    g.edge("pick_wm", "load", on="success")
+    g.edge("pick_wm", "set_threshold", on="success")
+    g.edge("set_threshold", "sabotage", on="success")
+    g.edge("set_threshold", "load", on="success")
     results, _ctx = run_task_graph(spark, g)
     assert results["on_fail"].status == "skipped"
     assert "sabotage" not in results  # disabled: never scheduled
+    assert _ctx["LoopIters"] == 4 and _ctx["PriceThreshold"] == 250000.0
     return results["load"].run.df("prj")
 
 
