@@ -149,21 +149,80 @@ def fingerprint(spark: SparkSession, inputs, config, context) -> DataFrame:
 def classify(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Batched model-inference hook (SURVEY §2.12: "sentiment/classify via
     pandas_udf batch model inference"). The plumbing — Arrow batches, label
-    + score columns, model loaded once per worker — is real; the MODEL is a
-    clearly-marked deterministic stub (no ML runtime in this container).
-    Swap `_load_model_stub` for an ONNX/torch session on a real cluster.
+    + score columns, model loaded once per worker — is real, and
+    ``model='logreg'`` runs a REAL (if tiny) model end to end: a numpy
+    multinomial linear classifier over hash-bucketed bag-of-words counts,
+    one vectorized X @ W.T per Arrow batch. Weights are integer — either
+    supplied (``weights``: {label: [hash_dim ints]}, e.g. trained
+    offline) or md5-derived in-code — and features are 60-bit-md5 token
+    buckets, so logits are EXACT integer arithmetic re-derivable in any
+    engine (no sigmoid in the output: cross-engine exp() ulps would
+    poison bit-exact oracles; a logit is a monotone score). The default
+    ``model='stub'`` keeps the original hash pseudo-model; a real
+    ONNX/torch session drops into `_load_model_stub` the same way.
 
-    config: text_col, labels (default sentiment-ish), out prefix."""
+    config: text_col, labels (default sentiment-ish), out prefix,
+    model ('stub'|'logreg'), hash_dim (logreg feature buckets, default
+    64), weights (optional {label: [ints]})."""
     import pandas as pd
 
     df: DataFrame = inputs[0]
     text_col = config["text_col"]
     labels = config.get("labels", ["negative", "neutral", "positive"])
     prefix = config.get("out", "cls")
+    model_kind = config.get("model", "stub")
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
         + [f"{prefix}_label string", f"{prefix}_score double"]
     )
+
+    if model_kind == "logreg":
+        import hashlib
+
+        import numpy as np
+
+        D = int(config.get("hash_dim", 64))
+
+        def _md5i(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        user_w = config.get("weights")
+        if user_w is not None:
+            W = np.array([user_w[lb] for lb in labels], dtype=np.int64)
+            if W.shape != (len(labels), D):
+                raise ValueError(
+                    f"weights must be {len(labels)}x{D}, got {W.shape}"
+                )
+        else:
+            # fixed-in-code deterministic weights: the engine-neutral
+            # 60-bit md5 idiom (same as the LSH hyperplanes oracle)
+            W = np.array(
+                [
+                    [_md5i(f"lrw:{lb}:{d}") % 2001 - 1000 for d in range(D)]
+                    for lb in labels
+                ],
+                dtype=np.int64,
+            )
+
+        def batches(it):
+            for pdf in it:
+                n = len(pdf)
+                X = np.zeros((n, D), dtype=np.int64)
+                for i, t in enumerate(pdf[text_col].fillna("")):
+                    for tok in t.lower().split():
+                        X[i, _md5i(tok) % D] += 1
+                logits = X @ W.T  # (n, L): the vectorized inference pass
+                best = logits.argmax(axis=1)  # tie -> lowest label index
+                yield pdf.assign(
+                    **{
+                        f"{prefix}_label": [labels[b] for b in best],
+                        f"{prefix}_score": logits[
+                            np.arange(n), best
+                        ].astype(float),
+                    }
+                )
+
+        return df.mapInPandas(batches, schema=out_schema)
 
     def _load_model_stub():
         # MODEL HOOK (stub): deterministic pseudo-logits from a text hash.

@@ -1768,7 +1768,32 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN ldf.dfc < 2 THEN length(o.line) ELSE 0 END)
                   + greatest(SUM(CASE WHEN ldf.dfc < 2 THEN 1 ELSE 0 END) - 1,
                              0) AS INT) AS clean_len
-      FROM locc o JOIN ldf USING (line) GROUP BY o.doc_id)
+      FROM locc o JOIN ldf USING (line) GROUP BY o.doc_id),
+    ctoks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               t -> t <> '')) AS tok
+      FROM documents WHERE doc_id % 100 != 0),
+    cfeat AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS d,
+             COUNT(*) AS n
+      FROM ctoks GROUP BY doc_id, d),
+    cwts AS (
+      SELECT l.li, l.lab, d.d,
+             CAST(concat('0x', substr(md5(concat('lrw:', l.lab, ':', d.d)),
+                  1, 15)) AS BIGINT) % 2001 - 1000 AS w
+      FROM (VALUES (0, 'negative'), (1, 'neutral'), (2, 'positive'))
+           l(li, lab), range(64) d(d)),
+    clog AS (
+      SELECT f.doc_id, w.li, w.lab, SUM(f.n * w.w) AS logit
+      FROM cfeat f JOIN cwts w USING (d) GROUP BY f.doc_id, w.li, w.lab),
+    cbest AS (
+      SELECT doc_id, lab, logit,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY logit DESC, li ASC) AS rn
+      FROM clog)
     SELECT r.doc_id, r.n_email, r.n_ipv4, r.n_phone, r.red_len,
            CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
            COALESCE(o.n_overlap, 0) >= 1 AS contaminated,
@@ -1777,12 +1802,15 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
              / CAST(greatest(nl.nlen, 1) AS DOUBLE) AS top_2gram_char_frac,
            CAST(COALESCE(rs.dup5, 0) AS DOUBLE)
              / CAST(greatest(nl.nlen, 1) AS DOUBLE) AS dup_5gram_char_frac,
-           bp.n_boilerplate_lines, bp.clean_len
+           bp.n_boilerplate_lines, bp.clean_len,
+           COALESCE(cb.lab, 'negative') AS cls_label,
+           CAST(COALESCE(cb.logit, 0) AS DOUBLE) AS cls_score
     FROM red r LEFT JOIN overlap o ON o.doc_id = r.doc_id
     JOIN lstat ls ON ls.doc_id = r.doc_id
     JOIN rstat rs ON rs.doc_id = r.doc_id
     JOIN nl ON nl.doc_id = r.doc_id
     JOIN bp ON bp.doc_id = r.doc_id
+    LEFT JOIN (SELECT * FROM cbest WHERE rn = 1) cb ON cb.doc_id = r.doc_id
     """,
 )
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1790,7 +1818,13 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         _p("q44", sf_dir, "documents")
         .step("bench", "filter", "documents", predicate="[doc_id] % 100 == 0")
         .step("corpus", "filter", "documents", predicate="[doc_id] % 100 != 0")
-        .step("aug", "derived_column", "corpus", columns={
+        # REAL model inference in the hygiene pass: numpy linear
+        # classifier over md5-bucketed bag-of-words (integer logits,
+        # re-derived exactly in the oracle); quality-classifier filtering
+        # is a standard pretraining-pipeline stage
+        .step("cls", "text.classify", "corpus", text_col="text",
+              model="logreg", hash_dim=64)
+        .step("aug", "derived_column", "cls", columns={
             "t": F.concat(
                 F.col("text"), F.lit(" contact user"), F.col("doc_id"),
                 F.lit("@example.com at 10.0."), F.col("doc_id") % 256,
@@ -1837,7 +1871,8 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "red_len", "n_overlap", "contaminated",
                        "dup_line_frac", "dup_line_char_frac",
                        "top_2gram_char_frac", "dup_5gram_char_frac",
-                       "n_boilerplate_lines", "clean_len"])
+                       "n_boilerplate_lines", "clean_len",
+                       "cls_label", "cls_score"])
     )
     return run_pipeline(spark, p).df("prj")
 

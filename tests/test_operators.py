@@ -1263,6 +1263,61 @@ class TestTextClassify:
         ]
         assert all(0.5 <= r.cls_score <= 1.0 for r in a)
 
+    def test_logreg_trained_in_test(self, spark):
+        # train a real logistic regression (numpy gradient descent) on
+        # hash-bucketed bag-of-words, quantize the weights to ints, and
+        # run inference THROUGH the operator's Arrow path — predictions
+        # must match the model's own forward pass, and the model must
+        # actually have learned the synthetic task
+        import hashlib
+
+        import numpy as np
+
+        D, labels = 32, ["bad", "good"]
+        pos_vocab = ["great", "excellent", "love", "superb", "fine"]
+        neg_vocab = ["awful", "terrible", "hate", "broken", "worst"]
+        filler = ["the", "a", "item", "was", "very", "quite"]
+        rng = np.random.RandomState(7)
+
+        def doc(y):
+            words = list(rng.choice(pos_vocab if y else neg_vocab, 3))
+            words += list(rng.choice(filler, 4))
+            rng.shuffle(words)
+            return " ".join(words)
+
+        def feat(text):
+            x = np.zeros(D)
+            for tok in text.lower().split():
+                x[int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % D] += 1
+            return x
+
+        ys = rng.randint(0, 2, 200)
+        docs = [doc(y) for y in ys]
+        X = np.stack([feat(t) for t in docs])
+        w = np.zeros(D)
+        for _ in range(300):  # plain logistic GD
+            p = 1 / (1 + np.exp(-(X @ w)))
+            w -= 0.1 * (X.T @ (p - ys)) / len(ys)
+        Wq = np.round(w * 1000).astype(np.int64)
+        weights = {"bad": (-Wq).tolist(), "good": Wq.tolist()}
+
+        test_rows = [(i, doc(i % 2)) for i in range(60)]
+        df = spark.createDataFrame(test_rows, "id long, text string")
+        out = {r.id: r for r in run(
+            "text.classify", spark, [df], text_col="text", model="logreg",
+            hash_dim=D, labels=labels, weights=weights).collect()}
+        # operator output == the model's own forward pass
+        for i, t in test_rows:
+            logits = np.array([feat(t) @ (-Wq), feat(t) @ Wq])
+            assert out[i].cls_label == labels[int(logits.argmax())]
+            assert out[i].cls_score == float(logits.max())
+        # and the trained model actually classifies the task
+        acc = sum(
+            out[i].cls_label == ("good" if i % 2 else "bad")
+            for i, _ in test_rows
+        ) / len(test_rows)
+        assert acc >= 0.95
+
 
 class TestIvfKmeans:
     def test_full_probe_matches_bruteforce(self, spark):
