@@ -1365,3 +1365,262 @@ def dedup_minhash_incremental(spark: SparkSession, inputs, config, context):
     if len(result) == 1:
         return out
     return result
+
+
+@operator("dedup.semantic")
+def dedup_semantic(spark: SparkSession, inputs, config, context):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space with k-means, then compare vectors ONLY within their cluster —
+    pairs with cosine >= ``threshold`` are semantic duplicates, and one
+    of each pair is dropped. Complements dedup.embedding's global
+    hyperplane-LSH: SemDeDup's cluster scoping is the web-scale recipe
+    when a clustering already exists (or is cheap), and its per-cluster
+    candidate model bounds work at sum(|cluster|^2) instead of relying
+    on bucket collision odds.
+
+    keep:
+      'min_id' (default)  — drop the larger id of each pair (the
+                            convention every other dedup.* op uses);
+      'far_centroid'      — the paper's rule: keep the example FARTHEST
+                            from its centroid (maximize diversity); a
+                            row is dropped if any over-threshold partner
+                            is farther from (or equally far from, with a
+                            smaller id than) it.
+
+    Centroids: ``kmeans=True`` runs Lloyd's on a seeded driver sample
+    (real path); default is the deterministic hash-sample shared with
+    similarity.topk_ivf — ``centroid_order='md5'`` + ``quantize`` makes
+    assignment, pair cosines, and the keep rule exact integer-derived
+    arithmetic any SQL engine reproduces (the q38/q40 oracle idiom).
+
+    Scale plan: assignment is one numpy matmul per Arrow batch
+    (_ivf_assign_frame); the only shuffles move (id, vector) rows into
+    their cluster for the self-join — payload vectors shuffle ONCE, and
+    at 100 TB the assigned corpus would be written partitioned by
+    cluster and amortized. ``cluster_cap`` (default 200k) fails fast on
+    a degenerate cluster whose self-join would explode; re-cluster with
+    more centroids instead of silently burning a quadratic.
+
+    Output: survivors (+ 'pairs' (a, b, cosine, cluster) and
+    'assignments' (id, cluster) ports when requested).
+
+    Reference has no counterpart (nearest: Fuzzy Grouping,
+    data_engineering_parser.py:1114) — NEW per SURVEY §2.12.
+    """
+    from ssis_to_pyspark_agent_spark.operators.similarity import (
+        _cosine,
+        _ivf_assign_frame,
+        _kmeans_centroids,
+    )
+    from ssis_to_pyspark_agent_spark.operators.similarity import (
+        _pair_cosine_frame,
+    )
+
+    df: DataFrame = inputs[0]
+    id_col, vec_col = config["id_col"], config["vec_col"]
+    threshold = config.get("threshold", 0.95)
+    n_clusters = int(config.get("n_clusters", 16))
+    quantize = config.get("quantize")
+    keep = config.get("keep", "min_id")
+    if keep not in ("min_id", "far_centroid"):
+        raise ValueError(f"keep must be 'min_id' or 'far_centroid', got {keep!r}")
+
+    base = _spread(spark, df).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    if config.get("kmeans"):
+        cent_rows = _kmeans_centroids(
+            base.withColumnRenamed("_id", "corpus_id")
+            .withColumnRenamed("_v", "_cv"),
+            n_clusters,
+            sample_n=config.get("kmeans_sample", 10_000),
+            iters=config.get("kmeans_iters", 10),
+            seed=config.get("seed", 42),
+        )
+        cents = [list(r["_centv"]) for r in cent_rows]
+    else:
+        if config.get("centroid_order") == "md5":
+            key = F.md5(F.col("_id").cast("string"))
+        else:
+            key = F.xxhash64(F.col("_id").cast("string"))
+        cents = [
+            list(r["_v"])
+            for r in base.orderBy(key).limit(n_clusters).collect()
+        ]
+
+    if quantize:
+        assigned = (
+            _ivf_assign_frame(base, "_id", "_v", cents, quantize, 1)
+            .withColumn("_cid", F.col("_cids")[0])
+            .drop("_cids")
+        )
+    else:
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in c]).alias("v"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        scored = F.transform(
+            cent_arr,
+            lambda s: F.struct(
+                (-_cosine(F.col("_v"), s["v"], None)).alias("neg"),
+                s["cid"].alias("cid"),
+            ),
+        )
+        assigned = base.withColumn(
+            "_cid", F.array_sort(scored)[0]["cid"]
+        )
+
+    # persist BEFORE the cap probe: the probe then materializes the
+    # cache instead of burning a throwaway assignment pass
+    assigned = assigned.persist()
+    cap = int(config.get("cluster_cap", 200_000))
+    sizes = assigned.groupBy("_cid").agg(F.count(F.lit(1)).alias("_n"))
+    worst = sizes.agg(F.max("_n")).collect()[0][0]
+    if worst is not None and worst > cap:
+        assigned.unpersist()
+        raise ValueError(
+            f"dedup.semantic: a cluster holds {worst} rows (> cluster_cap"
+            f"={cap}); its within-cluster self-join would be quadratic. "
+            f"Raise n_clusters (or kmeans=True for balanced lists), or "
+            f"raise cluster_cap explicitly."
+        )
+
+    # within-cluster pairs. Default ('bucket', quantized): groupBy
+    # cluster + applyInPandas — each vector ships into its cluster ONCE
+    # and the |c| x |c| cosine matrix runs as blocked BLAS, emitting
+    # only over-threshold pairs. The 'join' impl self-joins on cluster
+    # id: it materializes every candidate pair ROW (two vectors each)
+    # before scoring, which measured 3x slower at 505k x 512-cluster
+    # scale — kept for cross-checks and for clusters too fat to score
+    # blockwise. Values are identical: both round through _half_up and
+    # run the same IEEE dot/(sqrt*sqrt).
+    id_type = df.schema[id_col].dataType.simpleString()
+    verify_impl = config.get(
+        "verify_impl", "bucket" if quantize else "join"
+    )
+    if verify_impl == "bucket" and quantize:
+        import numpy as np
+        import pandas as pd
+
+        from ssis_to_pyspark_agent_spark.operators.similarity import (
+            _half_up,
+            _vecmat,
+        )
+
+        def cluster_pairs(key, pdf):
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame(
+                    {"a": [], "b": [], "cosine": [], "cluster": []}
+                )
+            ids = pdf["_id"].to_numpy()
+            m = _half_up(_vecmat(pdf["_v"]), quantize)
+            norms = np.sqrt((m * m).sum(axis=1))
+            outs = []
+            block = 2048
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (m[s:e] @ m.T) / (
+                        norms[s:e, None] * norms[None, :]
+                    )
+                bi, bj = np.nonzero(cos >= threshold)
+                gi = bi + s
+                keep_m = gi < bj  # upper triangle in row order
+                gi, bj = gi[keep_m], bj[keep_m]
+                if len(gi):
+                    ia, ib = ids[gi], ids[bj]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "a": np.minimum(ia, ib),
+                                "b": np.maximum(ia, ib),
+                                "cosine": cos[bi[keep_m], bj],
+                                "cluster": key[0],
+                            }
+                        )
+                    )
+            if not outs:
+                return pd.DataFrame(
+                    {"a": [], "b": [], "cosine": [], "cluster": []}
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        pairs = assigned.groupBy("_cid").applyInPandas(
+            cluster_pairs,
+            schema=f"a {id_type}, b {id_type}, cosine double, cluster int",
+        ).persist()
+    else:
+        left = assigned.select(
+            F.col("_cid"), F.col("_id").alias("a"), F.col("_v").alias("_va")
+        )
+        right = assigned.select(
+            F.col("_cid"), F.col("_id").alias("b"), F.col("_v").alias("_vb")
+        )
+        cand = left.join(right, "_cid").filter(F.col("a") < F.col("b"))
+        pairs = (
+            _pair_cosine_frame(
+                cand, "_va", "_vb", ["_cid", "a", "b"], quantize
+            )
+            .filter(F.col("cosine") >= threshold)
+            .withColumnRenamed("_cid", "cluster")
+            .select("a", "b", "cosine", "cluster")
+            .persist()
+        )
+    pairs.count()
+
+    if keep == "min_id":
+        out = _keep_min_survivors(df, id_col, pairs)
+    else:
+        # paper rule: within a duplicate pair, drop the row CLOSER to its
+        # centroid (more typical); tie on centroid-cosine drops the
+        # larger id. Rank key is the quantized centroid cosine — exact
+        # integer-derived arithmetic, so any engine agrees on the order.
+        cents_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+        )
+        rank = assigned.select(
+            F.col("_id"),
+            _cosine(
+                F.col("_v"), F.element_at(cents_lit, F.col("_cid") + 1),
+                quantize,
+            ).alias("_ccos"),
+        )
+        e = (
+            pairs.join(rank.withColumnRenamed("_id", "a")
+                       .withColumnRenamed("_ccos", "_ca"), "a")
+            .join(rank.withColumnRenamed("_id", "b")
+                  .withColumnRenamed("_ccos", "_cb"), "b")
+        )
+        dropped = (
+            e.select(
+                F.when(
+                    (F.col("_ca") > F.col("_cb"))
+                    | ((F.col("_ca") == F.col("_cb")) & (F.col("a") > F.col("b"))),
+                    F.col("a"),
+                ).otherwise(F.col("b")).alias(id_col)
+            )
+            .distinct()
+            .persist()
+        )
+        dropped.count()  # materialize while `assigned` is still cached
+        out = df.join(dropped, id_col, "left_anti")
+
+    result = {"out": out}
+    if config.get("return_pairs"):
+        result["pairs"] = pairs
+    if config.get("return_assignments"):
+        result["assignments"] = assigned.select(
+            F.col("_id").alias(id_col), F.col("_cid").alias("cluster")
+        )
+    else:
+        assigned.unpersist()
+    if len(result) == 1:
+        return out
+    return result

@@ -1473,11 +1473,44 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q40_dedup_embedding_pairs",
+    # Merged q40+semantic: ('pair', global brute-force cosine pairs) plus
+    # SemDeDup (Abbas et al. 2023) — ('sem_pair', within-cluster pairs
+    # with the md5-ordered deterministic centroids and quantized-cosine
+    # assignment re-derived in SQL, cluster id included) and ('sem_surv',
+    # keep-min survivors of the semantic pass).
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
-    SELECT x.vec_id AS a, y.vec_id AS b, {_QCOS_SQL.replace("a[i]", "x.embedding[i]").replace("b[i]", "y.embedding[i]").replace("(a,", "(x.embedding,").replace("(b,", "(y.embedding,")} AS cosine
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    cent AS (
+      SELECT embedding AS cv,
+             CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+                  - 1 AS INT) AS cid
+      FROM e
+      QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 4),
+    asg AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_QCOS_SQL.replace("a[i]", "e.embedding[i]").replace("b[i]", "c.cv[i]").replace("(a,", "(e.embedding,").replace("(b,", "(c.cv,")} DESC,
+                          c.cid ASC) AS rn
+        FROM e, cent c) WHERE rn = 1),
+    sem AS (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             {_QCOS_SQL.replace("a[i]", "x.embedding[i]").replace("b[i]", "y.embedding[i]").replace("(a,", "(x.embedding,").replace("(b,", "(y.embedding,")} AS cosine,
+             x.cid AS cluster
+      FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE {_QCOS_SQL.replace("a[i]", "x.embedding[i]").replace("b[i]", "y.embedding[i]").replace("(a,", "(x.embedding,").replace("(b,", "(y.embedding,")} >= 0.35)
+    SELECT 'pair' AS kind, x.vec_id AS a, y.vec_id AS b,
+           {_QCOS_SQL.replace("a[i]", "x.embedding[i]").replace("b[i]", "y.embedding[i]").replace("(a,", "(x.embedding,").replace("(b,", "(y.embedding,")} AS cosine,
+           CAST(NULL AS INT) AS cluster
     FROM e x JOIN e y ON x.vec_id < y.vec_id
     WHERE {_QCOS_SQL.replace("a[i]", "x.embedding[i]").replace("b[i]", "y.embedding[i]").replace("(a,", "(x.embedding,").replace("(b,", "(y.embedding,")} >= 0.35
+    UNION ALL
+    SELECT 'sem_pair', a, b, cosine, cluster FROM sem
+    UNION ALL
+    SELECT 'sem_surv', vec_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INT)
+    FROM e WHERE vec_id NOT IN (SELECT b FROM sem)
     """,
 )
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1491,8 +1524,25 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
               vec_col="embedding", threshold=0.35, brute_force=True,
               method="pandas",  # vectorized matmul; values identical to expr
               quantize=10000, return_pairs=True)
+        .step("sem", "dedup.semantic", "sub", id_col="vec_id",
+              vec_col="embedding", threshold=0.35, n_clusters=4,
+              centroid_order="md5", quantize=10000, return_pairs=True)
     )
-    return run_pipeline(spark, p).df("dd.pairs")
+    r = run_pipeline(spark, p)
+    pair = r.df("dd.pairs").select(
+        F.lit("pair").alias("kind"), "a", "b", "cosine",
+        F.lit(None).cast("int").alias("cluster"),
+    )
+    sem_pair = r.df("sem.pairs").select(
+        F.lit("sem_pair").alias("kind"), "a", "b", "cosine", "cluster",
+    )
+    sem_surv = r.df("sem.out").select(
+        F.lit("sem_surv").alias("kind"), F.col("vec_id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.lit(None).cast("int").alias("cluster"),
+    )
+    return pair.unionByName(sem_pair).unionByName(sem_surv)
 
 
 # -- events: batch windows, sessionization, JSON, streaming -----------------

@@ -1319,6 +1319,103 @@ class TestTextClassify:
         assert acc >= 0.95
 
 
+class TestSemanticDedup:
+    def _clustered(self, spark):
+        # two well-separated directions. Ids 27 and 6 are the md5-hex-
+        # smallest (centroid_order='md5' picks them as the centroids,
+        # one per direction); 1~=0 and 11~=10 are planted near-dups; 2
+        # and 12 are distinct members of the same clusters.
+        rows = [
+            (6, [0.7, -0.7, 0.0, 0.0]),
+            (0, [0.999, 0.01, 0.0, 0.0]),
+            (1, [0.999, 0.012, 0.0, 0.0]),
+            (2, [0.9, 0.4, 0.0, 0.0]),
+            (27, [0.0, 0.0, 0.7, 0.7]),
+            (10, [0.0, 0.0, 0.999, 0.01]),
+            (11, [0.0, 0.0, 0.999, 0.012]),
+            (12, [0.0, 0.3, 0.9, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    def test_within_cluster_pairs_and_survivors(self, spark):
+        df = self._clustered(spark)
+        r = run("dedup.semantic", spark, [df], id_col="vec_id", vec_col="v",
+                n_clusters=2, threshold=0.99, quantize=10000,
+                centroid_order="md5", return_pairs=True,
+                return_assignments=True)
+        pairs = {(p.a, p.b) for p in r["pairs"].collect()}
+        assert pairs == {(0, 1), (10, 11)}
+        assert {x.vec_id for x in r["out"].collect()} == {0, 2, 6, 10, 12, 27}
+        asg = {a.vec_id: a.cluster for a in r["assignments"].collect()}
+        # cluster scoping: the two planted groups never share a cluster
+        assert len({asg[0], asg[10]}) == 2
+        assert asg[0] == asg[1] == asg[2] == asg[6]
+        assert asg[10] == asg[11] == asg[12] == asg[27]
+
+    def test_far_centroid_keep_rule(self, spark):
+        # keep='far_centroid' keeps the pair member FARTHER from its
+        # centroid (the SemDeDup diversity rule) — here that is the
+        # LARGER id, so the outcome provably differs from min_id.
+        # Centroid = vec of id 27 (md5-smallest), one cluster.
+        rows = [
+            (27, [1.0, 0.0, 0.0, 0.0]),
+            (0, [0.95, 0.312, 0.0, 0.0]),   # cos to centroid 0.95
+            (1, [0.9, 0.436, 0.0, 0.0]),    # cos to centroid 0.90
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        cfg = dict(id_col="vec_id", vec_col="v", n_clusters=1,
+                   threshold=0.98, quantize=10000, centroid_order="md5",
+                   return_pairs=True)
+        r = run("dedup.semantic", spark, [df], keep="far_centroid", **cfg)
+        assert {(p.a, p.b) for p in r["pairs"].collect()} == {(0, 1)}
+        # 0 is closer to the centroid -> dropped; 1 survives
+        assert {x.vec_id for x in r["out"].collect()} == {1, 27}
+        r2 = run("dedup.semantic", spark, [df], **cfg)  # min_id default
+        assert {x.vec_id for x in r2["out"].collect()} == {0, 27}
+
+    def test_deterministic_and_matches_bruteforce_in_cluster(self, spark):
+        import itertools
+        import math
+
+        df = self._clustered(spark)
+        cfg = dict(id_col="vec_id", vec_col="v", n_clusters=2,
+                   threshold=0.9, quantize=10000, centroid_order="md5",
+                   return_pairs=True, return_assignments=True)
+        r1 = run("dedup.semantic", spark, [df], **cfg)
+        got = {(p.a, p.b): p.cosine for p in r1["pairs"].collect()}
+        r2 = run("dedup.semantic", spark, [df], **cfg)
+        assert got == {(p.a, p.b): p.cosine for p in r2["pairs"].collect()}
+        # brute-force within the operator's own clusters
+        asg = {a.vec_id: a.cluster for a in r1["assignments"].collect()}
+        rows = {r[0]: r[1] for r in self._clustered(spark).collect()}
+
+        def qcos(x, y):
+            qx = [math.floor(v * 10000 + 0.5) for v in x]
+            qy = [math.floor(v * 10000 + 0.5) for v in y]
+            d = sum(a * b for a, b in zip(qx, qy))
+            return d / (math.sqrt(sum(a * a for a in qx))
+                        * math.sqrt(sum(b * b for b in qy)))
+
+        expect = {
+            (a, b): qcos(rows[a], rows[b])
+            for a, b in itertools.combinations(sorted(rows), 2)
+            if asg[a] == asg[b] and qcos(rows[a], rows[b]) >= 0.9
+        }
+        assert got == expect
+        # the blocked-BLAS bucket verify (default) and the pair-join
+        # verify must be value-identical
+        rj = run("dedup.semantic", spark, [df], verify_impl="join", **cfg)
+        assert got == {(p.a, p.b): p.cosine for p in rj["pairs"].collect()}
+
+    def test_cluster_cap_guard(self, spark):
+        df = self._clustered(spark)
+        import pytest
+
+        with pytest.raises(ValueError, match="cluster_cap"):
+            run("dedup.semantic", spark, [df], id_col="vec_id",
+                vec_col="v", n_clusters=1, threshold=0.9, cluster_cap=4)
+
+
 class TestIvfKmeans:
     def test_full_probe_matches_bruteforce(self, spark):
         import random

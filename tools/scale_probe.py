@@ -210,6 +210,44 @@ def probe_embdedup(spark, n_vec=200_000, dim=64):
     docs.unpersist()
 
 
+def probe_semantic(spark, n_vec=500_000, dim=64, n_clusters=512):
+    """dedup.semantic (SemDeDup) at 500k vectors / 512 kmeans clusters
+    with 1% planted near-dups. The cost model is assignment (one numpy
+    matmul per Arrow batch) + sum(|cluster|^2) within-cluster verify —
+    at even occupancy ~1k rows/cluster that is ~500M pair-cosines
+    upper-bounded, but the einsum verify only materializes over-threshold
+    pairs. Planted dups are scale-perturbed copies (cosine ~1), so they
+    always share a cluster with their original: recall must be 100%."""
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 1000) / 500.0 - 1.0),
+    )
+    base = spark.range(n_vec).repartition(32).select(
+        F.col("id").alias("vid"), vec.alias("v")
+    )
+    dups = base.filter(F.pmod("vid", 100) == 0).select(
+        (F.col("vid") + n_vec).alias("vid"),
+        F.transform("v", lambda x: x * 1.0001).alias("v"),
+    )
+    docs = base.unionByName(dups).persist()
+    total = docs.count()
+    t0 = time.perf_counter()
+    out = get_operator("dedup.semantic")(
+        spark, [docs],
+        {"id_col": "vid", "vec_col": "v", "threshold": 0.98,
+         "n_clusters": n_clusters, "kmeans": True, "quantize": 10000},
+        {},
+    )
+    n = out.count()
+    dt = time.perf_counter() - t0
+    print(
+        f"PROBE semantic: n={total} clusters={n_clusters} {dt:.1f}s "
+        f"({total/dt:,.0f} vec/s) survivors={n} "
+        f"dups_removed={total - n}/{n_vec // 100}"
+    )
+    docs.unpersist()
+
+
 def probe_cdc(spark, n_dim=20_000_000, n_upd=200_000, n_del=100_000):
     """The flagship (q50) CDC path at 1000x the bench dimension size:
     merge_upsert / merge_delete / scd2 against a 20M-row dimension with a
@@ -878,6 +916,8 @@ def main():
         probe_skew(spark)
     if which in ("embdedup", "all"):
         probe_embdedup(spark)
+    if which in ("semantic", "all"):
+        probe_semantic(spark)
     if which in ("cdc", "all"):
         probe_cdc(spark)
     if which in ("hygiene", "all"):
