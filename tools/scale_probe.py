@@ -660,6 +660,58 @@ def probe_pack(spark, n=20_000_000, cap=2048):
     df.unpersist()
 
 
+def probe_pack_skew(spark, n=20_000_000, cap=2048):
+    """text.pack on snowflake-style sparse ids at 20M rows: 99.9% of the
+    rows sit in a dense id cluster occupying ~2e-9 of the id span (the
+    rest are scattered stragglers), so equal-width bucketing collapses
+    into one bucket and the quantile rebalance's recursive histogram
+    zoom must engage. Same complete fill-exactness check as probe_pack,
+    plus the planner's own bucket histogram is asserted balanced."""
+    base = 1_700_000_000_000_000
+    sparse = F.when(
+        F.pmod(F.col("id"), 1000) == 0,
+        F.col("id") * F.lit(77_000_003),  # stragglers over the full span
+    ).otherwise(base + F.col("id"))
+    df = (
+        spark.range(n)
+        .repartition(64)
+        .select(
+            sparse.alias("id"),
+            (F.pmod(F.xxhash64(F.col("id")), 100) + 1).cast("int").alias("cnt"),
+        )
+        .persist()
+    )
+    total = df.agg(F.sum("cnt")).collect()[0][0]
+    ctx = {}
+    t0 = time.perf_counter()
+    ch = get_operator("text.pack")(
+        spark, [df],
+        {"id_col": "id", "count_col": "cnt", "capacity": cap,
+         "emit": "chunks"}, ctx,
+    )
+    fills = ch.groupBy("chunk_id").agg(
+        F.sum(F.col("doc_tok_end") - F.col("doc_tok_start")).alias("fill")
+    ).persist()
+    n_chunks = fills.count()
+    bad = fills.filter(
+        (F.col("fill") != cap)
+        & (F.col("chunk_id") != (total - 1) // cap)
+    ).count()
+    dt = time.perf_counter() - t0
+    buckets = ctx.get("_pack_bucket_rows", {})
+    maxshare = (
+        max(buckets.values()) / n if buckets else float("nan")
+    )
+    exp_chunks = (total + cap - 1) // cap
+    print(
+        f"PROBE pack_skew: n={n} pack+verify={dt:.1f}s ({n/dt:,.0f} docs/s) "
+        f"chunks={n_chunks} (expect {exp_chunks}) underfilled_nonfinal={bad} "
+        f"(expect 0) buckets={len(buckets)} max_bucket_share={maxshare:.3f}"
+    )
+    fills.unpersist()
+    df.unpersist()
+
+
 def probe_mixture(spark, n=20_000_000):
     """sample.mixture at 20M rows — zero-shuffle by design; exact
     multiplicities for integer weights, binomial for fractional."""
@@ -934,6 +986,8 @@ def main():
         probe_incremental(spark)
     if which in ("pack", "all"):
         probe_pack(spark)
+    if which in ("pack_skew", "all"):
+        probe_pack_skew(spark)
     if which in ("mixture", "all"):
         probe_mixture(spark)
     if which in ("novelty", "all"):
