@@ -1429,6 +1429,22 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
     base = _spread(spark, df).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
+    id_type = df.schema[id_col].dataType.simpleString()
+    if base.limit(1).count() == 0:
+        # empty corpus: no centroids exist, so short-circuit with empty
+        # ports of the documented shapes (the assignment kernel cannot
+        # run against a 0-row centroid matrix)
+        empty_pairs = spark.createDataFrame(
+            [], f"a {id_type}, b {id_type}, cosine double, cluster int"
+        )
+        result = {"out": df}
+        if config.get("return_pairs"):
+            result["pairs"] = empty_pairs
+        if config.get("return_assignments"):
+            result["assignments"] = spark.createDataFrame(
+                [], f"{id_col} {id_type}, cluster int"
+            )
+        return result if len(result) > 1 else df
     if config.get("kmeans"):
         cent_rows = _kmeans_centroids(
             base.withColumnRenamed("_id", "corpus_id")
@@ -1500,11 +1516,20 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
     # scale — kept for cross-checks and for clusters too fat to score
     # blockwise. Values are identical: both round through _half_up and
     # run the same IEEE dot/(sqrt*sqrt).
-    id_type = df.schema[id_col].dataType.simpleString()
     verify_impl = config.get(
         "verify_impl", "bucket" if quantize else "join"
     )
-    if verify_impl == "bucket" and quantize:
+    if verify_impl == "bucket" and not quantize:
+        # the blocked kernel claims value-identity with the expr cosine,
+        # which only holds in quantized integer space — fail fast
+        # instead of silently running the 3x-slower join
+        raise ValueError(
+            "dedup.semantic verify_impl='bucket' requires `quantize` "
+            "(unquantized float summation order differs between numpy "
+            "and Catalyst in the last ulp) — set quantize, or use "
+            "verify_impl='join'"
+        )
+    if verify_impl == "bucket":
         import numpy as np
         import pandas as pd
 
@@ -1532,7 +1557,12 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
                     )
                 bi, bj = np.nonzero(cos >= threshold)
                 gi = bi + s
-                keep_m = gi < bj  # upper triangle in row order
+                # upper triangle in row order, AND distinct ids: a
+                # duplicated id would otherwise emit a self-pair
+                # (a == b) that the survivor anti-join interprets as
+                # "drop this id entirely" — the join impl's a < b
+                # filter excludes those, and the two impls must agree
+                keep_m = (gi < bj) & (ids[gi] != ids[bj])
                 gi, bj = gi[keep_m], bj[keep_m]
                 if len(gi):
                     ia, ib = ids[gi], ids[bj]

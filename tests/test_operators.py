@@ -762,6 +762,56 @@ class TestTextOps:
         run("text.pack", spark, [dense], _context=ctx2, **kw).collect()
         assert max(ctx2["_pack_bucket_rows"].values()) * n_part <= 4 * 3000
 
+    def test_pack_rebalance_multiple_clusters(self, spark):
+        # several dense clusters overfull at once: the level-wise
+        # planner must histogram ALL of them in one aggregate per level
+        # and still produce offsets identical to the unbalanced run
+        rows = []
+        for c, start in enumerate([0, 10**14, 5 * 10**14]):
+            rows += [(start + i, (i * 11) % 15 + 1) for i in range(1000)]
+        df = spark.createDataFrame(rows, "id long, cnt int").repartition(8)
+        kw = dict(id_col="id", count_col="cnt", capacity=64, partitions=12)
+        ctx = {}
+        bal = sorted(
+            (r.id, r.tok_offset, r.first_chunk)
+            for r in run("text.pack", spark, [df], _context=ctx,
+                         **kw).collect()
+        )
+        raw = sorted(
+            (r.id, r.tok_offset, r.first_chunk)
+            for r in run("text.pack", spark, [df], rebalance=False,
+                         **kw).collect()
+        )
+        assert bal == raw
+        buckets = ctx["_pack_bucket_rows"]
+        assert max(buckets.values()) * 12 <= 4 * 3000
+
+    def test_classify_logreg_ascii_whitespace_only(self, spark):
+        # U+00A0 (non-breaking space) is NOT a token separator for the
+        # engine's _words (Java \s) or the DuckDB oracle (RE2 \s) — the
+        # logreg tokenizer must agree, not follow Python str.split()
+        import hashlib
+
+        df = spark.createDataFrame(
+            [(1, "aaa bbb"), (2, "aaa bbb")], "id long, text string"
+        )
+        out = {r.id: r for r in run(
+            "text.classify", spark, [df], text_col="text",
+            model="logreg", hash_dim=8, labels=["x", "y"]).collect()}
+
+        def _md5i(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        def logit(tokens, lab):
+            w = {d: _md5i(f"lrw:{lab}:{d}") % 2001 - 1000 for d in range(8)}
+            return sum(w[_md5i(t) % 8] for t in tokens)
+
+        # doc 1 is ONE token; doc 2 is two
+        for i, toks in ((1, ["aaa bbb"]), (2, ["aaa", "bbb"])):
+            lx, ly = logit(toks, "x"), logit(toks, "y")
+            assert out[i].cls_score == float(max(lx, ly))
+            assert out[i].cls_label == ("x" if lx >= ly else "y")
+
     def test_ngram_novelty_train_text_col(self, spark):
         # a train corpus with neither the id column nor the text column
         # name of the main input — train_text_col selects its text, and
@@ -1414,6 +1464,40 @@ class TestSemanticDedup:
         with pytest.raises(ValueError, match="cluster_cap"):
             run("dedup.semantic", spark, [df], id_col="vec_id",
                 vec_col="v", n_clusters=1, threshold=0.9, cluster_cap=4)
+
+    def test_empty_input_and_bucket_requires_quantize(self, spark):
+        import pytest
+
+        empty = self._clustered(spark).filter("vec_id < 0")
+        r = run("dedup.semantic", spark, [empty], id_col="vec_id",
+                vec_col="v", n_clusters=2, threshold=0.9, quantize=10000,
+                return_pairs=True, return_assignments=True)
+        assert r["out"].count() == 0
+        assert r["pairs"].count() == 0
+        assert r["assignments"].count() == 0
+        with pytest.raises(ValueError, match="requires `quantize`"):
+            run("dedup.semantic", spark, [self._clustered(spark)],
+                id_col="vec_id", vec_col="v", n_clusters=2,
+                threshold=0.9, verify_impl="bucket")
+
+    def test_duplicate_ids_no_self_pairs(self, spark):
+        # a duplicated id must not emit an (x, x) self-pair — the
+        # survivor anti-join would read that as "drop id x entirely";
+        # bucket and join verifies must agree
+        rows = [
+            (7, [1.0, 0.0, 0.0, 0.0]),
+            (7, [1.0, 0.0, 0.0, 0.0]),
+            (9, [0.0, 1.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        cfg = dict(id_col="vec_id", vec_col="v", n_clusters=1,
+                   threshold=0.9, quantize=10000, centroid_order="md5",
+                   return_pairs=True)
+        rb = run("dedup.semantic", spark, [df], **cfg)
+        rj = run("dedup.semantic", spark, [df], verify_impl="join", **cfg)
+        assert rb["pairs"].count() == 0 == rj["pairs"].count()
+        assert sorted(x.vec_id for x in rb["out"].collect()) == [7, 7, 9]
+        assert sorted(x.vec_id for x in rj["out"].collect()) == [7, 7, 9]
 
 
 class TestIvfKmeans:

@@ -181,3 +181,49 @@ class TestNewOpPlanShapes:
         p = plan_of(out)
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+    def test_spans_flags_without_hot_key_window(self, spark):
+        # the round-4 de-skew, pinned: corpus-scope gram flagging must be
+        # a partial-aggregated groupBy + semi-join-back, NEVER a window
+        # partitioned by the gram hash — a window has no map-side combine
+        # and serializes every occurrence of the hottest gram (exactly
+        # the boilerplate this operator hunts) into one task. The only
+        # windows allowed are the per-doc span-merge ones.
+        from ssis_to_pyspark_agent_spark.operators import get_operator
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        for cfg in (
+            {"id_col": "doc_id", "text_col": "text", "n": 8},
+            {"id_col": "doc_id", "text_col": "text", "n": 8,
+             "scope": "cross_doc"},
+        ):
+            out = get_operator("dedup.spans")(spark, [docs], cfg, {})
+            opt = optimized_of(out)
+            for m in re.finditer(
+                r"windowspecdefinition\(([^)]*)\)", opt, re.IGNORECASE
+            ):
+                assert "_gh" not in m.group(1), (
+                    "gram-hash window reintroduced:\n" + m.group(0)
+                )
+            # and the map-side combine must exist: a partial aggregate
+            # keyed by the gram hash
+            p = plan_of(out)
+            assert re.search(r"HashAggregate\(keys=\[_gh", p), p[:2000]
+            assert "LeftSemi" in optimized_of(out)
+
+    def test_semantic_verify_ships_vectors_once(self, spark):
+        # default (quantized) SemDeDup verify must be the groupBy +
+        # applyInPandas kernel — no join that materializes candidate
+        # pair rows with two vector payloads each
+        from ssis_to_pyspark_agent_spark.operators import get_operator
+
+        vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+        r = get_operator("dedup.semantic")(
+            spark, [vecs],
+            {"id_col": "vec_id", "vec_col": "embedding", "threshold": 0.9,
+             "n_clusters": 4, "quantize": 10000, "centroid_order": "md5",
+             "return_pairs": True}, {},
+        )
+        p = plan_of(r["pairs"])
+        assert "FlatMapGroupsInPandas" in p
+        assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
