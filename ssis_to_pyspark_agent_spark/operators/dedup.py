@@ -624,7 +624,14 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
     blocking: candidates = pairs sharing their minimum shingle hash
     (cheap, deterministic), verified with exact Jaccard. Use
     dedup.minhash for recall at scale; this variant is exact-verify with
-    the lightest possible candidate stage."""
+    the lightest possible candidate stage.
+
+    ``prefix_order='df'`` re-orders each doc's prefix by ascending
+    corpus document frequency (classic AllPairs) — output identical,
+    one extra DF pass; opt in on Zipfian/boilerplate-heavy corpora
+    where hot shingles otherwise enter prefixes and each becomes a
+    quadratic (block, token) enumeration key (measured 1.27x at 1M
+    skewed docs, widening with scale — PLANS.md round-4 notes)."""
     df: DataFrame = inputs[0]
     id_col, text_col = config["id_col"], config["text_col"]
     k = config.get("shingle_k", 3)
@@ -700,10 +707,51 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             - F.ceil(F.col("_n") * F.lit(float(threshold)) - F.lit(1e-9))
             + 1
         ).cast("int")
-        blocked = blocked.select(
-            "_id", "_n", "_block",
-            F.explode(F.slice("_sh", F.lit(1), plen)).alias("_tok"),
-        )
+        if config.get("prefix_order", "hash") == "df":
+            # AllPairs frequency ordering (Bayardo et al. 2007): the
+            # prefix bound holds under ANY fixed total order, and
+            # ordering by ascending corpus document frequency puts the
+            # RAREST tokens in every prefix — under a Zipfian corpus
+            # the hash order (effectively random) lets mid-frequency
+            # tokens into prefixes, and each such token is a hot
+            # (block, token) join key enumerating occupancy^2
+            # candidates. Costs one corpus DF pass (explode + groupBy +
+            # join + per-doc row_number) — opt in when the corpus is
+            # skewed; on uniform corpora hash order is already rare.
+            from pyspark.sql import Window as _W
+
+            occ = base.select("_id", F.explode("_sh").alias("_t"))
+            dfreq = occ.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+            rk = F.row_number().over(
+                _W.partitionBy("_id").orderBy("_df", "_t")
+            )
+            pref = (
+                occ.join(dfreq, "_t")
+                .join(
+                    base.select("_id", F.size("_sh").alias("_n")), "_id"
+                )
+                .withColumn("_rk", rk)
+                .filter(
+                    F.col("_rk")
+                    <= (
+                        F.col("_n")
+                        - F.ceil(
+                            F.col("_n") * F.lit(float(threshold))
+                            - F.lit(1e-9)
+                        )
+                        + 1
+                    ).cast("int")
+                )
+                .select("_id", F.col("_t").alias("_tok"))
+            )
+            blocked = blocked.select("_id", "_n", "_block").join(
+                pref, "_id"
+            )
+        else:
+            blocked = blocked.select(
+                "_id", "_n", "_block",
+                F.explode(F.slice("_sh", F.lit(1), plen)).alias("_tok"),
+            )
         join_keys.append(F.col("l._tok") == F.col("r._tok"))
     else:
         blocked = blocked.select("_id", "_n", "_block")

@@ -424,6 +424,34 @@ class TestSimilarity:
                 spark.catalog.clearCache()
             assert got[True] == got[False] and got[True]
 
+    def test_ngram_prefix_order_df_preserves_pairs(self, spark):
+        """AllPairs frequency ordering of the prefix (prefix_order='df',
+        the Zipf-skew lever) must emit the identical verified pair set —
+        the prefix bound holds under any fixed total order."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = {}
+        for order in ("hash", "df"):
+            out = run(
+                "dedup.ngram_jaccard", spark, [docs],
+                id_col="doc_id", text_col="text", shingle_k=3,
+                threshold=0.5, return_pairs=True, prefix_order=order,
+                block_exprs=["floor(n_chars / 16)",
+                             "floor(n_chars / 16) + 1"],
+            )
+            got[order] = sorted(map(tuple, out["pairs"].collect()))
+            spark.catalog.clearCache()
+        assert got["hash"] == got["df"] and got["hash"]
+        # and in the default min-hash blocking mode too
+        for order in ("hash", "df"):
+            out = run(
+                "dedup.ngram_jaccard", spark, [docs],
+                id_col="doc_id", text_col="text", shingle_k=3,
+                threshold=0.5, return_pairs=True, prefix_order=order,
+            )
+            got[order] = sorted(map(tuple, out["pairs"].collect()))
+            spark.catalog.clearCache()
+        assert got["hash"] == got["df"]
+
     def test_embedding_verify_impls_agree(self, spark):
         """in-bucket applyInPandas verify (default for quantized LSH) and
         the candidate-join + pair-scorer verify must emit the identical
