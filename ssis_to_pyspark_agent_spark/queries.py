@@ -1477,7 +1477,9 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup (Abbas et al. 2023) — ('sem_pair', within-cluster pairs
     # with the md5-ordered deterministic centroids and quantized-cosine
     # assignment re-derived in SQL, cluster id included) and ('sem_surv',
-    # keep-min survivors of the semantic pass).
+    # survivors under the PAPER's far-from-centroid diversity rule: of
+    # each over-threshold pair, drop the member CLOSER to its centroid
+    # (more typical), tie on centroid-cosine drops the larger id.
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
     cent AS (
@@ -1510,7 +1512,15 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'sem_surv', vec_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
            CAST(NULL AS INT)
-    FROM e WHERE vec_id NOT IN (SELECT b FROM sem)
+    FROM e WHERE vec_id NOT IN (
+      SELECT CASE WHEN ra.ccos > rb.ccos
+                    OR (ra.ccos = rb.ccos AND s.a > s.b) THEN s.a
+                  ELSE s.b END
+      FROM sem s
+      JOIN (SELECT a.vec_id, {_QCOS_SQL.replace("a[i]", "a.embedding[i]").replace("b[i]", "c.cv[i]").replace("(a,", "(a.embedding,").replace("(b,", "(c.cv,")} AS ccos
+            FROM asg a JOIN cent c ON c.cid = a.cid) ra ON ra.vec_id = s.a
+      JOIN (SELECT a.vec_id, {_QCOS_SQL.replace("a[i]", "a.embedding[i]").replace("b[i]", "c.cv[i]").replace("(a,", "(a.embedding,").replace("(b,", "(c.cv,")} AS ccos
+            FROM asg a JOIN cent c ON c.cid = a.cid) rb ON rb.vec_id = s.b)
     """,
 )
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1526,7 +1536,8 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
               quantize=10000, return_pairs=True)
         .step("sem", "dedup.semantic", "sub", id_col="vec_id",
               vec_col="embedding", threshold=0.35, n_clusters=4,
-              centroid_order="md5", quantize=10000, return_pairs=True)
+              centroid_order="md5", quantize=10000, return_pairs=True,
+              keep="far_centroid")
     )
     r = run_pipeline(spark, p)
     pair = r.df("dd.pairs").select(

@@ -880,9 +880,11 @@ def probe_adversarial(spark, n_docs=1_000_000):
     uniform-random probes are the BEST case for every gram/band/bucket
     distribution — real CommonCrawl is Zipfian with hot boilerplate).
     50k-word Zipf(s=1) vocabulary (top word ~8.7% of tokens), 10 lines
-    x 8 words, 2 boilerplate lines in every doc. Runs the five
+    x 8 words, 2 boilerplate lines in every doc, plus 1% planted
+    near-dups (one appended token, J ~ 0.96) so minhash/ngram RECALL
+    is verified under skew, not just wall time. Runs the five
     skew-sensitive operators back to back."""
-    docs = (
+    base = (
         spark.range(n_docs)
         .repartition(64)
         .select(
@@ -890,8 +892,13 @@ def probe_adversarial(spark, n_docs=1_000_000):
             _zipf_lines_expr(10, 8, vocab=50_000, salt=3, boiler=BOILER)
             .alias("text"),
         )
-        .persist()
     )
+    dups = base.filter(F.pmod("doc_id", 100) == 0).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extradup")).alias("text"),
+    )
+    planted = n_docs // 100
+    docs = base.unionByName(dups).persist()
     docs.count()
 
     def timed(tag, fn):
@@ -918,16 +925,16 @@ def probe_adversarial(spark, n_docs=1_000_000):
              "num_hashes": 128, "bands": 16, "return_pairs": True},
             {},
         )
-        return f"pairs={out['pairs'].count()}"
+        return f"pairs={out['pairs'].count()} (planted {planted})"
 
     def _ngram():
         out = get_operator("dedup.ngram_jaccard")(
             spark, [docs],
             {"id_col": "doc_id", "text_col": "text", "threshold": 0.8,
-             "return_pairs": True},
+             "return_pairs": True, "prefix_order": "df"},
             {},
         )
-        return f"pairs={out['pairs'].count()}"
+        return f"pairs={out['pairs'].count()} (planted {planted}, prefix_order=df)"
 
     def _lines():
         out = get_operator("text.line_dedup")(
