@@ -941,7 +941,10 @@ def probe_adversarial(spark, n_docs=1_000_000):
             spark, [docs], {"id_col": "doc_id", "text_col": "text"}, {}
         )
         r = out.agg(F.sum("n_boilerplate_lines")).collect()[0]
-        return f"boiler_lines={r[0]} (expect {2 * n_docs})"
+        # floor, not exact: Zipf random lines legitimately collide
+        # across 1M docs (df>=2), adding natural boilerplate on top of
+        # the planted 2/doc
+        return f"boiler_lines={r[0]} (>= {2 * (n_docs + planted)})"
 
     def _novelty():
         out = get_operator("text.ngram_novelty")(
