@@ -172,3 +172,123 @@ def sample_mixture(spark: SparkSession, inputs, config, context) -> DataFrame:
         h < frac * F.lit(float(1 << 60))
     )
     return out.filter(keep).drop("_wt")
+
+
+@operator("sample.balanced")
+def sample_balanced(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Per-group quota capping — the downsampling complement of
+    sample.mixture ("cap every domain at N documents"): each group keeps
+    at most ``quota`` rows, chosen DETERMINISTICALLY as the quota
+    smallest by (60-bit md5 hash of id, id) within the group —
+    reproducible across runs and engines, exactly re-derivable by a SQL
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY hash, id)`` oracle.
+
+    Scale plan (the naive form is a window partitioned by group — a hot
+    domain at 100 TB serializes into one task, NOTES invariant 17):
+    1. one partial-aggregated groupBy counts each group;
+    2. groups over quota get a Chernoff-safe hash threshold
+       t = (q + 6*sqrt(q) + 20) / n — the per-group candidate set the
+       filter keeps is ~quota-sized, so the ranking window then runs
+       over bounded partitions;
+    3. the rare group whose candidate set undershoots its quota
+       (possible only for tiny quotas) is detected exactly and re-ranked
+       over its full rows — correctness never depends on the bound.
+    Groups at-or-under quota bypass ranking entirely (no shuffle beyond
+    the count and the broadcast-joined counts table).
+
+    config: group_col, id_col, quota (int, or {group: int}),
+    default_quota (with a dict quota; None = unlimited), salt.
+
+    Reference has no counterpart (nearest: Percentage Sampling,
+    data_engineering_parser.py:1096) — NEW per SURVEY §2.12.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from ssis_to_pyspark_agent_spark.operators.dedup import _md5_60bit
+
+    df: DataFrame = inputs[0]
+    id_col, group_col = config["id_col"], config["group_col"]
+    quota_cfg = config["quota"]
+    salt = config.get("salt", "")
+
+    grp = F.col(group_col)
+    if isinstance(quota_cfg, dict):
+        default_q = config.get("default_quota")
+        q_expr = (
+            F.lit(int(default_q)) if default_q is not None
+            else F.lit(None).cast("bigint")
+        )
+        for value, q in quota_cfg.items():
+            q_expr = F.when(grp == value, F.lit(int(q))).otherwise(q_expr)
+        min_quota = min(
+            [int(q) for q in quota_cfg.values()]
+            + ([int(default_q)] if default_q is not None else [])
+        )
+    else:
+        q_expr = F.lit(int(quota_cfg))
+        min_quota = int(quota_cfg)
+    if min_quota < 0:
+        raise ValueError("quota must be >= 0")
+
+    h = _md5_60bit(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    base = df.withColumn("_h", h).withColumn("_q", q_expr)
+
+    counts = (
+        base.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    )
+    sized = base.join(F.broadcast(counts), group_col)
+    under = sized.filter(
+        F.col("_q").isNull() | (F.col("_n") <= F.col("_q"))
+    )
+    over = sized.filter(
+        F.col("_q").isNotNull() & (F.col("_n") > F.col("_q"))
+    )
+
+    # Chernoff-safe candidate threshold: the _h ranks are ~Uniform over
+    # [0, 2^60), so keeping t*n candidates with t = (q + 6*sqrt(q) + 20)/n
+    # undershoots q with probability < ~1e-8 even at q = 1
+    t = (
+        (F.col("_q") + 6 * F.sqrt(F.col("_q")) + F.lit(20.0))
+        / F.col("_n")
+    ) * F.lit(float(1 << 60))
+    cand = over.filter(F.col("_h") < t)
+    w = Window.partitionBy(group_col).orderBy("_h", id_col)
+    ranked = cand.withColumn("_rk", F.row_number().over(w))
+
+    # exact-safety audit: every capped group must have >= quota
+    # candidates, else its top-quota set could be wrong — re-rank those
+    # groups (if any) over their FULL rows. Start from the capped-group
+    # set, NOT from `ranked`: a group whose candidates all missed the
+    # threshold has no ranked rows at all and must still be caught
+    short = [
+        r[0]
+        for r in over.groupBy(group_col)
+        .agg(F.min("_q").alias("_qq"))
+        .join(
+            ranked.groupBy(group_col).agg(F.max("_rk").alias("_m")),
+            group_col,
+            "left",
+        )
+        .filter(F.col("_m").isNull() | (F.col("_m") < F.col("_qq")))
+        .select(group_col)
+        .collect()
+    ]
+    if short:
+        ok = ranked.filter(~grp.isin(short)).filter(
+            F.col("_rk") <= F.col("_q")
+        )
+        redo = (
+            over.filter(grp.isin(short))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= F.col("_q"))
+        )
+        capped = ok.unionByName(redo)
+    else:
+        capped = ranked.filter(F.col("_rk") <= F.col("_q"))
+
+    drop = ["_h", "_q", "_n", "_rk"]
+    return under.drop(*[c for c in drop if c in under.columns]).unionByName(
+        capped.drop(*[c for c in drop if c in capped.columns])
+    )

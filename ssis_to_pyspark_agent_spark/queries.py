@@ -646,12 +646,15 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q23_sampling_modes",
-    # Merged q23+q79+mixture: deterministic mod sampling, per-stratum-rate
-    # stratified sampling (both pure pushdown-friendly filters) AND
-    # sample.mixture — domain-mixture reweighting over documents.source
-    # (src0 2.5x up, src1 exact 2x, src2 0.3 down, src3 dropped, rest
-    # 1.0 passthrough); the fractional-replica decision is the
-    # engine-neutral 60-bit md5 hash, re-derived here verbatim.
+    # Merged q23+q79+mixture+balanced: deterministic mod sampling,
+    # per-stratum-rate stratified sampling (both pure pushdown-friendly
+    # filters), sample.mixture — domain-mixture reweighting over
+    # documents.source (src0 2.5x up, src1 exact 2x, src2 0.3 down,
+    # src3 dropped, rest 1.0 passthrough; the fractional-replica
+    # decision is the engine-neutral 60-bit md5 hash, re-derived here
+    # verbatim) — AND sample.balanced, per-group quota capping: each
+    # source keeps its 120 rows with the smallest (md5 hash, id), the
+    # exact ROW_NUMBER the oracle computes directly.
     oracle="""
     SELECT 'mod' AS mode, o_orderkey AS key, o_orderstatus AS grp,
            0 AS replica
@@ -673,6 +676,14 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE replica < floor(wt)
        OR CAST('0x' || substr(md5(doc_id || ':' || replica), 1, 15)
                AS BIGINT) < (wt - floor(wt)) * 1152921504606846976
+    UNION ALL
+    SELECT 'balanced', doc_id, source, 0 FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                             1, 15) AS BIGINT), doc_id) AS rk
+      FROM documents) WHERE rk <= 120
     """,
 )
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,6 +702,8 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
               group_col="source",
               weights={"src0": 2.5, "src1": 2.0, "src2": 0.3, "src3": 0.0},
               default_weight=1.0)
+        .step("bal", "sample.balanced", "mixp", id_col="doc_id",
+              group_col="source", quota=120)
     )
     r = run_pipeline(spark, p)
 
@@ -709,6 +722,7 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "o_orderstatus"))
         .unionByName(leg(r.df("mix"), "mixture", "doc_id", "source",
                          "replica"))
+        .unionByName(leg(r.df("bal"), "balanced", "doc_id", "source"))
     )
 
 

@@ -1191,6 +1191,68 @@ class TestSampleModes:
         out = run("sample", spark, [df], method="rows", key=["id"], n=37)
         assert out.count() == 37
 
+    def test_balanced_quota_cap(self, spark):
+        # 3 groups of 100/30/5 rows, quota 30: capped groups keep
+        # EXACTLY the quota rows with the smallest (md5-60bit, id) —
+        # recomputed in python — and under-quota groups pass through
+        import hashlib
+
+        rows = [(i, "a") for i in range(100)] + \
+               [(1000 + i, "b") for i in range(30)] + \
+               [(2000 + i, "c") for i in range(5)]
+        df = spark.createDataFrame(rows, "id long, g string")
+        out = run("sample.balanced", spark, [df], id_col="id",
+                  group_col="g", quota=30)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.g, set()).add(r.id)
+        assert len(got["a"]) == 30 and len(got["b"]) == 30 \
+            and len(got["c"]) == 5
+
+        def h(i):
+            return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+        expect_a = set(sorted(range(100), key=lambda i: (h(i), i))[:30])
+        assert got["a"] == expect_a
+        # deterministic across runs
+        out2 = run("sample.balanced", spark, [df], id_col="id",
+                   group_col="g", quota=30)
+        assert sorted((r.id, r.g) for r in out.collect()) == \
+            sorted((r.id, r.g) for r in out2.collect())
+
+    def test_balanced_dict_quota_and_unlimited_default(self, spark):
+        rows = [(i, "a") for i in range(50)] + \
+               [(100 + i, "b") for i in range(50)] + \
+               [(200 + i, "z") for i in range(50)]
+        df = spark.createDataFrame(rows, "id long, g string")
+        out = run("sample.balanced", spark, [df], id_col="id",
+                  group_col="g", quota={"a": 10, "b": 0})
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.g, set()).add(r.id)
+        assert len(got["a"]) == 10
+        assert "b" not in got
+        assert len(got["z"]) == 50  # default None = unlimited
+
+    def test_balanced_undershoot_fallback_exact(self, spark):
+        # craft a group whose md5 ranks ALL land above the Chernoff
+        # threshold (q=1, n=100 -> t ~ 0.27): the candidate prefilter
+        # yields zero rows and the exact fallback must still return the
+        # true rank-1 row
+        import hashlib
+
+        def u(i):
+            return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) \
+                / float(1 << 60)
+
+        ids = [i for i in range(100_000) if u(i) > 0.5][:100]
+        df = spark.createDataFrame([(i, "hot") for i in ids],
+                                   "id long, g string")
+        out = run("sample.balanced", spark, [df], id_col="id",
+                  group_col="g", quota=1)
+        got = [r.id for r in out.collect()]
+        assert got == [min(ids, key=lambda i: (u(i), i))]
+
     def test_mixture_multiplicities(self, spark):
         # 400 rows over 4 groups; weights: exact 3x up, fractional 1.5x,
         # 0.25 down, drop; absent group -> default 1.0 passthrough
