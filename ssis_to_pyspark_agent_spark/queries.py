@@ -1660,11 +1660,16 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q43_streaming_windows",
-    # Merged q44+q55+q56: an ACTUAL Structured Streaming tumbling-window
-    # run (file source -> watermarked agg -> memory sink) plus batch-mode
-    # sliding and session windows, unified to (kind, k1, k2, n) and
-    # unioned. Late-data semantics don't bite: the bounded input is fully
-    # replayed and the sink is complete-mode.
+    # Merged q44+q55+q56+stream-dedup: an ACTUAL Structured Streaming
+    # tumbling-window run (file source -> watermarked agg -> memory sink)
+    # plus batch-mode sliding and session windows, plus a SECOND real
+    # streaming run through dropDuplicatesWithinWatermark on
+    # (user_id, event_type) — the watermark horizon covers the bounded
+    # replay, so survivors-per-event_type equals COUNT(DISTINCT user_id)
+    # regardless of the part files' arrival order (which row survives is
+    # arrival-dependent; the COUNT is not). Unified to (kind, k1, k2, n)
+    # and unioned. Late-data semantics don't bite: the bounded input is
+    # fully replayed and the window sink is complete-mode.
     oracle="""
     SELECT 'tumble' AS kind,
            CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS k1,
@@ -1679,6 +1684,10 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR, event_type
       FROM events) starts
     GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sdedup', event_type, 'n_unique_users',
+           COUNT(DISTINCT user_id)
+    FROM events GROUP BY event_type
     UNION ALL
     SELECT 'session', CAST(user_id AS VARCHAR), m.measure,
            CASE m.measure WHEN 'n_sessions' THEN CAST(SUM(new_session) AS BIGINT)
@@ -1707,6 +1716,28 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     # complete mode: append would hold back the trailing windows still
     # inside the watermark horizon when the bounded stream ends
     run_stream_to_memory(agg, "q43_out", output_mode="complete")
+
+    from ssis_to_pyspark_agent_spark.streaming import dedup_within_watermark
+
+    sd = dedup_within_watermark(
+        stream_events(spark, f"{sf_dir}/events.parquet",
+                      max_files_per_trigger=1),
+        keys=["user_id", "event_type"], ts_col="ts",
+        watermark="3650 days",  # horizon covers the bounded replay ->
+        # exact global dedup; real deployments use tight horizons
+    )
+    run_stream_to_memory(sd, "q43_sd", output_mode="append")
+    sdedup = (
+        spark.table("q43_sd")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("sdedup").alias("kind"),
+            F.col("event_type").alias("k1"),
+            F.lit("n_unique_users").alias("k2"),
+            "n",
+        )
+    )
     tumble = spark.table("q43_out").select(
         F.lit("tumble").alias("kind"),
         F.col("window_start").cast("string").alias("k1"),
@@ -1748,7 +1779,10 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("n_events").alias("k2"),
         F.col("n_events").alias("n"),
     )
-    return tumble.unionByName(slide).unionByName(s1).unionByName(s2)
+    return (
+        tumble.unionByName(slide).unionByName(s1).unionByName(s2)
+        .unionByName(sdedup)
+    )
 
 
 # -- fuzzy lookup, merge-sorted, multicast/rowcount, variables, functions ---

@@ -2,9 +2,15 @@
 batch-only)."""
 
 from ssis_to_pyspark_agent_spark.streaming.runner import (
+    dedup_within_watermark,
     stream_events,
     windowed_agg,
     run_stream_to_memory,
 )
 
-__all__ = ["stream_events", "windowed_agg", "run_stream_to_memory"]
+__all__ = [
+    "dedup_within_watermark",
+    "stream_events",
+    "windowed_agg",
+    "run_stream_to_memory",
+]
