@@ -1660,7 +1660,8 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q43_streaming_windows",
-    # Merged q44+q55+q56+stream-dedup: an ACTUAL Structured Streaming
+    # Merged q44+q55+q56+stream-dedup+stateful: an ACTUAL Structured
+    # Streaming
     # tumbling-window run (file source -> watermarked agg -> memory sink)
     # plus batch-mode sliding and session windows, plus a SECOND real
     # streaming run through dropDuplicatesWithinWatermark on
@@ -1688,6 +1689,9 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'sdedup', event_type, 'n_unique_users',
            COUNT(DISTINCT user_id)
     FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'state', CAST(user_id AS VARCHAR), 'n_events_state', COUNT(*)
+    FROM events GROUP BY user_id
     UNION ALL
     SELECT 'session', CAST(user_id AS VARCHAR), m.measure,
            CASE m.measure WHEN 'n_sessions' THEN CAST(SUM(new_session) AS BIGINT)
@@ -1727,6 +1731,29 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact global dedup; real deployments use tight horizons
     )
     run_stream_to_memory(sd, "q43_sd", output_mode="append")
+
+    from ssis_to_pyspark_agent_spark.streaming import stateful_counter
+
+    # custom stateful operator (applyInPandasWithState): running per-user
+    # counter; update-mode emits a monotone series per user whose MAX is
+    # the final total — arrival-order independent on the bounded replay
+    st = stateful_counter(
+        stream_events(spark, f"{sf_dir}/events.parquet",
+                      max_files_per_trigger=1),
+        keys=["user_id"],
+    )
+    run_stream_to_memory(st, "q43_state", output_mode="update")
+    state = (
+        spark.table("q43_state")
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"))
+        .select(
+            F.lit("state").alias("kind"),
+            F.col("user_id").cast("string").alias("k1"),
+            F.lit("n_events_state").alias("k2"),
+            "n",
+        )
+    )
     sdedup = (
         spark.table("q43_sd")
         .groupBy("event_type")
@@ -1781,7 +1808,7 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tumble.unionByName(slide).unionByName(s1).unionByName(s2)
-        .unionByName(sdedup)
+        .unionByName(sdedup).unionByName(state)
     )
 
 

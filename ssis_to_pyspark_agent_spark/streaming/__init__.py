@@ -3,6 +3,7 @@ batch-only)."""
 
 from ssis_to_pyspark_agent_spark.streaming.runner import (
     dedup_within_watermark,
+    stateful_counter,
     stream_events,
     windowed_agg,
     run_stream_to_memory,
@@ -10,6 +11,7 @@ from ssis_to_pyspark_agent_spark.streaming.runner import (
 
 __all__ = [
     "dedup_within_watermark",
+    "stateful_counter",
     "stream_events",
     "windowed_agg",
     "run_stream_to_memory",

@@ -144,3 +144,44 @@ def run_stream_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stateful_counter(
+    events: DataFrame,
+    keys: list[str],
+    out_col: str = "n",
+) -> DataFrame:
+    """Custom stateful streaming operator (the Script-Component-with-state
+    analogue): a running per-key event counter via
+    ``applyInPandasWithState``. Each micro-batch updates the persisted
+    per-key state and emits the new running total, so in update mode the
+    sink sees a monotone series per key whose MAX is the final count —
+    equal to the batch ``groupBy(keys).count()`` on a bounded replay
+    regardless of part-file arrival order.
+
+    State is one bigint per key; NoTimeout because the bounded-replay
+    contract wants every key's final total (real deployments would use
+    event-time timeout to shed idle keys)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_schema = ", ".join(
+        f"{k} {events.schema[k].dataType.simpleString()}" for k in keys
+    )
+
+    def count_events(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame(
+            {**{k: [key[i]] for i, k in enumerate(keys)}, out_col: [total]}
+        )
+
+    return events.groupBy(*keys).applyInPandasWithState(
+        count_events,
+        outputStructType=f"{key_schema}, {out_col} bigint",
+        stateStructType=f"{out_col} bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
