@@ -712,6 +712,58 @@ def probe_pack_skew(spark, n=20_000_000, cap=2048):
     df.unpersist()
 
 
+def probe_balanced(spark, n=20_000_000, quota=100_000):
+    """sample.balanced at 20M rows with a 90%-hot group (the exact shape
+    invariant 17 warns about): the Chernoff-prefiltered ranking window
+    must beat the naive full-group window, and the output must equal it
+    exactly (same deterministic hash order)."""
+    from pyspark.sql import Window
+
+    from ssis_to_pyspark_agent_spark.operators.dedup import _md5_60bit
+
+    df = (
+        spark.range(n)
+        .repartition(64)
+        .select(
+            F.col("id"),
+            F.when(F.pmod("id", 10) < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("g"), F.pmod("id", 7)))
+            .alias("g"),
+        )
+        .persist()
+    )
+    df.count()
+
+    t0 = time.perf_counter()
+    out = get_operator("sample.balanced")(
+        spark, [df], {"id_col": "id", "group_col": "g", "quota": quota}, {}
+    )
+    agg = out.groupBy("g").count().collect()
+    dt = time.perf_counter() - t0
+    sizes = {r["g"]: r["count"] for r in agg}
+
+    t1 = time.perf_counter()
+    w = Window.partitionBy("g").orderBy("_h", "id")
+    naive = (
+        df.withColumn("_h", _md5_60bit(F.col("id").cast("string")))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+    )
+    n_naive = naive.count()
+    dt_naive = time.perf_counter() - t1
+    # exact-equality audit on the hot group's kept id set
+    ours = out.filter("g = 'hot'").select("id")
+    theirs = naive.filter("g = 'hot'").select("id")
+    diff = ours.exceptAll(theirs).count() + theirs.exceptAll(ours).count()
+    print(
+        f"PROBE balanced: n={n} quota={quota} prefiltered={dt:.1f}s "
+        f"naive_window={dt_naive:.1f}s kept={sum(sizes.values())} "
+        f"(naive {n_naive}) hot_kept={sizes.get('hot')} "
+        f"hot_set_diff={diff} (expect 0)"
+    )
+    df.unpersist()
+
+
 def probe_mixture(spark, n=20_000_000):
     """sample.mixture at 20M rows — zero-shuffle by design; exact
     multiplicities for integer weights, binomial for fractional."""
@@ -998,6 +1050,8 @@ def main():
         probe_pack(spark)
     if which in ("pack_skew", "all"):
         probe_pack_skew(spark)
+    if which in ("balanced", "all"):
+        probe_balanced(spark)
     if which in ("mixture", "all"):
         probe_mixture(spark)
     if which in ("novelty", "all"):
