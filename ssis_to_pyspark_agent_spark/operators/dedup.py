@@ -707,7 +707,12 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             - F.ceil(F.col("_n") * F.lit(float(threshold)) - F.lit(1e-9))
             + 1
         ).cast("int")
-        if config.get("prefix_order", "hash") == "df":
+        prefix_order = config.get("prefix_order", "hash")
+        if prefix_order not in ("hash", "df"):
+            raise ValueError(
+                f"prefix_order must be 'hash' or 'df', got {prefix_order!r}"
+            )
+        if prefix_order == "df":
             # AllPairs frequency ordering (Bayardo et al. 2007): the
             # prefix bound holds under ANY fixed total order, and
             # ordering by ascending corpus document frequency puts the
@@ -731,17 +736,9 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
                     base.select("_id", F.size("_sh").alias("_n")), "_id"
                 )
                 .withColumn("_rk", rk)
-                .filter(
-                    F.col("_rk")
-                    <= (
-                        F.col("_n")
-                        - F.ceil(
-                            F.col("_n") * F.lit(float(threshold))
-                            - F.lit(1e-9)
-                        )
-                        + 1
-                    ).cast("int")
-                )
+                # same `plen` bound (incl. the 1e-9 epsilon guard) as the
+                # hash-order slice — one definition, two orders
+                .filter(F.col("_rk") <= plen)
                 .select("_id", F.col("_t").alias("_tok"))
             )
             blocked = blocked.select("_id", "_n", "_block").join(

@@ -197,13 +197,20 @@ def sample_balanced(spark: SparkSession, inputs, config, context) -> DataFrame:
     the count and the broadcast-joined counts table).
 
     config: group_col, id_col, quota (int, or {group: int}),
-    default_quota (with a dict quota; None = unlimited), salt.
+    default_quota (with a dict quota; None = unlimited), salt. A NULL
+    group is its own group (default quota applies), mirroring
+    sample.mixture's default-weight passthrough.
+
+    Cost note: the undershoot audit is an eager planning action, so the
+    input pipeline runs once at invocation and again when the lazy
+    result materializes — the same deliberate recompute-over-cache
+    trade text.pack's planning pass makes (NOTES invariant 13: the
+    operator must not leave a corpus-sized persist behind). Persist the
+    input upstream if it is expensive to recompute.
 
     Reference has no counterpart (nearest: Percentage Sampling,
     data_engineering_parser.py:1096) — NEW per SURVEY §2.12.
     """
-    import math
-
     from pyspark.sql import Window
 
     from ssis_to_pyspark_agent_spark.operators.dedup import _md5_60bit
@@ -236,9 +243,15 @@ def sample_balanced(spark: SparkSession, inputs, config, context) -> DataFrame:
     base = df.withColumn("_h", h).withColumn("_q", q_expr)
 
     counts = (
-        base.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+        base.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumnRenamed(group_col, "_bg")
     )
-    sized = base.join(F.broadcast(counts), group_col)
+    # null-safe: a NULL group must match its own count row, not vanish
+    # from the join (and thus from the output)
+    sized = base.join(
+        F.broadcast(counts), grp.eqNullSafe(F.col("_bg"))
+    ).drop("_bg")
     under = sized.filter(
         F.col("_q").isNull() | (F.col("_n") <= F.col("_q"))
     )
@@ -276,11 +289,14 @@ def sample_balanced(spark: SparkSession, inputs, config, context) -> DataFrame:
         .collect()
     ]
     if short:
-        ok = ranked.filter(~grp.isin(short)).filter(
-            F.col("_rk") <= F.col("_q")
-        )
+        # null-safe membership: `short` may contain the NULL group
+        is_short = None
+        for v in short:
+            c = grp.eqNullSafe(F.lit(v))
+            is_short = c if is_short is None else is_short | c
+        ok = ranked.filter(~is_short).filter(F.col("_rk") <= F.col("_q"))
         redo = (
-            over.filter(grp.isin(short))
+            over.filter(is_short)
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= F.col("_q"))
         )

@@ -1731,6 +1731,10 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact global dedup; real deployments use tight horizons
     )
     run_stream_to_memory(sd, "q43_sd", output_mode="append")
+    # NULL-user survivors are excluded from the reported count: streaming
+    # dedup keeps NULL as a key value, but the oracle's COUNT(DISTINCT
+    # user_id) ignores NULLs — filter so the invariant holds even on a
+    # corpus with NULL users (the fixtures have none)
 
     from ssis_to_pyspark_agent_spark.streaming import stateful_counter
 
@@ -1756,6 +1760,7 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sdedup = (
         spark.table("q43_sd")
+        .filter(F.col("user_id").isNotNull())
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(

@@ -440,7 +440,7 @@ class TestSimilarity:
             )
             got[order] = sorted(map(tuple, out["pairs"].collect()))
             spark.catalog.clearCache()
-        assert got["hash"] == got["df"] and got["hash"]
+        assert got["hash"] == got["df"] and got["hash"] and got["hash"]
         # and in the default min-hash blocking mode too
         for order in ("hash", "df"):
             out = run(
@@ -450,7 +450,7 @@ class TestSimilarity:
             )
             got[order] = sorted(map(tuple, out["pairs"].collect()))
             spark.catalog.clearCache()
-        assert got["hash"] == got["df"]
+        assert got["hash"] == got["df"] and got["hash"]
 
     def test_embedding_verify_impls_agree(self, spark):
         """in-bucket applyInPandas verify (default for quantized LSH) and
@@ -1233,6 +1233,27 @@ class TestSampleModes:
         assert len(got["a"]) == 10
         assert "b" not in got
         assert len(got["z"]) == 50  # default None = unlimited
+
+    def test_balanced_null_group(self, spark):
+        # NULL groups are a group of their own — capped under the
+        # default quota, never silently dropped by the counts join
+        rows = [(i, "a") for i in range(20)] + \
+               [(100 + i, None) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, g string")
+        out = run("sample.balanced", spark, [df], id_col="id",
+                  group_col="g", quota=5)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.g, set()).add(r.id)
+        assert len(got["a"]) == 5 and len(got[None]) == 5
+        # dict quota: NULL group takes default_quota; None default =
+        # unlimited passthrough
+        out2 = run("sample.balanced", spark, [df], id_col="id",
+                   group_col="g", quota={"a": 3})
+        got2 = {}
+        for r in out2.collect():
+            got2.setdefault(r.g, set()).add(r.id)
+        assert len(got2["a"]) == 3 and len(got2[None]) == 20
 
     def test_balanced_undershoot_fallback_exact(self, spark):
         # craft a group whose md5 ranks ALL land above the Chernoff
