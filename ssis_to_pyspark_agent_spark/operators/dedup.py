@@ -626,12 +626,18 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
     dedup.minhash for recall at scale; this variant is exact-verify with
     the lightest possible candidate stage.
 
-    ``prefix_order='df'`` re-orders each doc's prefix by ascending
-    corpus document frequency (classic AllPairs) — output identical,
-    one extra DF pass; opt in on Zipfian/boilerplate-heavy corpora
-    where hot shingles otherwise enter prefixes and each becomes a
-    quadratic (block, token) enumeration key (measured 1.27x at 1M
-    skewed docs, widening with scale — PLANS.md round-4 notes)."""
+    ``prefix_order`` ('auto' default): 'df' re-orders each doc's prefix
+    by ascending corpus document frequency (classic AllPairs) — output
+    identical, one extra DF pass — and is the scale-safe order on
+    Zipfian/boilerplate-heavy corpora, where hash-ordered prefixes
+    admit hot shingles and each becomes a quadratic (block, token)
+    enumeration key (measured 277s -> 94s at 1M skewed docs, PLANS.md).
+    'auto' probes corpus size + top-shingle document frequency off the
+    persisted shingle pass and picks 'df' only when the corpus is big
+    AND skewed (small/uniform corpora measure the DF pass as a net
+    loss); `auto_min_docs` / `auto_hot_df` tune the probe, explicit
+    'hash'/'df' override it. The chosen order is recorded in
+    ``context['_ngram_prefix_order']``."""
     df: DataFrame = inputs[0]
     id_col, text_col = config["id_col"], config["text_col"]
     k = config.get("shingle_k", 3)
@@ -707,11 +713,54 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             - F.ceil(F.col("_n") * F.lit(float(threshold)) - F.lit(1e-9))
             + 1
         ).cast("int")
-        prefix_order = config.get("prefix_order", "hash")
-        if prefix_order not in ("hash", "df"):
+        prefix_order = config.get("prefix_order", "auto")
+        if prefix_order not in ("auto", "hash", "df"):
             raise ValueError(
-                f"prefix_order must be 'hash' or 'df', got {prefix_order!r}"
+                "prefix_order must be 'auto', 'hash' or 'df', "
+                f"got {prefix_order!r}"
             )
+        if prefix_order == "auto":
+            # Default since round 5 (round-4 verdict: the scale-safe
+            # order must not be opt-in). The DF pass pays on skewed
+            # corpora and costs on small/uniform ones, so probe both
+            # cheaply off the persisted `base`:
+            #   1. limit-probe the doc count — under `auto_min_docs`
+            #      the DF pass is a measured net loss (30s vs 24s at
+            #      200k docs, PLANS.md) regardless of skew: 'hash'.
+            #   2. else, estimate the hottest shingle's document
+            #      frequency on a deterministic md5 doc-sample; if the
+            #      top shingle reaches `auto_hot_df` of sampled docs,
+            #      hash-order prefixes would admit it into ~plen/|sh|
+            #      of all prefixes, each a quadratic (block, token)
+            #      enumeration key: 'df'. Uniform corpora measure
+            #      top-df ~1e-4, Zipf+boilerplate ~1.0 — the 0.01
+            #      default sits well between.
+            # Either choice yields the IDENTICAL pair set (the prefix
+            # bound holds under any fixed total order); only the plan
+            # changes, so oracles are unaffected.
+            min_docs = int(config.get("auto_min_docs", 400_000))
+            if base.limit(min_docs).count() < min_docs:
+                prefix_order = "hash"
+            else:
+                n_docs = base.count()
+                frac = min(1.0, 200_000 / n_docs)
+                samp = base
+                if frac < 1.0:
+                    samp = base.filter(
+                        _md5_60bit(F.col("_id").cast("string"))
+                        < F.lit(int(frac * float(1 << 60)))
+                    )
+                top_df = (
+                    samp.select(F.explode("_sh").alias("_t"))
+                    .groupBy("_t")
+                    .agg(F.count(F.lit(1)).alias("_c"))
+                    .agg(F.max("_c"))
+                    .collect()[0][0]
+                ) or 0
+                n_samp = max(frac * n_docs, 1.0)
+                hot = float(config.get("auto_hot_df", 0.01))
+                prefix_order = "df" if top_df / n_samp >= hot else "hash"
+            context["_ngram_prefix_order"] = prefix_order
         if prefix_order == "df":
             # AllPairs frequency ordering (Bayardo et al. 2007): the
             # prefix bound holds under ANY fixed total order, and
@@ -1649,9 +1698,25 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
             .persist()
         )
     pairs.count()
+    # cache hygiene (invariant 13): `pairs` is persisted only so the
+    # survivor derivation below reads the expensive verify once. When
+    # the caller does NOT ask for the pairs port, derive the BOUNDED
+    # dropped-id set eagerly and release `pairs` before returning — the
+    # retained cache is then |duplicate ids|, never |pairs| rows of
+    # scored output. With return_pairs the port needs the cache alive;
+    # that retention is the caller's (documented) choice.
+    return_pairs = bool(config.get("return_pairs"))
 
     if keep == "min_id":
-        out = _keep_min_survivors(df, id_col, pairs)
+        if not return_pairs:
+            dropped = (
+                pairs.select(F.col("b").alias(id_col)).distinct().persist()
+            )
+            dropped.count()
+            pairs.unpersist()
+            out = df.join(dropped, id_col, "left_anti")
+        else:
+            out = _keep_min_survivors(df, id_col, pairs)
     else:
         # paper rule: within a duplicate pair, drop the row CLOSER to its
         # centroid (more typical); tie on centroid-cosine drops the
@@ -1685,6 +1750,8 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
             .persist()
         )
         dropped.count()  # materialize while `assigned` is still cached
+        if not return_pairs:
+            pairs.unpersist()  # `dropped` (bounded) carries the result now
         out = df.join(dropped, id_col, "left_anti")
 
     result = {"out": out}

@@ -213,13 +213,24 @@ def classify(spark: SparkSession, inputs, config, context) -> DataFrame:
         _ws = _re.compile(r"[ \t\n\x0b\f\r]+")
 
         def batches(it):
+            # token -> bucket memo: md5 per DISTINCT token, not per
+            # occurrence — Zipfian corpora hit the memo constantly, so
+            # interpreter-side hashing stops dominating the vectorized
+            # X @ W.T it feeds (a real ONNX/torch featurizer would keep
+            # its vocab map the same way). Task-lifetime dict, bounded
+            # by the partition's distinct-token vocabulary, not corpus
+            # size.
+            bucket: dict[str, int] = {}
             for pdf in it:
                 n = len(pdf)
                 X = np.zeros((n, D), dtype=np.int64)
                 for i, t in enumerate(pdf[text_col].fillna("")):
                     for tok in _ws.split(t.lower()):
                         if tok:
-                            X[i, _md5i(tok) % D] += 1
+                            b = bucket.get(tok)
+                            if b is None:
+                                b = bucket[tok] = _md5i(tok) % D
+                            X[i, b] += 1
                 logits = X @ W.T  # (n, L): the vectorized inference pass
                 best = logits.argmax(axis=1)  # tie -> lowest label index
                 yield pdf.assign(
@@ -627,6 +638,18 @@ def line_dedup(spark: SparkSession, inputs, config, context) -> DataFrame:
     return df.join(agg.withColumnRenamed("_id", id_col), id_col, "left")
 
 
+def _record_bucket_rows(context, hist: dict) -> None:
+    """Planner-histogram telemetry for tests/probes. The bare key is
+    last-writer-wins (direct operator invocations have no step name);
+    inside a pipeline the runner publishes ``_current_step`` and the
+    histogram ALSO lands under ``_pack_bucket_rows:<step>`` so two pack
+    steps in one pipeline keep distinct telemetry."""
+    context["_pack_bucket_rows"] = hist
+    step = context.get("_current_step")
+    if step:
+        context[f"_pack_bucket_rows:{step}"] = hist
+
+
 @operator("text.pack")
 def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Sequence packing for pretraining (the concat-and-chunk scheme:
@@ -900,12 +923,12 @@ def text_pack(spark: SparkSession, inputs, config, context) -> DataFrame:
         assigned = _assign(tree)
         pid = _expr(float(mn), float(mx + 1), k0, assigned)
         slim = df.select(*cols).withColumn("_pid", pid)
-        context["_pack_bucket_rows"] = {
+        _record_bucket_rows(context, {
             k: v for k, v in crows.items() if v > 0
-        }
+        })
     else:
         psums = {k: s for k, (_n, s) in stats.items()}
-        context["_pack_bucket_rows"] = {k: n for k, (n, _s) in stats.items()}
+        _record_bucket_rows(context, {k: n for k, (n, _s) in stats.items()})
     # per-bucket prefix offsets as ONE array literal indexed by pid — a
     # per-partition CASE WHEN chain is O(P) branch evaluations per row
     # and overflows Catalyst codegen at large partition counts

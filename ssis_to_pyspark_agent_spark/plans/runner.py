@@ -82,6 +82,11 @@ class Runner:
             step = steps[name]
             ins = [self._resolve(outputs, ref) for ref in step.inputs]
             op = get_operator(step.op)
+            # operators that record per-step diagnostics into the shared
+            # context (text.pack's planner histogram) namespace their
+            # keys by this — two same-op steps must not clobber each
+            # other's telemetry
+            context["_current_step"] = name
             result = op(self.spark, ins, dict(step.config), context)
             if isinstance(result, DataFrame):
                 result = {"out": result}

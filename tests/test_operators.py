@@ -452,6 +452,52 @@ class TestSimilarity:
             spark.catalog.clearCache()
         assert got["hash"] == got["df"] and got["hash"]
 
+    def test_ngram_prefix_order_auto_selects(self, spark):
+        """'auto' (the round-5 default, per the round-4 verdict) must
+        pick 'hash' on small or uniform corpora and 'df' on big+skewed
+        ones — with the identical pair set either way (the probe only
+        changes the plan, never the output)."""
+        # skewed: one boilerplate phrase in EVERY doc -> top-shingle
+        # document frequency ~1.0 >> the 0.01 auto_hot_df default
+        skew = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta u{i}a u{i}b u{i}c u{i}d")
+             for i in range(300)],
+            "doc_id long, text string",
+        )
+        ctx = {}
+        out = run("dedup.ngram_jaccard", spark, [skew], _context=ctx,
+                  id_col="doc_id", text_col="text", shingle_k=3,
+                  threshold=0.5, return_pairs=True, auto_min_docs=100)
+        auto_pairs = sorted(map(tuple, out["pairs"].collect()))
+        assert ctx["_ngram_prefix_order"] == "df"
+        spark.catalog.clearCache()
+        exp = run("dedup.ngram_jaccard", spark, [skew],
+                  id_col="doc_id", text_col="text", shingle_k=3,
+                  threshold=0.5, return_pairs=True, prefix_order="hash")
+        assert auto_pairs == sorted(map(tuple, exp["pairs"].collect()))
+        spark.catalog.clearCache()
+        # uniform: all-distinct shingles -> top df is 1 doc out of 300
+        # (0.3%) -> 'hash'
+        uni = spark.createDataFrame(
+            [(i, " ".join(f"w{i}_{j}" for j in range(8)))
+             for i in range(300)],
+            "doc_id long, text string",
+        )
+        ctx2 = {}
+        run("dedup.ngram_jaccard", spark, [uni], _context=ctx2,
+            id_col="doc_id", text_col="text", shingle_k=3,
+            threshold=0.5, auto_min_docs=100)
+        assert ctx2["_ngram_prefix_order"] == "hash"
+        spark.catalog.clearCache()
+        # under auto_min_docs the limit-probe short-circuits to 'hash'
+        # even on the skewed corpus (the DF pass is a measured net loss
+        # on small corpora regardless of skew)
+        ctx3 = {}
+        run("dedup.ngram_jaccard", spark, [skew], _context=ctx3,
+            id_col="doc_id", text_col="text", shingle_k=3, threshold=0.5)
+        assert ctx3["_ngram_prefix_order"] == "hash"
+        spark.catalog.clearCache()
+
     def test_embedding_verify_impls_agree(self, spark):
         """in-bucket applyInPandas verify (default for quantized LSH) and
         the candidate-join + pair-scorer verify must emit the identical
@@ -789,6 +835,31 @@ class TestTextOps:
         )
         run("text.pack", spark, [dense], _context=ctx2, **kw).collect()
         assert max(ctx2["_pack_bucket_rows"].values()) * n_part <= 4 * 3000
+
+    def test_pack_bucket_rows_namespaced_by_step(self, spark):
+        # two pack steps in one pipeline keep DISTINCT planner
+        # telemetry under _pack_bucket_rows:<step> (ADVICE r4: the bare
+        # key is last-writer-wins)
+        from ssis_to_pyspark_agent_spark.plans import Pipeline, run_pipeline
+
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 20 + 1) for i in range(200)], "id long, cnt int"
+        )
+        p = (
+            Pipeline("twopacks")
+            .step("src", "source.dataframe", df=df)
+            .step("p1", "text.pack", "src", id_col="id", count_col="cnt",
+                  capacity=64, partitions=4)
+            .step("p2", "text.pack", "src", id_col="id", count_col="cnt",
+                  capacity=64, partitions=8)
+        )
+        res = run_pipeline(spark, p)
+        res.df("p1").collect(), res.df("p2").collect()
+        h1 = res.context["_pack_bucket_rows:p1"]
+        h2 = res.context["_pack_bucket_rows:p2"]
+        assert sum(h1.values()) == 200 and sum(h2.values()) == 200
+        assert len(h2) > len(h1)  # 8 vs 4 partitions: distinct, not clobbered
+        assert res.context["_pack_bucket_rows"] in (h1, h2)
 
     def test_pack_rebalance_multiple_clusters(self, spark):
         # several dense clusters overfull at once: the level-wise
@@ -1274,6 +1345,30 @@ class TestSampleModes:
         got = [r.id for r in out.collect()]
         assert got == [min(ids, key=lambda i: (u(i), i))]
 
+    def test_balanced_empty_quota_dict_raises(self, spark):
+        # quota={} with no default_quota caps nothing — a config error,
+        # not a bare min()-of-empty ValueError (ADVICE r4)
+        df = spark.createDataFrame([(1, "a")], "id long, g string")
+        with pytest.raises(ValueError, match="default_quota"):
+            run("sample.balanced", spark, [df], id_col="id",
+                group_col="g", quota={})
+
+    def test_balanced_is_fully_lazy(self, spark):
+        # the round-5 in-plan audit removed the eager planning action:
+        # invoking the operator must run ZERO Spark jobs (the fallback
+        # decision rides the output action)
+        df = spark.createDataFrame(
+            [(i, "g") for i in range(50)], "id long, g string"
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup() or []
+        out = run("sample.balanced", spark, [df], id_col="id",
+                  group_col="g", quota=10)
+        after = tracker.getJobIdsForGroup() or []
+        assert len(after) == len(before), \
+            "sample.balanced ran an eager planning job"
+        assert out.count() == 10
+
     def test_mixture_multiplicities(self, spark):
         # 400 rows over 4 groups; weights: exact 3x up, fractional 1.5x,
         # 0.25 down, drop; absent group -> default 1.0 passthrough
@@ -1497,6 +1592,22 @@ class TestSemanticDedup:
             (12, [0.0, 0.3, 0.9, 0.0]),
         ]
         return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    def test_releases_caches_without_ports(self, spark):
+        # return_pairs=False must not leak the scored-pairs cache
+        # (ADVICE r4): at most the BOUNDED dropped-id frame stays
+        # persisted after the operator returns, for either keep rule
+        spark.catalog.clearCache()
+        df = self._clustered(spark)
+        jsc = spark.sparkContext._jsc.sc()
+        for keep in ("min_id", "far_centroid"):
+            before = jsc.getPersistentRDDs().size()
+            out = run("dedup.semantic", spark, [df], id_col="vec_id",
+                      vec_col="v", n_clusters=2, threshold=0.99,
+                      quantize=10000, centroid_order="md5", keep=keep)
+            out.count()
+            assert jsc.getPersistentRDDs().size() - before <= 1, keep
+        spark.catalog.clearCache()
 
     def test_within_cluster_pairs_and_survivors(self, spark):
         df = self._clustered(spark)
