@@ -724,9 +724,14 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             # order must not be opt-in). The DF pass pays on skewed
             # corpora and costs on small/uniform ones, so probe both
             # cheaply off the persisted `base`:
-            #   1. limit-probe the doc count — under `auto_min_docs`
-            #      the DF pass is a measured net loss (30s vs 24s at
-            #      200k docs, PLANS.md) regardless of skew: 'hash'.
+            #   1. count the docs — a PARALLEL count that materializes
+            #     the persisted base the main pass reads anyway (a
+            #     limit-probe was measured 3.8x WORSE here: CollectLimit
+            #     runs the tokenize+shingle pass on few partitions
+            #     serially and leaves the cache partial). Under
+            #     `auto_min_docs` the DF pass is a measured net loss
+            #     (30s vs 24s at 200k docs, PLANS.md) regardless of
+            #     skew: 'hash'.
             #   2. else, estimate the hottest shingle's document
             #      frequency on a deterministic md5 doc-sample; if the
             #      top shingle reaches `auto_hot_df` of sampled docs,
@@ -739,10 +744,10 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             # bound holds under any fixed total order); only the plan
             # changes, so oracles are unaffected.
             min_docs = int(config.get("auto_min_docs", 400_000))
-            if base.limit(min_docs).count() < min_docs:
+            n_docs = base.count()
+            if n_docs < min_docs:
                 prefix_order = "hash"
             else:
-                n_docs = base.count()
                 frac = min(1.0, 200_000 / n_docs)
                 samp = base
                 if frac < 1.0:
@@ -1488,6 +1493,13 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
     assignment, pair cosines, and the keep rule exact integer-derived
     arithmetic any SQL engine reproduces (the q38/q40 oracle idiom).
 
+    ``verify_nprobe`` (default 1): SemDeDup by design never scores a
+    pair split across clusters. 2 ships each vector into its two
+    nearest clusters for the VERIFY only (assignments and the
+    far-centroid rank stay on the primary), closing most boundary
+    misses for ~2x verify rows; duplicate finds collapse exactly.
+    Measured boundary-miss curve in PLANS.md (round 5).
+
     Scale plan: assignment is one numpy matmul per Arrow batch
     (_ivf_assign_frame); the only shuffles move (id, vector) rows into
     their cluster for the self-join — payload vectors shuffle ONCE, and
@@ -1559,12 +1571,26 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
             for r in base.orderBy(key).limit(n_clusters).collect()
         ]
 
-    if quantize:
-        assigned = (
-            _ivf_assign_frame(base, "_id", "_v", cents, quantize, 1)
-            .withColumn("_cid", F.col("_cids")[0])
-            .drop("_cids")
+    # verify_nprobe: SemDeDup never scores a near-dup pair split across
+    # clusters (the paper's accepted recall boundary). nprobe=2 ships
+    # each vector into its TWO nearest clusters for the verify — a pair
+    # straddling one boundary then still meets in the runner-up cluster
+    # — at the cost of ~2x verify rows; pairs found in both shared
+    # clusters dedupe exactly (same quantized cosine either way).
+    # Assignments/keep-ranks stay on the PRIMARY centroid. Quantized
+    # path only (the expr path has no ranked-assignment kernel).
+    nprobe = int(config.get("verify_nprobe", 1))
+    if nprobe < 1:
+        raise ValueError(f"verify_nprobe must be >= 1, got {nprobe}")
+    if nprobe > 1 and not quantize:
+        raise ValueError(
+            "dedup.semantic verify_nprobe > 1 requires `quantize` "
+            "(multi-centroid assignment rides the numpy kernel)"
         )
+    if quantize:
+        assigned = _ivf_assign_frame(
+            base, "_id", "_v", cents, quantize, min(nprobe, len(cents))
+        ).withColumn("_cid", F.col("_cids")[0])
     else:
         cent_arr = F.array(
             *[
@@ -1589,8 +1615,16 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
     # persist BEFORE the cap probe: the probe then materializes the
     # cache instead of burning a throwaway assignment pass
     assigned = assigned.persist()
+    # the verify input: with verify_nprobe > 1 each vector rides into
+    # ALL its nprobe nearest clusters (the boundary-straddling pair
+    # then meets in the runner-up cluster); the cap and the verify
+    # both see the exploded occupancy
+    if nprobe > 1:
+        ver = assigned.select("_id", "_v", F.explode("_cids").alias("_cid"))
+    else:
+        ver = assigned.select("_id", "_v", "_cid")
     cap = int(config.get("cluster_cap", 200_000))
-    sizes = assigned.groupBy("_cid").agg(F.count(F.lit(1)).alias("_n"))
+    sizes = ver.groupBy("_cid").agg(F.count(F.lit(1)).alias("_n"))
     worst = sizes.agg(F.max("_n")).collect()[0][0]
     if worst is not None and worst > cap:
         assigned.unpersist()
@@ -1676,15 +1710,15 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
                 )
             return pd.concat(outs, ignore_index=True)
 
-        pairs = assigned.groupBy("_cid").applyInPandas(
+        pairs = ver.groupBy("_cid").applyInPandas(
             cluster_pairs,
             schema=f"a {id_type}, b {id_type}, cosine double, cluster int",
-        ).persist()
+        )
     else:
-        left = assigned.select(
+        left = ver.select(
             F.col("_cid"), F.col("_id").alias("a"), F.col("_v").alias("_va")
         )
-        right = assigned.select(
+        right = ver.select(
             F.col("_cid"), F.col("_id").alias("b"), F.col("_v").alias("_vb")
         )
         cand = left.join(right, "_cid").filter(F.col("a") < F.col("b"))
@@ -1695,8 +1729,15 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
             .filter(F.col("cosine") >= threshold)
             .withColumnRenamed("_cid", "cluster")
             .select("a", "b", "cosine", "cluster")
-            .persist()
         )
+    if nprobe > 1:
+        # a pair sharing BOTH of its nprobe clusters is found twice with
+        # the identical quantized cosine — collapse deterministically
+        # (min cluster tag) so ports and survivor math see each pair once
+        pairs = pairs.groupBy("a", "b").agg(
+            F.min("cosine").alias("cosine"), F.min("cluster").alias("cluster")
+        )
+    pairs = pairs.persist()
     pairs.count()
     # cache hygiene (invariant 13): `pairs` is persisted only so the
     # survivor derivation below reads the expensive verify once. When

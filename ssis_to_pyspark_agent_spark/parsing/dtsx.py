@@ -488,9 +488,17 @@ def _parse_dataflow(
                 ordered.append((int(oprops.get("EvaluationOrder", "0")),
                                 port, expr))
             ordered.sort()
+            # persist the routed frame: SSIS packages fan a split into
+            # many independently-consumed ports (row counts, commands,
+            # destinations), and each port's filter would otherwise
+            # re-materialize the whole upstream subplan — the same
+            # reason the hand-built medium-package pipeline (q50) sets
+            # persist on its split (measured on the parsed package: the
+            # eager per-port row counts re-ran the lookup+join chain
+            # once per port without it)
             p.step(nm, "conditional_split", upstream(c),
                    outputs={port: expr for _, port, expr in ordered},
-                   default=default_port)
+                   default=default_port, persist=True)
 
         elif cls == "Microsoft.OLEDBCommand":
             spec = command_targets.get(c.get("name")) or command_targets.get(

@@ -158,6 +158,58 @@ def test_medium_package_roundtrip(spark, warehouse_cleanup):
     assert spark.table("dst_generictable").count() == 6
 
 
+def test_medium_package_sabotaged_constraint_corrupts_output(
+    spark, warehouse_cleanup
+):
+    """The parsed guard edge (SourceRowCount > 0 -> DFT_Load) is
+    load-bearing: with an EMPTY feed the dataflow must be SKIPPED and
+    the target left untouched — a parse that DROPPED the precedence
+    constraint runs the dataflow anyway, and the package's own
+    sentinel-before-flags quirk then routes every live existing row to
+    UPDATE with a -1 checksum (provably different output, which is what
+    corrupts q48's oracle hash if the constraint parse regresses)."""
+    _medium_tables(spark)
+    # empty feed: same schema, zero rows
+    spark.sql("SELECT * FROM src_inputtable WHERE 1=0") \
+        .createOrReplaceTempView("src_inputtable")
+    kwargs = dict(
+        sql_overrides={"SQL_Set_TaskWorkHistoryID": "SELECT 1 AS ok"},
+        command_targets={
+            "CMD_SP": {
+                "table": "dst_generictable",
+                "keys": ["CountryID", "CategoryID"],
+                "column_map": {"CheckSum_New": "ETLCheckSum",
+                               "WorkHistoryID": None, "TemplateFlag": None},
+            },
+            "CMD_Delete": {
+                "table": "dst_generictable",
+                "keys": ["CountryID", "CategoryID"],
+                "column_map": {"WorkHistoryID": None},
+            },
+        },
+    )
+
+    pkg = parse_package(MEDIUM, **kwargs)
+    results, ctx = run_task_graph(spark, pkg.task_graph)
+    assert ctx["SourceRowCount"] == 0
+    assert results["DFT_Load"].status == "skipped"  # guard held
+
+    # sabotage: drop the guard constraint from the parsed graph
+    pkg2 = parse_package(MEDIUM, **kwargs)
+    pkg2.task_graph.edges = [
+        e for e in pkg2.task_graph.edges if e.dst != "DFT_Load"
+    ]
+    results2, _ = run_task_graph(spark, pkg2.task_graph)
+    assert results2["DFT_Load"].status == "success"
+    stamped = {
+        (r.CountryID, r.CategoryID): r.ETLCheckSum
+        for r in results2["DFT_Load"].run.df("CMD_SP").collect()
+    }
+    # live existing rows got the -1 sentinel checksum; default rows kept
+    assert stamped[(4, 40)] == -1 and stamped[(2, 20)] == -1
+    assert stamped[(-1, -10)] == 0 and stamped[(-2, -20)] == 0
+
+
 def test_positional_alias_respects_declared_output_columns():
     pkg = parse_package(MEDIUM, command_targets={
         "CMD_SP": {"table": "t", "keys": ["CountryID", "CategoryID"]},

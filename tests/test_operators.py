@@ -1609,6 +1609,41 @@ class TestSemanticDedup:
             assert jsc.getPersistentRDDs().size() - before <= 1, keep
         spark.catalog.clearCache()
 
+    def test_verify_nprobe_catches_boundary_pair(self, spark):
+        """verify_nprobe=2 (round 5): a near-dup pair whose endpoints
+        assign to DIFFERENT clusters is unscored at nprobe=1 (SemDeDup's
+        documented recall boundary) and found via the runner-up cluster
+        at nprobe=2 — with the duplicate find collapsed exactly."""
+        import hashlib
+
+        ids = sorted(
+            range(40),
+            key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+        )
+        ca, cb = ids[0], ids[1]  # md5-smallest -> the two centroids
+        oa, ob = [i for i in range(40) if i not in (ca, cb)][:2]
+        rows = [
+            (ca, [1.0, 0.0, 0.0, 0.0]),
+            (cb, [0.0, 1.0, 0.0, 0.0]),
+            (oa, [0.72, 0.70, 0.0, 0.0]),  # nearer ca
+            (ob, [0.70, 0.72, 0.0, 0.0]),  # nearer cb; cos(oa,ob)~0.9994
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        common = dict(id_col="vec_id", vec_col="v", n_clusters=2,
+                      threshold=0.99, quantize=10000, centroid_order="md5",
+                      return_pairs=True)
+        p1 = {(r.a, r.b) for r in run(
+            "dedup.semantic", spark, [df], **common)["pairs"].collect()}
+        rows2 = run("dedup.semantic", spark, [df], verify_nprobe=2,
+                    **common)["pairs"].collect()
+        p2 = {(r.a, r.b) for r in rows2}
+        key = (min(oa, ob), max(oa, ob))
+        assert key not in p1  # split across clusters: unscored by design
+        assert key in p2      # runner-up cluster catches it
+        assert len(rows2) == len(p2)  # duplicate finds collapsed
+        assert p1 <= p2
+        spark.catalog.clearCache()
+
     def test_within_cluster_pairs_and_survivors(self, spark):
         df = self._clustered(spark)
         r = run("dedup.semantic", spark, [df], id_col="vec_id", vec_col="v",

@@ -248,6 +248,93 @@ def probe_semantic(spark, n_vec=500_000, dim=64, n_clusters=512):
     docs.unpersist()
 
 
+def probe_semantic_boundary(spark, n_vec=500_000, dim=64):
+    """SemDeDup's inherent recall boundary (round-5 verdict item): a
+    near-dup pair whose endpoints land in DIFFERENT clusters is unscored
+    by design. Plant ANGLED near-dups (random-direction perturbation,
+    cosine ~0.989 expected vs threshold 0.98 — unlike the scale-copy
+    probe, these can cross a cluster boundary), compute the TRUE
+    over-threshold pair set directly, and record recall + split rate vs
+    n_clusters, then the verify_nprobe=2 mitigation."""
+    from ssis_to_pyspark_agent_spark.operators.similarity import (
+        _pair_cosine_frame,
+    )
+
+    thr = 0.98
+    q = 10000
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 1000) / 500.0 - 1.0),
+    )
+    pert = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("id"), i, F.lit(99)), 1000) / 500.0 - 1.0
+        ),
+    )
+    base = spark.range(n_vec).repartition(32).select(
+        F.col("id").alias("vid"), vec.alias("v")
+    )
+    dups = spark.range(n_vec).filter(F.pmod("id", 100) == 0).select(
+        (F.col("id") + n_vec).alias("vid"),
+        F.zip_with(vec, pert, lambda x, y: x + F.lit(0.15) * y).alias("v"),
+    )
+    docs = base.unionByName(dups).persist()
+    total = docs.count()
+
+    planted = (
+        base.filter(F.pmod("vid", 100) == 0)
+        .select(F.col("vid").alias("a"), F.col("v").alias("_va"))
+        .join(
+            dups.select(
+                (F.col("vid") - n_vec).alias("a"),
+                F.col("vid").alias("b"),
+                F.col("v").alias("_vb"),
+            ),
+            "a",
+        )
+    )
+    true_pairs = (
+        _pair_cosine_frame(planted, "_va", "_vb", ["a", "b"], q)
+        .filter(F.col("cosine") >= thr)
+        .select("a", "b")
+        .persist()
+    )
+    nt = true_pairs.count()
+
+    for n_clusters, nprobe in ((128, 1), (512, 1), (2048, 1), (512, 2)):
+        t0 = time.perf_counter()
+        out = get_operator("dedup.semantic")(
+            spark, [docs],
+            {"id_col": "vid", "vec_col": "v", "threshold": thr,
+             "n_clusters": n_clusters, "kmeans": True, "quantize": q,
+             "verify_nprobe": nprobe, "return_pairs": True,
+             "return_assignments": True},
+            {},
+        )
+        found = out["pairs"].join(true_pairs, ["a", "b"], "left_semi").count()
+        asg = out["assignments"]
+        split = (
+            true_pairs
+            .join(asg.withColumnsRenamed({"vid": "a", "cluster": "_ca"}), "a")
+            .join(asg.withColumnsRenamed({"vid": "b", "cluster": "_cb"}), "b")
+            .filter(F.col("_ca") != F.col("_cb"))
+            .count()
+        )
+        dt = time.perf_counter() - t0
+        print(
+            f"PROBE semantic_boundary: n={total} clusters={n_clusters} "
+            f"nprobe={nprobe} {dt:.1f}s true={nt} found={found} "
+            f"recall={found/nt:.4f} boundary_split={split} "
+            f"({split/nt:.4f} of true pairs)"
+        )
+        out["pairs"].unpersist()
+        # the assignments port intentionally retains its cache (the
+        # operator documents ports-case retention); ~260MB/run here
+    true_pairs.unpersist()
+    docs.unpersist()
+
+
 def probe_cdc(spark, n_dim=20_000_000, n_upd=200_000, n_del=100_000):
     """The flagship (q50) CDC path at 1000x the bench dimension size:
     merge_upsert / merge_delete / scd2 against a 20M-row dimension with a
@@ -397,6 +484,85 @@ def probe_ngram(spark, n_docs=200_000, words_per_doc=80):
           f"survivors={survivors} planted={n_docs // 100} "
           f"({total/dt:,.0f} docs/s)")
     docs.unpersist()
+
+
+def probe_ngram_auto(spark, n_adv=1_000_000, n_uni=200_000):
+    """Round-5 check for prefix_order='auto' (the new default): on the
+    1M-doc Zipf+boilerplate corpus AUTO must pick 'df' and land within
+    ~1.1x of explicit 'df'; on the 200k uniform corpus AUTO must pick
+    'hash' with no regression vs explicit 'hash' (the probe job itself
+    is the only extra cost)."""
+    def run_order(docs, total, order, tag):
+        ctx = {}
+        cfg = {"id_col": "doc_id", "text_col": "text", "threshold": 0.8,
+               "return_pairs": True}
+        if order is not None:
+            cfg["prefix_order"] = order
+        t0 = time.perf_counter()
+        out = get_operator("dedup.ngram_jaccard")(spark, [docs], cfg, ctx)
+        pairs = out["pairs"].count()
+        dt = time.perf_counter() - t0
+        chosen = ctx.get("_ngram_prefix_order", order)
+        print(
+            f"PROBE ngram_auto[{tag}]: n={total} {dt:.1f}s "
+            f"({total/dt:,.0f} docs/s) pairs={pairs} chosen={chosen}"
+        )
+        # release only the operator's own pairs cache — clearCache()
+        # would also drop the SHARED corpus persist and skew the A/B
+        out["pairs"].unpersist()
+        return dt
+
+    # adversarial corpus (same rig as probe_adversarial)
+    base = (
+        spark.range(n_adv)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            _zipf_lines_expr(10, 8, vocab=50_000, salt=3, boiler=BOILER)
+            .alias("text"),
+        )
+    )
+    dups = base.filter(F.pmod("doc_id", 100) == 0).select(
+        (F.col("doc_id") + n_adv).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extradup")).alias("text"),
+    )
+    docs = base.unionByName(dups).persist()
+    total = docs.count()
+    t_auto = run_order(docs, total, None, "adv-auto")
+    t_df = run_order(docs, total, "df", "adv-df")
+    print(f"PROBE ngram_auto: adversarial auto/df ratio = {t_auto/t_df:.2f}")
+    docs.unpersist()
+
+    # uniform corpus (same rig as probe_ngram)
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    ubase = (
+        spark.range(n_uni)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(80)),
+                    lambda i: F.element_at(
+                        vocab,
+                        (F.pmod(F.xxhash64(F.col("id"), i), 500) + 1)
+                        .cast("int"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+    udups = ubase.filter(F.pmod("doc_id", 100) == 0).select(
+        (F.col("doc_id") + n_uni).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extradup")).alias("text"),
+    )
+    udocs = ubase.unionByName(udups).persist()
+    utotal = udocs.count()
+    ut_auto = run_order(udocs, utotal, None, "uni-auto")
+    ut_hash = run_order(udocs, utotal, "hash", "uni-hash")
+    print(f"PROBE ngram_auto: uniform auto/hash ratio = {ut_auto/ut_hash:.2f}")
+    udocs.unpersist()
 
 
 def probe_ivf(spark, n_vec=500_000, dim=64, n_q=100, k=10, n_cent=64):
@@ -1060,6 +1226,10 @@ def main():
         probe_spans_skew(spark)
     if which in ("adversarial", "all"):
         probe_adversarial(spark)
+    if which in ("ngram_auto", "all"):
+        probe_ngram_auto(spark)
+    if which in ("semantic_boundary", "all"):
+        probe_semantic_boundary(spark)
 
 
 if __name__ == "__main__":
