@@ -258,35 +258,13 @@ def _keep_min_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFra
     return df.join(dominated, id_col, "left_anti")
 
 
-@operator("dedup.cluster")
-def dedup_cluster(spark: SparkSession, inputs, config, context):
-    """Connected components over a near-duplicate pair list: the transitive
-    closure the keep-min-neighbor heuristic skips. inputs: [ids, pairs]
-    where ids has `id_col` and pairs has columns (a, b).
-
-    Iterative min-label propagation: every node starts as its own
-    component; each round, a node adopts the smallest label among itself
-    and its neighbors; stop when no label changes (<= diameter rounds —
-    near-dup clusters are tiny, so 2-4 rounds in practice). Each round is
-    one shuffle; `localCheckpoint` cuts the lineage so round N doesn't
-    replay rounds 1..N-1.
-
-    Returns {'components': (id, component), 'out': one surviving row per
-    component (min id)}.
-
-    Scale shape: propagation runs ONLY over nodes that appear in an edge —
-    isolated nodes (at real dup rates, >99% of the corpus) can never
-    change label, so shuffling the full id table every round is pure
-    waste; they are re-attached with comp=id by one left join at the end.
-    The iterated frame is therefore proportional to the DUP volume, not
-    the corpus — at sf0.01 (500 docs) the wall time is unchanged (~3.7s,
-    all fixed per-round job overhead), but at a 100TB corpus with ~1%
-    dups this is the difference between shuffling TBs per round and MBs.
-    """
-    ids_df, pairs = inputs[0], inputs[1]
-    id_col = config["id_col"]
-    max_rounds = config.get("max_rounds", 20)
-
+def _propagate_labels(pairs: DataFrame, max_rounds: int) -> DataFrame:
+    """Iterative min-label propagation over a (a, b) pair list: returns
+    (x, comp) for every node that APPEARS IN AN EDGE — dup-volume-sized,
+    never corpus-sized (isolated nodes can't change label; callers
+    re-attach them with comp = own id). Each round is one shuffle;
+    ``localCheckpoint`` cuts the lineage so round N doesn't replay
+    rounds 1..N-1. Shared by dedup.cluster and sample.holdout."""
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
@@ -317,6 +295,39 @@ def dedup_cluster(spark: SparkSession, inputs, config, context):
         if changed == 0:
             break
     edges.unpersist()
+    return labels
+
+
+@operator("dedup.cluster")
+def dedup_cluster(spark: SparkSession, inputs, config, context):
+    """Connected components over a near-duplicate pair list: the transitive
+    closure the keep-min-neighbor heuristic skips. inputs: [ids, pairs]
+    where ids has `id_col` and pairs has columns (a, b).
+
+    Iterative min-label propagation: every node starts as its own
+    component; each round, a node adopts the smallest label among itself
+    and its neighbors; stop when no label changes (<= diameter rounds —
+    near-dup clusters are tiny, so 2-4 rounds in practice). Each round is
+    one shuffle; `localCheckpoint` cuts the lineage so round N doesn't
+    replay rounds 1..N-1.
+
+    Returns {'components': (id, component), 'out': one surviving row per
+    component (min id)}.
+
+    Scale shape: propagation runs ONLY over nodes that appear in an edge —
+    isolated nodes (at real dup rates, >99% of the corpus) can never
+    change label, so shuffling the full id table every round is pure
+    waste; they are re-attached with comp=id by one left join at the end.
+    The iterated frame is therefore proportional to the DUP volume, not
+    the corpus — at sf0.01 (500 docs) the wall time is unchanged (~3.7s,
+    all fixed per-round job overhead), but at a 100TB corpus with ~1%
+    dups this is the difference between shuffling TBs per round and MBs.
+    """
+    ids_df, pairs = inputs[0], inputs[1]
+    id_col = config["id_col"]
+    max_rounds = config.get("max_rounds", 20)
+
+    labels = _propagate_labels(pairs, max_rounds)
 
     # Re-attach isolated nodes (comp = own id) with one left join; the
     # propagated label set is dup-volume-sized, so broadcast it.

@@ -114,6 +114,69 @@ def sample(spark: SparkSession, inputs, config, context) -> DataFrame:
     raise ValueError(f"unknown sample method {method!r}")
 
 
+@operator("sample.holdout")
+def sample_holdout(spark: SparkSession, inputs, config, context):
+    """Leakage-safe train/holdout split for pretraining corpora: the
+    unit of assignment is the NEAR-DUPLICATE CLUSTER, not the document.
+    A plain per-doc hash split leaks — a near-dup pair straddling the
+    boundary puts an (almost) verbatim copy of held-out text in the
+    training set, and the eval is contaminated. Here every connected
+    component of the pair graph (any dedup.* op's pairs port) moves to
+    one side atomically: side = md5-hash of the component
+    representative, so two docs joined by ANY near-dup path can never
+    land on different sides.
+
+    inputs: [df, pairs] — pairs has (a, b) columns (the contract every
+    dedup.* pairs port satisfies).
+    config: id_col, test_frac (0..1), salt (vary to re-draw the split),
+    side_col (default 'side'), comp_col (default 'comp', '' to drop),
+    max_rounds (label-propagation bound, default 20).
+    Output ports: 'out' (df + comp + side), 'train', 'test'.
+
+    Scale plan: min-label propagation runs only over nodes that appear
+    in an edge (dup-volume-sized — shared `_propagate_labels` with
+    dedup.cluster), then ONE broadcast join stamps labels onto the
+    corpus; isolated docs are their own component via coalesce. The
+    side decision is the engine-neutral 60-bit md5 idiom (NOTES
+    invariant 5), so the whole split is exactly re-derivable in SQL —
+    deterministic across runs, engines, and executor counts.
+
+    Reference has no counterpart (nearest: Percentage Sampling,
+    data_engineering_parser.py:1096) — NEW per SURVEY §2.12."""
+    from ssis_to_pyspark_agent_spark.operators.dedup import (
+        _md5_60bit,
+        _propagate_labels,
+    )
+
+    df, pairs = inputs[0], inputs[1]
+    id_col = config["id_col"]
+    frac = float(config["test_frac"])
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"test_frac must be in [0, 1], got {frac}")
+    salt = config.get("salt", "")
+    side_col = config.get("side_col", "side")
+    comp_col = config.get("comp_col", "comp")
+
+    prop = _propagate_labels(pairs, config.get("max_rounds", 20))
+    lbl = prop.select(F.col("x").alias(id_col), F.col("comp").alias("_hc"))
+    if config.get("broadcast_components", True):  # off for degenerate pair sets
+        lbl = F.broadcast(lbl)
+    comp = F.coalesce(F.col("_hc"), F.col(id_col))
+    thr = int(frac * float(1 << 60))
+    side = F.when(
+        _md5_60bit(F.concat(comp.cast("string"), F.lit(salt))) < F.lit(thr),
+        F.lit("test"),
+    ).otherwise(F.lit("train"))
+    out = df.join(lbl, id_col, "left").withColumns(
+        {**({comp_col: comp} if comp_col else {}), side_col: side}
+    ).drop("_hc")
+    return {
+        "out": out,
+        "train": out.filter(F.col(side_col) == "train"),
+        "test": out.filter(F.col(side_col) == "test"),
+    }
+
+
 @operator("sample.mixture")
 def sample_mixture(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Domain-mixture reweighting — the pretraining data-mixing step

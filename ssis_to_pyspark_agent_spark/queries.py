@@ -993,7 +993,9 @@ _SHINGLE_SQL = """
     # length-bucket blocking) plus the connected-components clustering of
     # those pairs (transitive closure vs a recursive-CTE reachability
     # oracle), as one tagged union: ('pair', a, b, jaccard) rows and
-    # ('comp', doc_id, comp, NULL) rows.
+    # ('comp', doc_id, comp, NULL) rows. Round 5 adds ('split_train' /
+    # 'split_test', doc_id, comp, NULL): sample.holdout's leakage-safe
+    # split, re-derived from the same comp CTE + the md5-60bit idiom.
     oracle=f"""
     WITH RECURSIVE docs AS (
       SELECT doc_id, n_chars, string_split({_NORM_SQL}, ' ') AS words
@@ -1024,6 +1026,16 @@ _SHINGLE_SQL = """
     SELECT 'pair' AS kind, a, b, jaccard FROM pairs
     UNION ALL
     SELECT 'comp', doc_id, comp, CAST(NULL AS DOUBLE) FROM comp
+    UNION ALL
+    -- round 5: leakage-safe holdout split — the assignment unit is the
+    -- near-dup COMPONENT (md5 of its representative), so no near-dup
+    -- path can straddle train/test; 0.125 * 2^60 = 2^57 exactly
+    SELECT 'split_' || CASE
+             WHEN CAST('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 15)
+                  AS BIGINT) < {int(0.125 * float(1 << 60))}
+             THEN 'test' ELSE 'train' END,
+           doc_id, comp, CAST(NULL AS DOUBLE)
+    FROM comp
     """,
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,6 +1052,8 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
               return_pairs=True)
         .step("cc", "dedup.cluster", ["documents", "dd.pairs"],
               id_col="doc_id")
+        .step("split", "sample.holdout", ["documents", "dd.pairs"],
+              id_col="doc_id", test_frac=0.125)
     )
     r = run_pipeline(spark, p)
     pairs = r.df("dd.pairs").select(
@@ -1051,7 +1065,12 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return pairs.unionByName(comps)
+    split = r.df("split.out").select(
+        F.concat(F.lit("split_"), F.col("side")).alias("kind"),
+        F.col("doc_id").alias("a"), F.col("comp").alias("b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return pairs.unionByName(comps).unionByName(split)
 
 
 @query(
@@ -1493,7 +1512,10 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment re-derived in SQL, cluster id included) and ('sem_surv',
     # survivors under the PAPER's far-from-centroid diversity rule: of
     # each over-threshold pair, drop the member CLOSER to its centroid
-    # (more typical), tie on centroid-cosine drops the larger id.
+    # (more typical), tie on centroid-cosine drops the larger id. Round 5
+    # adds ('sem2_pair', the verify_nprobe=2 boundary mitigation: pairs
+    # sharing ANY of their top-2 clusters, with the exact top-2
+    # assignment and the min-shared-cluster collapse re-derived in SQL).
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
     cent AS (
@@ -1502,14 +1524,28 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - 1 AS INT) AS cid
       FROM e
       QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 4),
+    asg_ranked AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_QCOS_SQL.replace("a[i]", "e.embedding[i]").replace("b[i]", "c.cv[i]").replace("(a,", "(e.embedding,").replace("(b,", "(c.cv,")} DESC,
+                        c.cid ASC) AS rn
+      FROM e, cent c),
     asg AS (
-      SELECT vec_id, embedding, cid FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
-               ROW_NUMBER() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY {_QCOS_SQL.replace("a[i]", "e.embedding[i]").replace("b[i]", "c.cv[i]").replace("(a,", "(e.embedding,").replace("(b,", "(c.cv,")} DESC,
-                          c.cid ASC) AS rn
-        FROM e, cent c) WHERE rn = 1),
+      SELECT vec_id, embedding, cid FROM asg_ranked WHERE rn = 1),
+    -- verify_nprobe=2: each vector rides into its TOP-2 centroids for
+    -- the verify; a pair counts when ANY cluster is shared, deduped to
+    -- one row with the smallest shared cluster id (the engine's exact
+    -- collapse rule)
+    asg2 AS (
+      SELECT vec_id, embedding, cid FROM asg_ranked WHERE rn <= 2),
+    sem2 AS (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             {_QCOS_SQL.replace("a[i]", "x.embedding[i]").replace("b[i]", "y.embedding[i]").replace("(a,", "(x.embedding,").replace("(b,", "(y.embedding,")} AS cosine,
+             CAST(MIN(x.cid) AS INT) AS cluster
+      FROM asg2 x JOIN asg2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE {_QCOS_SQL.replace("a[i]", "x.embedding[i]").replace("b[i]", "y.embedding[i]").replace("(a,", "(x.embedding,").replace("(b,", "(y.embedding,")} >= 0.35
+      GROUP BY 1, 2, 3),
     sem AS (
       SELECT x.vec_id AS a, y.vec_id AS b,
              {_QCOS_SQL.replace("a[i]", "x.embedding[i]").replace("b[i]", "y.embedding[i]").replace("(a,", "(x.embedding,").replace("(b,", "(y.embedding,")} AS cosine,
@@ -1523,6 +1559,8 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {_QCOS_SQL.replace("a[i]", "x.embedding[i]").replace("b[i]", "y.embedding[i]").replace("(a,", "(x.embedding,").replace("(b,", "(y.embedding,")} >= 0.35
     UNION ALL
     SELECT 'sem_pair', a, b, cosine, cluster FROM sem
+    UNION ALL
+    SELECT 'sem2_pair', a, b, cosine, cluster FROM sem2
     UNION ALL
     SELECT 'sem_surv', vec_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
            CAST(NULL AS INT)
@@ -1552,6 +1590,12 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
               vec_col="embedding", threshold=0.35, n_clusters=4,
               centroid_order="md5", quantize=10000, return_pairs=True,
               keep="far_centroid")
+        # round 5: the verify_nprobe=2 boundary mitigation as its own
+        # oracle-backed leg (top-2 centroid assignment re-derived in SQL)
+        .step("sem2", "dedup.semantic", "sub", id_col="vec_id",
+              vec_col="embedding", threshold=0.35, n_clusters=4,
+              centroid_order="md5", quantize=10000, return_pairs=True,
+              verify_nprobe=2)
     )
     r = run_pipeline(spark, p)
     pair = r.df("dd.pairs").select(
@@ -1561,13 +1605,19 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem_pair = r.df("sem.pairs").select(
         F.lit("sem_pair").alias("kind"), "a", "b", "cosine", "cluster",
     )
+    sem2_pair = r.df("sem2.pairs").select(
+        F.lit("sem2_pair").alias("kind"), "a", "b", "cosine", "cluster",
+    )
     sem_surv = r.df("sem.out").select(
         F.lit("sem_surv").alias("kind"), F.col("vec_id").alias("a"),
         F.lit(None).cast("long").alias("b"),
         F.lit(None).cast("double").alias("cosine"),
         F.lit(None).cast("int").alias("cluster"),
     )
-    return pair.unionByName(sem_pair).unionByName(sem_surv)
+    return (
+        pair.unionByName(sem_pair).unionByName(sem2_pair)
+        .unionByName(sem_surv)
+    )
 
 
 # -- events: batch windows, sessionization, JSON, streaming -----------------

@@ -1345,6 +1345,41 @@ class TestSampleModes:
         got = [r.id for r in out.collect()]
         assert got == [min(ids, key=lambda i: (u(i), i))]
 
+    def test_holdout_no_pair_straddles_and_transitive(self, spark):
+        """sample.holdout: every near-dup pair — and every TRANSITIVE
+        chain — lands on one side; isolated docs split ~test_frac;
+        deterministic; ports partition the corpus."""
+        docs = spark.createDataFrame(
+            [(i,) for i in range(400)], "id long"
+        )
+        # chain 0-1-2 plus pair (10, 11); rest isolated
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11)], "a long, b long"
+        )
+        r = run("sample.holdout", spark, [docs, pairs], id_col="id",
+                test_frac=0.25)
+        side = {x.id: x.side for x in r["out"].collect()}
+        comp = {x.id: x.comp for x in r["out"].collect()}
+        assert len(side) == 400
+        assert side[0] == side[1] == side[2] and comp[0] == comp[1] == comp[2] == 0
+        assert side[10] == side[11] and comp[10] == comp[11] == 10
+        n_test = sum(1 for v in side.values() if v == "test")
+        assert 0.15 * 400 < n_test < 0.35 * 400  # loose binomial band
+        # ports partition out
+        tr = {x.id for x in r["train"].collect()}
+        te = {x.id for x in r["test"].collect()}
+        assert tr | te == set(side) and not (tr & te)
+        # deterministic re-run; salt redraws
+        r2 = run("sample.holdout", spark, [docs, pairs], id_col="id",
+                 test_frac=0.25)
+        assert {x.id: x.side for x in r2["out"].collect()} == side
+        r3 = run("sample.holdout", spark, [docs, pairs], id_col="id",
+                 test_frac=0.25, salt="v2")
+        assert {x.id: x.side for x in r3["out"].collect()} != side
+        with pytest.raises(ValueError, match="test_frac"):
+            run("sample.holdout", spark, [docs, pairs], id_col="id",
+                test_frac=1.5)
+
     def test_balanced_empty_quota_dict_raises(self, spark):
         # quota={} with no default_quota caps nothing — a config error,
         # not a bare min()-of-empty ValueError (ADVICE r4)

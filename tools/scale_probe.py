@@ -1146,13 +1146,17 @@ def probe_adversarial(spark, n_docs=1_000_000):
         return f"pairs={out['pairs'].count()} (planted {planted})"
 
     def _ngram():
+        ctx = {}
         out = get_operator("dedup.ngram_jaccard")(
             spark, [docs],
             {"id_col": "doc_id", "text_col": "text", "threshold": 0.8,
-             "return_pairs": True, "prefix_order": "df"},
-            {},
+             "return_pairs": True},
+            ctx,
         )
-        return f"pairs={out['pairs'].count()} (planted {planted}, prefix_order=df)"
+        n_pairs = out["pairs"].count()
+        out["pairs"].unpersist()
+        return (f"pairs={n_pairs} (planted {planted}, "
+                f"auto chose {ctx.get('_ngram_prefix_order')})")
 
     def _lines():
         out = get_operator("text.line_dedup")(
