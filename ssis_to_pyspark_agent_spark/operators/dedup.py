@@ -275,6 +275,7 @@ def _propagate_labels(pairs: DataFrame, max_rounds: int) -> DataFrame:
         edges.select("x").distinct().withColumn("comp", F.col("x"))
     ).localCheckpoint()
 
+    changed = 0
     for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, "x")
@@ -295,6 +296,19 @@ def _propagate_labels(pairs: DataFrame, max_rounds: int) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # labels are still moving: some component has diameter >
+        # max_rounds and its far nodes hold INTERMEDIATE labels.
+        # Returning them silently would hand dedup.cluster wrong
+        # components and break sample.holdout's no-straddle guarantee
+        # (two linked docs with different labels can land on different
+        # sides) — fail fast instead.
+        raise ValueError(
+            f"label propagation did not converge within max_rounds="
+            f"{max_rounds}: a near-dup component has a longer chain "
+            f"diameter. Raise max_rounds (rounds needed ~= the longest "
+            f"pair-chain length)."
+        )
     return labels
 
 
@@ -312,7 +326,9 @@ def dedup_cluster(spark: SparkSession, inputs, config, context):
     replay rounds 1..N-1.
 
     Returns {'components': (id, component), 'out': one surviving row per
-    component (min id)}.
+    component (min id), 'labels': the dup-volume propagated (x, comp)
+    frame — feed it to sample.holdout (labels_input=True) so one
+    propagation serves both operators}.
 
     Scale shape: propagation runs ONLY over nodes that appear in an edge —
     isolated nodes (at real dup rates, >99% of the corpus) can never
@@ -344,7 +360,7 @@ def dedup_cluster(spark: SparkSession, inputs, config, context):
         id_col,
         "left_semi",
     )
-    return {"components": components, "out": survivors}
+    return {"components": components, "out": survivors, "labels": labels}
 
 
 @operator("dedup.exact")

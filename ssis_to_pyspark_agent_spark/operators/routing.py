@@ -44,8 +44,13 @@ def conditional_split(spark: SparkSession, inputs, config, context):
         # package merge), each port's filter would otherwise re-materialize
         # the whole upstream subplan; caching the routed frame computes it
         # once. The runner's fan-out persist only caches the per-port
-        # filters, which does not share the parent.
+        # filters, which does not share the parent. The cache is
+        # REGISTERED in the shared context so the pipeline's owner can
+        # release it once the ports are consumed (NOTES invariant 13:
+        # an operator must not leave an untracked corpus-sized persist
+        # behind) — see RunResult.release_caches().
         routed = routed.persist()
+        context.setdefault("_op_persists", []).append(routed)
     out = {
         port: routed.filter(F.col("_route") == port).drop("_route")
         for port in list(config["outputs"]) + [default_port]
@@ -127,10 +132,15 @@ def sample_holdout(spark: SparkSession, inputs, config, context):
     land on different sides.
 
     inputs: [df, pairs] — pairs has (a, b) columns (the contract every
-    dedup.* pairs port satisfies).
+    dedup.* pairs port satisfies). With ``labels_input=True`` the second
+    input is instead a precomputed dup-volume (x, comp) label frame —
+    dedup.cluster's 'labels' port — so a pipeline that already
+    clustered the pairs does NOT run label propagation twice.
     config: id_col, test_frac (0..1), salt (vary to re-draw the split),
     side_col (default 'side'), comp_col (default 'comp', '' to drop),
-    max_rounds (label-propagation bound, default 20).
+    max_rounds (label-propagation bound, default 20; propagation FAILS
+    FAST if a component's chain diameter exceeds it — partial labels
+    would silently break the no-straddle guarantee).
     Output ports: 'out' (df + comp + side), 'train', 'test'.
 
     Scale plan: min-label propagation runs only over nodes that appear
@@ -148,7 +158,7 @@ def sample_holdout(spark: SparkSession, inputs, config, context):
         _propagate_labels,
     )
 
-    df, pairs = inputs[0], inputs[1]
+    df, second = inputs[0], inputs[1]
     id_col = config["id_col"]
     frac = float(config["test_frac"])
     if not 0.0 <= frac <= 1.0:
@@ -157,7 +167,10 @@ def sample_holdout(spark: SparkSession, inputs, config, context):
     side_col = config.get("side_col", "side")
     comp_col = config.get("comp_col", "comp")
 
-    prop = _propagate_labels(pairs, config.get("max_rounds", 20))
+    if config.get("labels_input"):
+        prop = second  # dedup.cluster's 'labels' port: (x, comp)
+    else:
+        prop = _propagate_labels(second, config.get("max_rounds", 20))
     lbl = prop.select(F.col("x").alias(id_col), F.col("comp").alias("_hc"))
     if config.get("broadcast_components", True):  # off for degenerate pair sets
         lbl = F.broadcast(lbl)

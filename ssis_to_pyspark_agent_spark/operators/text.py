@@ -217,10 +217,13 @@ def classify(spark: SparkSession, inputs, config, context) -> DataFrame:
             # occurrence — Zipfian corpora hit the memo constantly, so
             # interpreter-side hashing stops dominating the vectorized
             # X @ W.T it feeds (a real ONNX/torch featurizer would keep
-            # its vocab map the same way). Task-lifetime dict, bounded
-            # by the partition's distinct-token vocabulary, not corpus
-            # size.
+            # its vocab map the same way). Task-lifetime dict, CAPPED:
+            # on unique-token-heavy text (ids, emails, URLs) the memo
+            # would otherwise grow one str key per distinct token with
+            # near-zero hit rate — past the cap the Zipf head is
+            # already memoized, so new tokens just hash directly.
             bucket: dict[str, int] = {}
+            memo_cap = 1_000_000
             for pdf in it:
                 n = len(pdf)
                 X = np.zeros((n, D), dtype=np.int64)
@@ -229,7 +232,9 @@ def classify(spark: SparkSession, inputs, config, context) -> DataFrame:
                         if tok:
                             b = bucket.get(tok)
                             if b is None:
-                                b = bucket[tok] = _md5i(tok) % D
+                                b = _md5i(tok) % D
+                                if len(bucket) < memo_cap:
+                                    bucket[tok] = b
                             X[i, b] += 1
                 logits = X @ W.T  # (n, L): the vectorized inference pass
                 best = logits.argmax(axis=1)  # tie -> lowest label index

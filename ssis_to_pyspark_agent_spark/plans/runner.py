@@ -52,6 +52,17 @@ class RunResult:
             return next(iter(ports.values()))
         raise KeyError(f"step {step!r} has ports {sorted(ports)}; qualify the ref")
 
+    def release_caches(self) -> None:
+        """Unpersist operator-registered caches (context '_op_persists',
+        e.g. a persisted conditional-split route frame). Call once the
+        run's outputs are materialized or recomputable-cheaply — the
+        lazy port frames stay CORRECT afterwards (a cache is only a
+        cache), they just recompute on the next action. NOTES invariant
+        13: nothing should leave an untracked corpus-sized persist
+        behind."""
+        for frame in self.context.pop("_op_persists", []):
+            frame.unpersist()
+
     def metrics(self) -> dict[str, Any]:
         """Row Count observation values. Observe-mode counters only resolve
         after an action has run on a plan containing them — call this after

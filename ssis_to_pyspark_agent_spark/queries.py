@@ -1052,8 +1052,10 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
               return_pairs=True)
         .step("cc", "dedup.cluster", ["documents", "dd.pairs"],
               id_col="doc_id")
-        .step("split", "sample.holdout", ["documents", "dd.pairs"],
-              id_col="doc_id", test_frac=0.125)
+        # labels_input: reuse cc's propagated labels — one label
+        # propagation serves both the clustering and the split
+        .step("split", "sample.holdout", ["documents", "cc.labels"],
+              id_col="doc_id", test_frac=0.125, labels_input=True)
     )
     r = run_pipeline(spark, p)
     pairs = r.df("dd.pairs").select(
@@ -2607,6 +2609,10 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = run_pipeline(spark, p)
     assert res.context["n_already_deleted"] >= 0
     df = res.df("out")
+    # the split's route cache served the in-run sinks; 'out' re-reads the
+    # managed table, so nothing downstream needs the cache — release it
+    # instead of leaking one persisted frame per invocation
+    res.release_caches()
     return df.withColumn("deleted_flag", F.col("deleted_flag").cast("int"))
 
 
@@ -2718,6 +2724,11 @@ def _dtsx_medium_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert ctx["SourceRowCount"] > 0  # the guard constraint actually fired
 
     updated = results["DFT_Load"].run.df("CMD_SP")
+    # the parsed split's route cache served the graph's eager row counts;
+    # the returned frame recomputes the (tiny) update branch on collect —
+    # release the cache rather than leak one per invocation
+    for frame in ctx.pop("_op_persists", []):
+        frame.unpersist()
     return updated.select(
         F.lit("dtsx").alias("leg"),
         F.col("CategoryID").cast("bigint").alias("o_orderkey"),

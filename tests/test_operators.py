@@ -1380,6 +1380,32 @@ class TestSampleModes:
             run("sample.holdout", spark, [docs, pairs], id_col="id",
                 test_frac=1.5)
 
+    def test_holdout_fails_fast_on_unconverged_propagation(self, spark):
+        # a 26-doc chain has diameter 25 > max_rounds=20: partial labels
+        # would silently put linked docs on different sides, so the
+        # operator must REFUSE rather than return a leaky split — and
+        # succeed once max_rounds covers the diameter (labels_input
+        # reuse from dedup.cluster is equivalent, also checked)
+        docs = spark.createDataFrame([(i,) for i in range(26)], "id long")
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(25)], "a long, b long"
+        )
+        with pytest.raises(ValueError, match="max_rounds"):
+            run("sample.holdout", spark, [docs, chain], id_col="id",
+                test_frac=0.5)["out"].collect()
+        ok = run("sample.holdout", spark, [docs, chain], id_col="id",
+                 test_frac=0.5, max_rounds=30)["out"].collect()
+        assert len({r.side for r in ok}) == 1 and all(
+            r.comp == 0 for r in ok
+        )
+        cc = run("dedup.cluster", spark, [docs, chain], id_col="id",
+                 max_rounds=30)
+        via_labels = run("sample.holdout", spark, [docs, cc["labels"]],
+                         id_col="id", test_frac=0.5,
+                         labels_input=True)["out"].collect()
+        assert sorted((r.id, r.comp, r.side) for r in via_labels) == \
+            sorted((r.id, r.comp, r.side) for r in ok)
+
     def test_balanced_empty_quota_dict_raises(self, spark):
         # quota={} with no default_quota caps nothing — a config error,
         # not a bare min()-of-empty ValueError (ADVICE r4)

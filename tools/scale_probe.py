@@ -438,12 +438,21 @@ def probe_hygiene(spark, n_docs=20_000_000):
     base.unpersist()
 
 
-def probe_ngram(spark, n_docs=200_000, words_per_doc=80):
-    """The q31 exact ngram-Jaccard pass at 200k docs (20x the sf0.1
-    documents table): multi-probe length blocking + size-ratio prefilter.
-    Reports the candidate-pair count the block join emits — the scale
-    metric — alongside wall time; payload shingle sets never shuffle
-    beyond their block."""
+def _planted_dup_corpus(base, n_docs):
+    """Append the standard 1% planted near-dups (+n_docs id offset, one
+    appended token -> J ~ 0.96). ONE definition so every probe's
+    recall/planted accounting stays comparable."""
+    dups = base.filter(F.pmod("doc_id", 100) == 0).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extradup")).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+def _uniform_corpus(spark, n_docs, words_per_doc=80):
+    """Uniform-vocab corpus + planted dups — the BEST case for every
+    gram/band/bucket distribution. Shared by probe_ngram and the
+    ngram_auto A/B so their numbers are the same rig."""
     vocab = F.array(*[F.lit(w) for w in VOCAB])
     base = (
         spark.range(n_docs)
@@ -455,20 +464,40 @@ def probe_ngram(spark, n_docs=200_000, words_per_doc=80):
                 F.transform(
                     F.sequence(F.lit(1), F.lit(words_per_doc)),
                     lambda i: F.element_at(
-                        vocab, (F.pmod(F.xxhash64(F.col("id"), i), 500) + 1).cast("int")
+                        vocab,
+                        (F.pmod(F.xxhash64(F.col("id"), i), 500) + 1)
+                        .cast("int"),
                     ),
                 ),
             ).alias("text"),
         )
     )
-    dups = (
-        base.filter(F.pmod(F.col("doc_id"), 100) == 0)
+    return _planted_dup_corpus(base, n_docs)
+
+
+def _adv_corpus(spark, n_docs):
+    """Zipf(s=1, 50k vocab) + 2 planted boilerplate lines per doc +
+    planted dups — the adversarial rig. Shared by probe_adversarial and
+    the ngram_auto A/B."""
+    base = (
+        spark.range(n_docs)
+        .repartition(64)
         .select(
-            (F.col("doc_id") + n_docs).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" extradup")).alias("text"),
+            F.col("id").alias("doc_id"),
+            _zipf_lines_expr(10, 8, vocab=50_000, salt=3, boiler=BOILER)
+            .alias("text"),
         )
     )
-    docs = base.unionByName(dups).persist()
+    return _planted_dup_corpus(base, n_docs)
+
+
+def probe_ngram(spark, n_docs=200_000, words_per_doc=80):
+    """The q31 exact ngram-Jaccard pass at 200k docs (20x the sf0.1
+    documents table): multi-probe length blocking + size-ratio prefilter.
+    Reports the candidate-pair count the block join emits — the scale
+    metric — alongside wall time; payload shingle sets never shuffle
+    beyond their block."""
+    docs = _uniform_corpus(spark, n_docs, words_per_doc).persist()
     total = docs.count()
     t0 = time.perf_counter()
     out = get_operator("dedup.ngram_jaccard")(
@@ -512,52 +541,16 @@ def probe_ngram_auto(spark, n_adv=1_000_000, n_uni=200_000):
         out["pairs"].unpersist()
         return dt
 
-    # adversarial corpus (same rig as probe_adversarial)
-    base = (
-        spark.range(n_adv)
-        .repartition(64)
-        .select(
-            F.col("id").alias("doc_id"),
-            _zipf_lines_expr(10, 8, vocab=50_000, salt=3, boiler=BOILER)
-            .alias("text"),
-        )
-    )
-    dups = base.filter(F.pmod("doc_id", 100) == 0).select(
-        (F.col("doc_id") + n_adv).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extradup")).alias("text"),
-    )
-    docs = base.unionByName(dups).persist()
+    # adversarial corpus (THE probe_adversarial rig, shared builder)
+    docs = _adv_corpus(spark, n_adv).persist()
     total = docs.count()
     t_auto = run_order(docs, total, None, "adv-auto")
     t_df = run_order(docs, total, "df", "adv-df")
     print(f"PROBE ngram_auto: adversarial auto/df ratio = {t_auto/t_df:.2f}")
     docs.unpersist()
 
-    # uniform corpus (same rig as probe_ngram)
-    vocab = F.array(*[F.lit(w) for w in VOCAB])
-    ubase = (
-        spark.range(n_uni)
-        .repartition(64)
-        .select(
-            F.col("id").alias("doc_id"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(80)),
-                    lambda i: F.element_at(
-                        vocab,
-                        (F.pmod(F.xxhash64(F.col("id"), i), 500) + 1)
-                        .cast("int"),
-                    ),
-                ),
-            ).alias("text"),
-        )
-    )
-    udups = ubase.filter(F.pmod("doc_id", 100) == 0).select(
-        (F.col("doc_id") + n_uni).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extradup")).alias("text"),
-    )
-    udocs = ubase.unionByName(udups).persist()
+    # uniform corpus (THE probe_ngram rig, shared builder)
+    udocs = _uniform_corpus(spark, n_uni).persist()
     utotal = udocs.count()
     ut_auto = run_order(udocs, utotal, None, "uni-auto")
     ut_hash = run_order(udocs, utotal, "hash", "uni-hash")
@@ -1102,21 +1095,8 @@ def probe_adversarial(spark, n_docs=1_000_000):
     near-dups (one appended token, J ~ 0.96) so minhash/ngram RECALL
     is verified under skew, not just wall time. Runs the five
     skew-sensitive operators back to back."""
-    base = (
-        spark.range(n_docs)
-        .repartition(64)
-        .select(
-            F.col("id").alias("doc_id"),
-            _zipf_lines_expr(10, 8, vocab=50_000, salt=3, boiler=BOILER)
-            .alias("text"),
-        )
-    )
-    dups = base.filter(F.pmod("doc_id", 100) == 0).select(
-        (F.col("doc_id") + n_docs).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extradup")).alias("text"),
-    )
     planted = n_docs // 100
-    docs = base.unionByName(dups).persist()
+    docs = _adv_corpus(spark, n_docs).persist()
     docs.count()
 
     def timed(tag, fn):
