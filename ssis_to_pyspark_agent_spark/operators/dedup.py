@@ -258,13 +258,171 @@ def _keep_min_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFra
     return df.join(dominated, id_col, "left_anti")
 
 
-def _propagate_labels(pairs: DataFrame, max_rounds: int) -> DataFrame:
-    """Iterative min-label propagation over a (a, b) pair list: returns
+def _star_components(pairs: DataFrame, max_rounds: int) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond" — the public
+    MapReduce CC algorithm): returns (x, comp) for every node that
+    appears in a pair, comp = the component's minimum id.
+
+    Why it exists next to min-label propagation: propagation needs
+    ~DIAMETER rounds, and an adversarial dup graph (doc A ~ B ~ C ...
+    chained through shared boilerplate) can push the diameter past any
+    fixed round bound — star contraction converges in O(log^2 n) rounds
+    regardless of shape, so it is the deep-graph fallback of
+    dedup.cluster / sample.holdout's cc_impl='auto'. Per round: two
+    group-by-min shuffles over the dup-volume-sized edge set plus a
+    set-stability check; each round localCheckpoints so round N never
+    replays rounds 1..N-1.
+
+    Invariant per round (both ops): edges always point larger -> smaller
+    (h > l), connectivity is preserved. At the fixed point the edge set
+    is a forest of depth-1 stars, so each root is its component's min;
+    the star shape is verified structurally before returning rather
+    than trusted.
+    """
+    # canonical directed edges (h, l): h > l, no self-loops
+    e = (
+        pairs.select(
+            F.greatest("a", "b").alias("h"), F.least("a", "b").alias("l")
+        )
+        .filter(F.col("h") != F.col("l"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges, e_sig = e.agg(
+        F.count(F.lit(1)), F.expr("bit_xor(xxhash64(h, l))")
+    ).collect()[0]
+    empty = e.select(F.col("h").alias("x"), F.col("l").alias("comp")).limit(0)
+    if n_edges == 0:
+        return empty
+    sig = (n_edges, e_sig)
+    stable = False
+    for _ in range(max_rounds):
+        # large-star: every node u links each LARGER neighbor v to
+        # min(N(u) + {u}) — strictly smaller than v, so h>l holds
+        sym = e.select(F.col("h").alias("u"), F.col("l").alias("v")).unionByName(
+            e.select(F.col("l").alias("u"), F.col("h").alias("v"))
+        )
+        nmin = sym.groupBy("u").agg(F.min("v").alias("nm"))
+        large = (
+            sym.join(nmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("h"), F.least("nm", "u").alias("l"))
+            .distinct()
+        )
+        # small-star: every node h links its smaller neighbors (and
+        # itself) to their minimum m
+        smin = large.groupBy("h").agg(F.min("l").alias("m"))
+        joined = large.join(smin, "h")
+        new_e = (
+            joined.select("h", F.col("m").alias("l"))
+            .unionByName(
+                joined.filter(F.col("l") != F.col("m")).select(
+                    F.col("l").alias("h"), F.col("m").alias("l")
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # stability probe in ONE job: (count, order-independent xor of
+        # edge hashes). Equality is necessary for set equality and a
+        # 2^-64 false positive otherwise — so a signature match is
+        # CONFIRMED with one exact subtract before we trust it (the
+        # subtract therefore runs once at convergence, not every round).
+        new_n, new_sig = new_e.agg(
+            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(h, l))")
+        ).collect()[0]
+        if (new_n, new_sig) == sig and new_e.subtract(e).limit(1).count() == 0:
+            stable = True
+            e, n_edges = new_e, new_n
+            break
+        sig = (new_n, new_sig)
+        e, n_edges = new_e, new_n
+    if not stable:
+        raise ValueError(
+            f"star contraction did not converge within max_rounds="
+            f"{max_rounds} (needs ~log^2 of the largest component size; "
+            f"raise max_rounds)."
+        )
+    # structural proof of the star decomposition: every non-root has
+    # exactly ONE outgoing edge and no root is itself a leaf — with
+    # h>l throughout and connectivity preserved, roots are then exactly
+    # the component minima
+    multi = e.groupBy("h").agg(F.count_distinct("l").alias("_n"))
+    if multi.filter(F.col("_n") > 1).limit(1).count() != 0:
+        raise AssertionError("star contraction fixed point is not a forest")
+    if (
+        e.select("l").join(e.select(F.col("h").alias("l")), "l", "left_semi")
+        .limit(1).count() != 0
+    ):
+        raise AssertionError("star contraction fixed point has depth > 1")
+    leaves = e.select(F.col("h").alias("x"), F.col("l").alias("comp"))
+    roots = (
+        e.select("l").distinct()
+        .join(e.select(F.col("h").alias("l")), "l", "left_anti")
+        .select(F.col("l").alias("x"), F.col("l").alias("comp"))
+    )
+    return leaves.unionByName(roots)
+
+
+#: rounds the 'auto' impl gives min-label propagation before falling
+#: back to star contraction — real near-dup graphs are clique-ish
+#: (diameter 2-4), so lp converges here almost always; only an
+#: adversarial chain pays the bounded wasted rounds and reroutes.
+_AUTO_LP_ROUNDS = 8
+
+
+def _propagate_labels(
+    pairs: DataFrame, max_rounds: int, impl: str = "auto"
+) -> DataFrame:
+    """Connected-component labels over a (a, b) pair list: returns
     (x, comp) for every node that APPEARS IN AN EDGE — dup-volume-sized,
     never corpus-sized (isolated nodes can't change label; callers
-    re-attach them with comp = own id). Each round is one shuffle;
+    re-attach them with comp = own id). Shared by dedup.cluster and
+    sample.holdout.
+
+    impl='auto' (default): min-label propagation for up to
+    _AUTO_LP_ROUNDS rounds (the cheap path — one shuffle per round, and
+    real dup graphs are shallow), then automatic fallback to star
+    contraction if labels are still moving — so the operator NEVER
+    fails or returns partial labels on a deep graph, and never pays
+    star's heavier rounds on a shallow one. impl='star': alternating
+    large/small-star contraction — O(log^2 n) rounds regardless of
+    component diameter. impl='lp': propagation only; FAILS FAST on
+    non-convergence rather than returning partial labels.
     ``localCheckpoint`` cuts the lineage so round N doesn't replay
-    rounds 1..N-1. Shared by dedup.cluster and sample.holdout."""
+    rounds 1..N-1."""
+    if impl not in ("auto", "star", "lp"):
+        raise ValueError(
+            f"cc impl must be 'auto', 'star' or 'lp', got {impl!r}"
+        )
+    if impl == "star":
+        return _star_components(pairs, max_rounds)
+    lp_rounds = min(max_rounds, _AUTO_LP_ROUNDS) if impl == "auto" else max_rounds
+    labels, converged = _lp_labels(pairs, lp_rounds)
+    if converged:
+        return labels
+    if impl == "auto":
+        # deep component: reroute to the diameter-independent algorithm
+        return _star_components(pairs, max_rounds)
+    # labels are still moving: some component has diameter > max_rounds
+    # and its far nodes hold INTERMEDIATE labels. Returning them
+    # silently would hand dedup.cluster wrong components and break
+    # sample.holdout's no-straddle guarantee (two linked docs with
+    # different labels can land on different sides) — fail fast instead.
+    raise ValueError(
+        f"label propagation did not converge within max_rounds="
+        f"{max_rounds}: a near-dup component has a longer chain "
+        f"diameter. Raise max_rounds (rounds needed ~= the longest "
+        f"pair-chain length), or use cc_impl='auto'/'star'."
+    )
+
+
+def _lp_labels(pairs: DataFrame, max_rounds: int):
+    """Min-label propagation: each round every node adopts the smallest
+    label in its neighborhood; <= diameter+1 rounds. Returns
+    (labels, converged) — the caller decides whether a non-converged
+    run falls back (auto) or fails (lp)."""
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
@@ -296,20 +454,7 @@ def _propagate_labels(pairs: DataFrame, max_rounds: int) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    if changed != 0:
-        # labels are still moving: some component has diameter >
-        # max_rounds and its far nodes hold INTERMEDIATE labels.
-        # Returning them silently would hand dedup.cluster wrong
-        # components and break sample.holdout's no-straddle guarantee
-        # (two linked docs with different labels can land on different
-        # sides) — fail fast instead.
-        raise ValueError(
-            f"label propagation did not converge within max_rounds="
-            f"{max_rounds}: a near-dup component has a longer chain "
-            f"diameter. Raise max_rounds (rounds needed ~= the longest "
-            f"pair-chain length)."
-        )
-    return labels
+    return labels, changed == 0
 
 
 @operator("dedup.cluster")
@@ -318,12 +463,16 @@ def dedup_cluster(spark: SparkSession, inputs, config, context):
     closure the keep-min-neighbor heuristic skips. inputs: [ids, pairs]
     where ids has `id_col` and pairs has columns (a, b).
 
-    Iterative min-label propagation: every node starts as its own
-    component; each round, a node adopts the smallest label among itself
-    and its neighbors; stop when no label changes (<= diameter rounds —
-    near-dup clusters are tiny, so 2-4 rounds in practice). Each round is
-    one shuffle; `localCheckpoint` cuts the lineage so round N doesn't
-    replay rounds 1..N-1.
+    cc_impl='auto' (default): min-label propagation (one cheap shuffle
+    per round; real dup graphs are clique-ish, diameter 2-4) with
+    automatic fallback to star contraction (Kiveris et al. 2014,
+    O(log^2 n) rounds regardless of DIAMETER) if labels are still
+    moving after a bounded number of rounds — a chain-shaped dup graph
+    can't outrun it, and a shallow graph never pays star's heavier
+    rounds. cc_impl='star'/'lp' force one algorithm; 'lp' fails fast on
+    non-convergence rather than returning partial labels.
+    `localCheckpoint` cuts the lineage so round N doesn't replay
+    rounds 1..N-1.
 
     Returns {'components': (id, component), 'out': one surviving row per
     component (min id), 'labels': the dup-volume propagated (x, comp)
@@ -343,7 +492,9 @@ def dedup_cluster(spark: SparkSession, inputs, config, context):
     id_col = config["id_col"]
     max_rounds = config.get("max_rounds", 20)
 
-    labels = _propagate_labels(pairs, max_rounds)
+    labels = _propagate_labels(
+        pairs, max_rounds, config.get("cc_impl", "auto")
+    )
 
     # Re-attach isolated nodes (comp = own id) with one left join; the
     # propagated label set is dup-volume-sized, so broadcast it.

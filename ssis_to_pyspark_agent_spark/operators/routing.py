@@ -138,9 +138,11 @@ def sample_holdout(spark: SparkSession, inputs, config, context):
     clustered the pairs does NOT run label propagation twice.
     config: id_col, test_frac (0..1), salt (vary to re-draw the split),
     side_col (default 'side'), comp_col (default 'comp', '' to drop),
-    max_rounds (label-propagation bound, default 20; propagation FAILS
-    FAST if a component's chain diameter exceeds it — partial labels
-    would silently break the no-straddle guarantee).
+    cc_impl ('auto' default — min-label propagation with automatic
+    fallback to diameter-independent star contraction on a deep graph;
+    'star'/'lp' force one algorithm), max_rounds (round bound, default
+    20; 'lp' FAILS FAST on non-convergence — partial labels would
+    silently break the no-straddle guarantee).
     Output ports: 'out' (df + comp + side), 'train', 'test'.
 
     Scale plan: min-label propagation runs only over nodes that appear
@@ -170,7 +172,10 @@ def sample_holdout(spark: SparkSession, inputs, config, context):
     if config.get("labels_input"):
         prop = second  # dedup.cluster's 'labels' port: (x, comp)
     else:
-        prop = _propagate_labels(second, config.get("max_rounds", 20))
+        prop = _propagate_labels(
+            second, config.get("max_rounds", 20),
+            config.get("cc_impl", "auto"),
+        )
     lbl = prop.select(F.col("x").alias(id_col), F.col("comp").alias("_hc"))
     if config.get("broadcast_components", True):  # off for degenerate pair sets
         lbl = F.broadcast(lbl)

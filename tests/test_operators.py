@@ -1381,30 +1381,61 @@ class TestSampleModes:
                 test_frac=1.5)
 
     def test_holdout_fails_fast_on_unconverged_propagation(self, spark):
-        # a 26-doc chain has diameter 25 > max_rounds=20: partial labels
-        # would silently put linked docs on different sides, so the
-        # operator must REFUSE rather than return a leaky split — and
-        # succeed once max_rounds covers the diameter (labels_input
-        # reuse from dedup.cluster is equivalent, also checked)
+        # a 26-doc chain has diameter 25 > max_rounds=20: with cc_impl=
+        # 'lp', partial labels would silently put linked docs on
+        # different sides, so the operator must REFUSE rather than
+        # return a leaky split. The DEFAULT ('auto') reroutes the deep
+        # graph to diameter-independent star contraction and converges
+        # within the default round bound — and matches lp given enough
+        # rounds (labels_input reuse from dedup.cluster is equivalent,
+        # also checked).
         docs = spark.createDataFrame([(i,) for i in range(26)], "id long")
         chain = spark.createDataFrame(
             [(i, i + 1) for i in range(25)], "a long, b long"
         )
         with pytest.raises(ValueError, match="max_rounds"):
             run("sample.holdout", spark, [docs, chain], id_col="id",
-                test_frac=0.5)["out"].collect()
+                test_frac=0.5, cc_impl="lp")["out"].collect()
         ok = run("sample.holdout", spark, [docs, chain], id_col="id",
-                 test_frac=0.5, max_rounds=30)["out"].collect()
+                 test_frac=0.5)["out"].collect()
         assert len({r.side for r in ok}) == 1 and all(
             r.comp == 0 for r in ok
         )
-        cc = run("dedup.cluster", spark, [docs, chain], id_col="id",
-                 max_rounds=30)
+        via_lp = run("sample.holdout", spark, [docs, chain], id_col="id",
+                     test_frac=0.5, cc_impl="lp",
+                     max_rounds=30)["out"].collect()
+        cc = run("dedup.cluster", spark, [docs, chain], id_col="id")
         via_labels = run("sample.holdout", spark, [docs, cc["labels"]],
                          id_col="id", test_frac=0.5,
                          labels_input=True)["out"].collect()
-        assert sorted((r.id, r.comp, r.side) for r in via_labels) == \
-            sorted((r.id, r.comp, r.side) for r in ok)
+        want = sorted((r.id, r.comp, r.side) for r in ok)
+        assert sorted((r.id, r.comp, r.side) for r in via_lp) == want
+        assert sorted((r.id, r.comp, r.side) for r in via_labels) == want
+
+    def test_cluster_star_matches_lp_on_random_graph(self, spark):
+        # star contraction and min-label propagation must agree on
+        # component labels for an arbitrary graph mixing cliques,
+        # chains, stars and isolated nodes — seeded random edges so the
+        # shape isn't hand-picked (the default 'auto' rides lp here, so
+        # 'star' is forced explicitly to exercise the fallback path)
+        import random
+
+        rng = random.Random(7)
+        n = 400
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+        edges = [(a, b) for a, b in edges if a != b]
+        docs = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        star = run("dedup.cluster", spark, [docs, pairs], id_col="id",
+                   cc_impl="star")
+        lp = run("dedup.cluster", spark, [docs, pairs], id_col="id",
+                 cc_impl="lp", max_rounds=50)
+        s = sorted((r.id, r.comp) for r in star["components"].collect())
+        l = sorted((r.id, r.comp) for r in lp["components"].collect())
+        assert s == l
+        # survivors are the component minima under both
+        assert sorted(r.id for r in star["out"].collect()) == \
+            sorted(r.id for r in lp["out"].collect())
 
     def test_balanced_empty_quota_dict_raises(self, spark):
         # quota={} with no default_quota caps nothing — a config error,
