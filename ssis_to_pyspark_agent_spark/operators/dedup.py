@@ -403,8 +403,11 @@ def _propagate_labels(
     if converged:
         return labels
     if impl == "auto":
-        # deep component: reroute to the diameter-independent algorithm
-        return _star_components(pairs, max_rounds)
+        # deep component: reroute to the diameter-independent algorithm.
+        # The caller's max_rounds was sized for propagation (~diameter);
+        # star needs ~log2(component size) rounds, so floor the bound at
+        # 32 — enough for any physically possible component.
+        return _star_components(pairs, max(max_rounds, 32))
     # labels are still moving: some component has diameter > max_rounds
     # and its far nodes hold INTERMEDIATE labels. Returning them
     # silently would hand dedup.cluster wrong components and break

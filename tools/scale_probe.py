@@ -1086,6 +1086,85 @@ def probe_spans_skew(spark, n_docs=2_000_000, words_per_doc=80):
     )
 
 
+def probe_cc(spark, n_clique=2_000_000, n_chain=200_000):
+    """dedup.cluster's cc_impl paths at dup-graph scale.
+
+    (a) realistic graph: n_clique nodes in all-pairs cliques of 4 — the
+    shape real near-dup pair lists take (6 edges per clique, 3M edges
+    at 2M nodes). lp vs star wall time; 'auto' must ride the lp path
+    (converges in ~3 rounds, never reroutes).
+    (b) adversarial graph: one n_chain-node path — diameter n_chain-1.
+    lp is infeasible by construction (rounds ~ diameter); 'auto'
+    reroutes to star contraction, which needs ~log2(n_chain) rounds.
+    Exactness: every clique labels to its minimum (aggregate check, no
+    collect), the chain labels entirely to node 0.
+    """
+    from ssis_to_pyspark_agent_spark.operators import get_operator
+
+    op = get_operator("dedup.cluster")
+
+    # (a) clique graph
+    offs = [(i, j) for i in range(4) for j in range(4) if i < j]
+    cliq = spark.range(n_clique // 4).repartition(32)
+    pairs = cliq.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("id") * 4 + i).alias("a"),
+                        (F.col("id") * 4 + j).alias("b"),
+                    )
+                    for i, j in offs
+                ]
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").persist()
+    pairs.count()
+    ids = spark.range(n_clique).select(F.col("id").alias("doc_id"))
+
+    def run_impl(tag, impl, p, idf, n_ok, comp_expr, max_rounds=20):
+        t0 = time.perf_counter()
+        out = op(
+            spark, [idf, p],
+            {"id_col": "doc_id", "cc_impl": impl, "max_rounds": max_rounds,
+             "broadcast_components": False},
+            {},
+        )
+        bad = out["components"].filter(
+            F.col("comp") != comp_expr
+        ).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"PROBE cc {tag}: {dt:.1f}s  mislabeled={bad} "
+            f"(expect 0), nodes={n_ok}"
+        )
+        return dt
+
+    comp_cliq = (F.col("doc_id") - F.pmod("doc_id", 4)).cast("long")
+    t_lp = run_impl("clique-lp", "lp", pairs, ids, n_clique, comp_cliq)
+    t_star = run_impl("clique-star", "star", pairs, ids, n_clique, comp_cliq)
+    t_auto = run_impl("clique-auto", "auto", pairs, ids, n_clique, comp_cliq)
+    print(
+        f"PROBE cc clique ratios: star/lp={t_star/t_lp:.2f} "
+        f"auto/lp={t_auto/t_lp:.2f}"
+    )
+    pairs.unpersist()
+
+    # (b) chain graph — lp would need n_chain rounds, not attempted
+    chain = (
+        spark.range(n_chain - 1)
+        .repartition(32)
+        .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+        .persist()
+    )
+    chain.count()
+    cids = spark.range(n_chain).select(F.col("id").alias("doc_id"))
+    zero = F.lit(0).cast("long")
+    run_impl("chain-auto(default rounds)", "auto", chain, cids, n_chain, zero)
+    run_impl("chain-star", "star", chain, cids, n_chain, zero)
+    chain.unpersist()
+
+
 def probe_adversarial(spark, n_docs=1_000_000):
     """Zipfian + planted-boilerplate corpus (the verdict's point: the
     uniform-random probes are the BEST case for every gram/band/bucket
@@ -1214,6 +1293,8 @@ def main():
         probe_ngram_auto(spark)
     if which in ("semantic_boundary", "all"):
         probe_semantic_boundary(spark)
+    if which in ("cc", "all"):
+        probe_cc(spark)
 
 
 if __name__ == "__main__":
