@@ -373,6 +373,79 @@ def redact(spark: SparkSession, inputs, config, context) -> DataFrame:
     return df.withColumns({**counts, out_col: red})
 
 
+#: entity decode order matters: '&amp;' LAST, or '&amp;lt;' would
+#: double-decode into '<'
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+]
+
+
+@operator("text.html_extract")
+def html_extract(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """HTML -> text extraction for raw-web ingest (the Common Crawl
+    WET-style step a pretraining pipeline runs before any dedup/quality
+    pass): drop non-content blocks (script/style/comments), turn
+    structural close-tags into line breaks, strip every remaining tag,
+    decode the common entities, and normalize whitespace.
+
+    Pure JVM regexp/replace chain — one narrow pass, zero shuffle,
+    scan-bound at 100 TB; every pattern is RE2-safe (no backreferences)
+    so the exact chain re-derives in an engine-neutral oracle.
+    Recovery-grade DOM parsing (malformed markup, CSS visibility,
+    boilerplate classifiers) is a mapInPandas parser's job — this
+    operator is the distributed plumbing + dominant-cost path, and
+    `text.line_dedup` downstream handles boilerplate statistically.
+
+    config: html_col; out (default f"{html_col}_text"); title_col
+    (optional — extract the <title> into this column); keep_html
+    (default False drops the raw markup column — at corpus scale the
+    raw HTML is the widest column in the scan)."""
+    df: DataFrame = inputs[0]
+    c = config["html_col"]
+    out_col = config.get("out", f"{c}_text")
+
+    def _decode_entities(col):
+        for ent, ch in _HTML_ENTITIES:
+            col = F.replace(col, F.lit(ent), F.lit(ch))
+        return col
+
+    t = F.col(c)
+    # non-content blocks first, so their text never reaches the output
+    t = F.regexp_replace(t, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # block-structure boundaries become line breaks (line-oriented
+    # downstream ops — line_dedup, repetition — need them)
+    t = F.regexp_replace(
+        t, r"(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/title)[^>]*>", "\n"
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    t = _decode_entities(t)
+    # whitespace normalization: runs of blanks -> one space, blank-
+    # padded line breaks -> one newline, trim the ends
+    t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n+", "\n")
+    # regex trim, not trim(): covers the boundary newlines too, with
+    # identical semantics in Java regex and RE2
+    t = F.regexp_replace(t, r"^\s+|\s+$", "")
+
+    cols = {out_col: t}
+    title_col = config.get("title_col")
+    if title_col:
+        cols[title_col] = F.regexp_replace(
+            _decode_entities(
+                F.regexp_extract(F.col(c), r"(?is)<title[^>]*>(.*?)<", 1)
+            ),
+            r"^\s+|\s+$", "",
+        )
+    out = df.withColumns(cols)
+    if not config.get("keep_html", False):
+        out = out.drop(c)
+    return out
+
+
 @operator("text.decontaminate")
 def decontaminate(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Benchmark decontamination (the GPT-3-style n-gram overlap check):

@@ -1986,7 +1986,46 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lab, logit,
              ROW_NUMBER() OVER (PARTITION BY doc_id
                                 ORDER BY logit DESC, li ASC) AS rn
-      FROM clog)
+      FROM clog),
+    hw AS (
+      SELECT doc_id,
+             '<html><head><title> Doc ' || doc_id ||
+             ' &amp; friends </title><style>p {color: red}</style>' ||
+             '<script>var x = 1 < 2;</script></head>' ||
+             '<body><!-- nav boilerplate --><h1>Doc ' || doc_id ||
+             '</h1><p>' || text ||
+             '</p><div>footer &lt;generated&gt;</div></body></html>'
+               AS page
+      FROM documents WHERE doc_id % 100 != 0),
+    hx AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(page,
+                     '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                   '(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/title)[^>]*>',
+                   chr(10), 'g'),
+                 '(?s)<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+             '[ \\t\\r\\f]+', ' ', 'g'),
+             ' ?\\n ?', chr(10), 'g'),
+             '\\n+', chr(10), 'g') AS t0,
+             regexp_extract(page, '(?is)<title[^>]*>(.*?)<', 1) AS ttl
+      FROM hw),
+    hfin AS (
+      SELECT doc_id,
+             length(regexp_replace(t0, '^\\s+|\\s+$', '', 'g')) AS html_len,
+             md5(regexp_replace(t0, '^\\s+|\\s+$', '', 'g')) AS html_md5,
+             regexp_replace(replace(replace(replace(replace(replace(replace(
+               replace(ttl, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+               '&amp;', '&'),
+             '^\\s+|\\s+$', '', 'g') AS html_title
+      FROM hx)
     SELECT r.doc_id, r.n_email, r.n_ipv4, r.n_phone, r.red_len,
            CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
            COALESCE(o.n_overlap, 0) >= 1 AS contaminated,
@@ -1997,12 +2036,14 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
              / CAST(greatest(nl.nlen, 1) AS DOUBLE) AS dup_5gram_char_frac,
            bp.n_boilerplate_lines, bp.clean_len,
            COALESCE(cb.lab, 'negative') AS cls_label,
-           CAST(COALESCE(cb.logit, 0) AS DOUBLE) AS cls_score
+           CAST(COALESCE(cb.logit, 0) AS DOUBLE) AS cls_score,
+           hf.html_len, hf.html_md5, hf.html_title
     FROM red r LEFT JOIN overlap o ON o.doc_id = r.doc_id
     JOIN lstat ls ON ls.doc_id = r.doc_id
     JOIN rstat rs ON rs.doc_id = r.doc_id
     JOIN nl ON nl.doc_id = r.doc_id
     JOIN bp ON bp.doc_id = r.doc_id
+    JOIN hfin hf ON hf.doc_id = r.doc_id
     LEFT JOIN (SELECT * FROM cbest WHERE rn = 1) cb ON cb.doc_id = r.doc_id
     """,
 )
@@ -2059,13 +2100,36 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
               text_col="text_l", min_df=2)
         .step("cl", "derived_column", "ld",
               columns={"clean_len": F.length("text_clean")})
-        .step("prj", "select", "cl",
+        # raw-web ingest leg: wrap each surviving doc in deterministic
+        # HTML (script/style/comment noise, entities, a title) and run
+        # the WET-style extraction back to text — the step a
+        # pretraining pipeline runs before any dedup/quality pass
+        .step("hw", "derived_column", "cl", columns={
+            "page": F.concat(
+                F.lit("<html><head><title> Doc "), F.col("doc_id"),
+                F.lit(" &amp; friends </title><style>p {color: red}"
+                      "</style><script>var x = 1 < 2;</script></head>"
+                      "<body><!-- nav boilerplate --><h1>Doc "),
+                F.col("doc_id"),
+                F.lit("</h1><p>"), F.col("text"),
+                F.lit("</p><div>footer &lt;generated&gt;</div>"
+                      "</body></html>"),
+            )
+        })
+        .step("hx", "text.html_extract", "hw", html_col="page",
+              out="page_text", title_col="html_title")
+        .step("hm", "derived_column", "hx", columns={
+            "html_len": F.length("page_text"),
+            "html_md5": F.md5("page_text"),
+        })
+        .step("prj", "select", "hm",
               columns=["doc_id", "n_email", "n_ipv4", "n_phone",
                        "red_len", "n_overlap", "contaminated",
                        "dup_line_frac", "dup_line_char_frac",
                        "top_2gram_char_frac", "dup_5gram_char_frac",
                        "n_boilerplate_lines", "clean_len",
-                       "cls_label", "cls_score"])
+                       "cls_label", "cls_score",
+                       "html_len", "html_md5", "html_title"])
     )
     return run_pipeline(spark, p).df("prj")
 

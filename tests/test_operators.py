@@ -1998,6 +1998,42 @@ def test_profile_and_stratified_empty_input(spark):
     assert samp.count() == 0
 
 
+def test_html_extract(spark):
+    pages = [
+        # script/style/comment content must vanish, even with '<' inside
+        (1, "<html><head><title> A &amp; B </title>"
+            "<style>p {color: red}</style>"
+            "<script>if (1 < 2) { alert('<hi>') }</script></head>"
+            "<body><!-- nav --><h1>Hello</h1><p>world</p></body></html>"),
+        # entity decode must be single-pass: &amp;lt; -> '&lt;' not '<'
+        (2, "<p>5 &lt; 6 &amp;&amp; 7 &gt; 3, literally &amp;lt;</p>"),
+        # block closers become line breaks; whitespace collapses
+        (3, "<div>line one</div>\n\n  <div>line   two</div>"
+            "<br>line three"),
+        # no markup at all passes through (normalized)
+        (4, "just   plain  text"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(pages, "doc_id int, page string")
+    out = {
+        r.doc_id: r
+        for r in run(
+            "text.html_extract", spark, [docs], html_col="page",
+            title_col="title", keep_html=True,
+        ).collect()
+    }
+    assert out[1].page_text == "A & B\nHello\nworld"
+    assert out[1].title == "A & B"
+    assert out[2].page_text == "5 < 6 && 7 > 3, literally &lt;"
+    assert out[2].title == ""
+    assert out[3].page_text == "line one\nline two\nline three"
+    assert out[4].page_text == "just plain text"
+    assert out[5].page_text is None
+    # default drops the raw markup column (widest column in the scan)
+    slim = run("text.html_extract", spark, [docs], html_col="page")
+    assert "page" not in slim.columns and "page_text" in slim.columns
+
+
 def test_redact_and_decontaminate(spark):
     docs = spark.createDataFrame(
         [(1, "mail me at a.b@x.org or 10.1.2.3 and 555-123-4567 twice "

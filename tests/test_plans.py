@@ -152,6 +152,21 @@ class TestNewOpPlanShapes:
         )
         assert "Exchange" not in plan_of(out)
 
+    def test_html_extract_is_pure_narrow(self, spark):
+        # raw-web extraction must stay a single narrow projection over
+        # the scan — zero exchanges, no Python stage (the zero-shuffle
+        # scan-bound claim in its docstring)
+        from ssis_to_pyspark_agent_spark.operators import get_operator
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = get_operator("text.html_extract")(
+            spark, [docs.withColumnRenamed("text", "page")],
+            {"html_col": "page", "title_col": "t"}, {},
+        )
+        p = plan_of(out)
+        assert "Exchange" not in p
+        assert "Python" not in p and "FlatMap" not in p
+
     def test_pack_never_single_partition_windows(self, spark):
         # the two-phase prefix sum must NOT fall back to a global
         # single-partition window (the naive cumsum shape)

@@ -1165,7 +1165,7 @@ def probe_cc(spark, n_clique=2_000_000, n_chain=200_000):
     chain.unpersist()
 
 
-def probe_adversarial(spark, n_docs=1_000_000):
+def probe_adversarial(spark, n_docs=1_000_000, only=None):
     """Zipfian + planted-boilerplate corpus (the verdict's point: the
     uniform-random probes are the BEST case for every gram/band/bucket
     distribution — real CommonCrawl is Zipfian with hot boilerplate).
@@ -1173,7 +1173,8 @@ def probe_adversarial(spark, n_docs=1_000_000):
     x 8 words, 2 boilerplate lines in every doc, plus 1% planted
     near-dups (one appended token, J ~ 0.96) so minhash/ngram RECALL
     is verified under skew, not just wall time. Runs the five
-    skew-sensitive operators back to back."""
+    skew-sensitive operators back to back; ``only`` restricts to a
+    subset (rerunning one failed leg without repaying the others)."""
     planted = n_docs // 100
     docs = _adv_corpus(spark, n_docs).persist()
     docs.count()
@@ -1235,11 +1236,11 @@ def probe_adversarial(spark, n_docs=1_000_000):
         r = out.agg(F.sum("rare_ngrams"), F.avg("mean_ngram_freq")).collect()[0]
         return f"rare={r[0]} mean_freq={r[1]:,.0f}"
 
-    timed("spans", _spans)
-    timed("line_dedup", _lines)
-    timed("novelty", _novelty)
-    timed("minhash", _minhash)
-    timed("ngram_jaccard", _ngram)
+    legs = {"spans": _spans, "line_dedup": _lines, "novelty": _novelty,
+            "minhash": _minhash, "ngram_jaccard": _ngram}
+    for tag, fn in legs.items():
+        if only is None or tag in only:
+            timed(tag, fn)
     docs.unpersist()
 
 
