@@ -249,13 +249,17 @@ def _signature_bands(
     return base, band_frame
 
 
+def _dominated_ids(pairs: DataFrame, id_col: str) -> DataFrame:
+    """The min-id keep rule's dominated set: `pairs` has (a, b) with
+    a < b, so b is dominated. ONE definition of the convention —
+    eager/cached callers and the anti-join helper must never drift."""
+    return pairs.select(F.col("b").alias(id_col)).distinct()
+
+
 def _keep_min_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Drop every row that has a near-duplicate with a smaller id.
-
-    `pairs` has columns (a, b) with a < b: b is dominated. One anti-join.
-    """
-    dominated = pairs.select(F.col("b").alias(id_col)).distinct()
-    return df.join(dominated, id_col, "left_anti")
+    One anti-join against the dominated set."""
+    return df.join(_dominated_ids(pairs, id_col), id_col, "left_anti")
 
 
 def _star_components(pairs: DataFrame, max_rounds: int) -> DataFrame:
@@ -396,6 +400,11 @@ def _propagate_labels(
         raise ValueError(
             f"cc impl must be 'auto', 'star' or 'lp', got {impl!r}"
         )
+    if max_rounds < 1:
+        # a zero-iteration loop would read as "converged" with every
+        # node its own component — the silent leaky-split outcome the
+        # fail-fast paths exist to prevent
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     if impl == "star":
         return _star_components(pairs, max_rounds)
     lp_rounds = min(max_rounds, _AUTO_LP_ROUNDS) if impl == "auto" else max_rounds
@@ -817,8 +826,10 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
     persisted shingle pass and picks 'df' only when the corpus is big
     AND skewed (small/uniform corpora measure the DF pass as a net
     loss); `auto_min_docs` / `auto_hot_df` tune the probe, explicit
-    'hash'/'df' override it. The chosen order is recorded in
-    ``context['_ngram_prefix_order']``."""
+    'hash'/'df' override it. The effective order is recorded in
+    ``context['_ngram_prefix_order']`` (and, inside a pipeline, under
+    ``_ngram_prefix_order:<step>`` — the bare key is
+    last-writer-wins)."""
     df: DataFrame = inputs[0]
     id_col, text_col = config["id_col"], config["text_col"]
     k = config.get("shingle_k", 3)
@@ -946,7 +957,14 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
                 n_samp = max(frac * n_docs, 1.0)
                 hot = float(config.get("auto_hot_df", 0.01))
                 prefix_order = "df" if top_df / n_samp >= hot else "hash"
-            context["_ngram_prefix_order"] = prefix_order
+        # record the EFFECTIVE order (auto-chosen or explicit); bare key
+        # is last-writer-wins, so inside a pipeline the runner's
+        # `_current_step` also namespaces it — same pattern as the pack
+        # histogram telemetry
+        context["_ngram_prefix_order"] = prefix_order
+        step = context.get("_current_step")
+        if step:
+            context[f"_ngram_prefix_order:{step}"] = prefix_order
         if prefix_order == "df":
             # AllPairs frequency ordering (Bayardo et al. 2007): the
             # prefix bound holds under ANY fixed total order, and
@@ -1931,9 +1949,7 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
 
     if keep == "min_id":
         if not return_pairs:
-            dropped = (
-                pairs.select(F.col("b").alias(id_col)).distinct().persist()
-            )
+            dropped = _dominated_ids(pairs, id_col).persist()
             dropped.count()
             pairs.unpersist()
             out = df.join(dropped, id_col, "left_anti")

@@ -2790,9 +2790,11 @@ def _dtsx_medium_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     updated = results["DFT_Load"].run.df("CMD_SP")
     # the parsed split's route cache served the graph's eager row counts;
     # the returned frame recomputes the (tiny) update branch on collect —
-    # release the cache rather than leak one per invocation
-    for frame in ctx.pop("_op_persists", []):
-        frame.unpersist()
+    # release the cache rather than leak one per invocation. NOTE: the
+    # release must go through the dataflow's OWN RunResult: the control
+    # runner strips underscore keys when merging task contexts, so the
+    # outer ctx never sees '_op_persists'
+    results["DFT_Load"].run.release_caches()
     return updated.select(
         F.lit("dtsx").alias("leg"),
         F.col("CategoryID").cast("bigint").alias("o_orderkey"),

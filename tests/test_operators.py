@@ -1412,6 +1412,18 @@ class TestSampleModes:
         assert sorted((r.id, r.comp, r.side) for r in via_lp) == want
         assert sorted((r.id, r.comp, r.side) for r in via_labels) == want
 
+    def test_cc_max_rounds_zero_is_config_error(self, spark):
+        # max_rounds=0 must be rejected up front: a zero-iteration lp
+        # loop would read as "converged" with every node its own
+        # component — the silent leaky split the fail-fast paths exist
+        # to prevent (review finding, r5)
+        docs = spark.createDataFrame([(0,), (1,)], "id long")
+        pairs = spark.createDataFrame([(0, 1)], "a long, b long")
+        for impl in ("auto", "lp", "star"):
+            with pytest.raises(ValueError, match="max_rounds"):
+                run("sample.holdout", spark, [docs, pairs], id_col="id",
+                    test_frac=0.5, cc_impl=impl, max_rounds=0)
+
     def test_cluster_star_matches_lp_on_random_graph(self, spark):
         # star contraction and min-label propagation must agree on
         # component labels for an arbitrary graph mixing cliques,
