@@ -915,15 +915,20 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             # Default since round 5 (round-4 verdict: the scale-safe
             # order must not be opt-in). The DF pass pays on skewed
             # corpora and costs on small/uniform ones, so probe both
-            # cheaply off the persisted `base`:
-            #   1. count the docs — a PARALLEL count that materializes
-            #     the persisted base the main pass reads anyway (a
-            #     limit-probe was measured 3.8x WORSE here: CollectLimit
-            #     runs the tokenize+shingle pass on few partitions
-            #     serially and leaves the cache partial). Under
-            #     `auto_min_docs` the DF pass is a measured net loss
-            #     (30s vs 24s at 200k docs, PLANS.md) regardless of
-            #     skew: 'hash'.
+            # cheaply:
+            #   1. count the docs on the RAW INPUT, not `base` — a
+            #     parquet-source count is metadata-cheap, and crucially
+            #     it leaves the shingle cache UNMATERIALIZED. Counting
+            #     `base` pre-fills the cache, whose accurate (big)
+            #     array-column stats then flip the candidate block join
+            #     off its broadcast strategy: measured 2x on the whole
+            #     pass at 50k x ~8KB docs (49-62s vs 25.7s, PLANS.md
+            #     r5) while the count itself was only 5s. (A
+            #     limit-probe on base was 3.8x worse still: CollectLimit
+            #     runs the shingle pass on few partitions serially and
+            #     leaves the cache partial.) Under `auto_min_docs` the
+            #     DF pass is a measured net loss (30s vs 24s at 200k
+            #     docs, PLANS.md) regardless of skew: 'hash'.
             #   2. else, estimate the hottest shingle's document
             #      frequency on a deterministic md5 doc-sample; if the
             #      top shingle reaches `auto_hot_df` of sampled docs,
@@ -936,19 +941,25 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             # bound holds under any fixed total order); only the plan
             # changes, so oracles are unaffected.
             min_docs = int(config.get("auto_min_docs", 400_000))
-            n_docs = base.count()
+            n_docs = df.count()
             if n_docs < min_docs:
                 prefix_order = "hash"
             else:
                 frac = min(1.0, 200_000 / n_docs)
-                samp = base
+                # the sample SHINGLES ITS OWN SLICE of the raw input
+                # (filter pushed to the scan) instead of riding `base`:
+                # reading the cache would materialize ALL of it before
+                # the main pass plans — the same stats hazard as (1) —
+                # and re-shingling ~200k sampled docs is cheaper than
+                # filling a corpus-sized array cache
+                samp = df
                 if frac < 1.0:
-                    samp = base.filter(
-                        _md5_60bit(F.col("_id").cast("string"))
+                    samp = df.filter(
+                        _md5_60bit(F.col(id_col).cast("string"))
                         < F.lit(int(frac * float(1 << 60)))
                     )
                 top_df = (
-                    samp.select(F.explode("_sh").alias("_t"))
+                    samp.select(F.explode(sh).alias("_t"))
                     .groupBy("_t")
                     .agg(F.count(F.lit(1)).alias("_c"))
                     .agg(F.max("_c"))
