@@ -398,3 +398,121 @@ def sample_balanced(spark: SparkSession, inputs, config, context) -> DataFrame:
     return under.drop(*[c for c in drop if c in under.columns]).unionByName(
         capped.drop(*[c for c in drop if c in capped.columns])
     )
+
+
+@operator("sample.importance")
+def sample_importance(spark: SparkSession, inputs, config, context):
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling", public):
+    score every raw document by how target-like its hashed bag-of-words
+    is under a bucketed unigram language-model ratio, then keep the k
+    highest-scoring docs.
+
+    inputs: [raw, target]. Features: word unigrams bucketed by
+    pmod(md5_60bit(word), n_buckets) — the engine-neutral md5 idiom
+    (NOTES invariant 5), so every stage is oracle-expressible.
+    Per-bucket log-ratio with add-one smoothing over B buckets:
+    lambda[b] = ln((ct[b]+1)/(Nt+B)) - ln((cr[b]+1)/(Nr+B)); per-doc
+    score = sum of lambda over the doc's token occurrences. Lambdas
+    are QUANTIZED to integers (``quantize``, default 1e6) before the
+    per-doc sum: bigint sums are partition-order-independent, while a
+    float sum would be order-dependent and 1-ulp engine-divergent
+    (the same transcendental-quantization rule as text.tfidf's round-6
+    idf).
+
+    Selection: top ``k`` by (score desc, id) — a total order, executed
+    as TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows), never a global sort. Docs with zero tokens are unscorable
+    and never selected (no evidence either way — DSIR semantics).
+
+    Scale shape: two B-bounded count shuffles with map-side partial
+    aggregation; the lambda table (<= B rows) broadcasts; the score
+    join runs on per-doc BUCKET COUNTS (doc x distinct-bucket rows,
+    not doc x token). Raw text is tokenized twice (count pass + score
+    pass) — a narrow recompute, preferred over persisting a
+    corpus-token-sized frame (NOTES invariant 13).
+
+    config: id_col, text_col, k, n_buckets (default 8192),
+    quantize (default 1_000_000), target_text_col (defaults to
+    text_col). Ports: 'out' (selected raw rows + score_q),
+    'scores' ((id, score_q) for every scorable raw doc).
+
+    Reference has no counterpart (nearest: Percentage Sampling,
+    data_engineering_parser.py:1096) — NEW per SURVEY §2.12.
+    """
+    from ssis_to_pyspark_agent_spark.operators.dedup import _md5_60bit, _words
+
+    raw, target = inputs[0], inputs[1]
+    id_col, text_col = config["id_col"], config["text_col"]
+    n_buckets = int(config.get("n_buckets", 8192))
+    k = int(config["k"])
+    quant = int(config.get("quantize", 1_000_000))
+    t_text = config.get("target_text_col", text_col)
+    if n_buckets <= 0 or k <= 0 or quant <= 0:
+        raise ValueError(
+            "sample.importance: n_buckets, k and quantize must be positive"
+        )
+
+    def _buckets(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(F.explode(_words(F.col(col))).alias("_w"))
+            .filter(F.col("_w") != "")
+            .select(F.pmod(_md5_60bit(F.col("_w")), F.lit(n_buckets)).alias("_b"))
+        )
+
+    tcnt = _buckets(target, t_text).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_ct")
+    )
+    rcnt = _buckets(raw, text_col).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr")
+    )
+    # corpus token totals ride the plan as broadcast one-row frames (an
+    # eager collect would cost an extra full pass per corpus)
+    tt = tcnt.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_nt"))
+    rt = rcnt.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("_nr"))
+    # buckets absent from the raw corpus can never score a raw doc, so
+    # the lambda table only needs raw-observed buckets (left join)
+    lam = (
+        rcnt.join(tcnt, "_b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "_b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("_nt") + n_buckets)
+                    )
+                    - F.log(
+                        (F.col("_cr") + 1).cast("double")
+                        / (F.col("_nr") + n_buckets)
+                    )
+                )
+                * quant
+            )
+            .cast("long")
+            .alias("_lam"),
+        )
+    )
+    doc_b = (
+        raw.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_words(F.col(text_col))).alias("_w"),
+        )
+        .filter(F.col("_w") != "")
+        .groupBy(
+            "_id", F.pmod(_md5_60bit(F.col("_w")), F.lit(n_buckets)).alias("_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    scores = (
+        doc_b.join(F.broadcast(lam), "_b")
+        .groupBy("_id")
+        .agg(F.sum(F.col("_n") * F.col("_lam")).alias("score_q"))
+    )
+    sel = scores.orderBy(F.col("score_q").desc(), F.col("_id")).limit(k)
+    out = raw.join(
+        F.broadcast(sel.withColumnRenamed("_id", id_col)), id_col
+    )
+    return {"out": out, "scores": scores.withColumnRenamed("_id", id_col)}

@@ -646,15 +646,18 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q23_sampling_modes",
-    # Merged q23+q79+mixture+balanced: deterministic mod sampling,
-    # per-stratum-rate stratified sampling (both pure pushdown-friendly
-    # filters), sample.mixture — domain-mixture reweighting over
-    # documents.source (src0 2.5x up, src1 exact 2x, src2 0.3 down,
-    # src3 dropped, rest 1.0 passthrough; the fractional-replica
-    # decision is the engine-neutral 60-bit md5 hash, re-derived here
-    # verbatim) — AND sample.balanced, per-group quota capping: each
-    # source keeps its 120 rows with the smallest (md5 hash, id), the
-    # exact ROW_NUMBER the oracle computes directly.
+    # Merged q23+q79+mixture+balanced+importance: deterministic mod
+    # sampling, per-stratum-rate stratified sampling (both pure
+    # pushdown-friendly filters), sample.mixture — domain-mixture
+    # reweighting over documents.source (src0 2.5x up, src1 exact 2x,
+    # src2 0.3 down, src3 dropped, rest 1.0 passthrough; the
+    # fractional-replica decision is the engine-neutral 60-bit md5
+    # hash, re-derived here verbatim) — sample.balanced, per-group
+    # quota capping: each source keeps its 120 rows with the smallest
+    # (md5 hash, id), the exact ROW_NUMBER the oracle computes
+    # directly — AND sample.importance (DSIR, Xie et al. 2023):
+    # quantized bucketed-unigram log-ratio scores vs the %19 target
+    # split, integer-exact in both engines.
     oracle="""
     SELECT 'mod' AS mode, o_orderkey AS key, o_orderstatus AS grp,
            0 AS replica
@@ -684,6 +687,39 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                              1, 15) AS BIGINT), doc_id) AS rk
       FROM documents) WHERE rk <= 120
+    UNION ALL
+    -- sample.importance (DSIR): docs with doc_id % 19 = 0 act as the
+    -- target corpus; the rest are scored by summed quantized bucketed
+    -- unigram log-ratios and the top 200 selected (score desc, id).
+    -- The md5 bucket, add-one smoothing, and round(x*1000) quantization
+    -- re-derive the operator's exact integer arithmetic.
+    SELECT 'importance', s.doc_id, r2.source, CAST(s.s AS INT) FROM (
+      WITH tgtw AS (
+        SELECT CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 4096 AS b
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+              FROM documents WHERE doc_id % 19 = 0)),
+      raww AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 4096 AS b
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+              FROM documents WHERE doc_id % 19 <> 0)),
+      tc AS (SELECT b, COUNT(*) AS c FROM tgtw GROUP BY b),
+      rc AS (SELECT b, COUNT(*) AS c FROM raww GROUP BY b),
+      nt AS (SELECT COALESCE(SUM(c), 0) AS n FROM tc),
+      nr AS (SELECT COALESCE(SUM(c), 0) AS n FROM rc),
+      lam AS (SELECT rc.b,
+                     CAST(round((ln((COALESCE(tc.c, 0) + 1.0)
+                                    / (nt.n + 4096))
+                                 - ln((rc.c + 1.0) / (nr.n + 4096)))
+                                * 1000) AS BIGINT) AS lam
+              FROM rc LEFT JOIN tc USING (b), nt, nr),
+      db AS (SELECT doc_id, b, COUNT(*) AS n FROM raww
+             GROUP BY doc_id, b),
+      sc AS (SELECT db.doc_id, SUM(db.n * lam.lam) AS s
+             FROM db JOIN lam USING (b) GROUP BY db.doc_id)
+      SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 200
+    ) s JOIN documents r2 USING (doc_id)
     """,
 )
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,6 +740,15 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
               default_weight=1.0)
         .step("bal", "sample.balanced", "mixp", id_col="doc_id",
               group_col="source", quota=120)
+        # DSIR importance resampling: docs with doc_id % 19 == 0 are the
+        # target distribution, the rest are scored and top-200 selected
+        .step("tgt", "filter", "documents",
+              predicate="[doc_id] % 19 == 0")
+        .step("rawd", "filter", "documents",
+              predicate="[doc_id] % 19 != 0")
+        .step("imp", "sample.importance", ["rawd", "tgt"],
+              id_col="doc_id", text_col="text", k=200, n_buckets=4096,
+              quantize=1000)
     )
     r = run_pipeline(spark, p)
 
@@ -723,6 +768,8 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg(r.df("mix"), "mixture", "doc_id", "source",
                          "replica"))
         .unionByName(leg(r.df("bal"), "balanced", "doc_id", "source"))
+        .unionByName(leg(r.df("imp.out"), "importance", "doc_id",
+                         "source", "score_q"))
     )
 
 

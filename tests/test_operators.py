@@ -1457,6 +1457,55 @@ class TestSampleModes:
             run("sample.balanced", spark, [df], id_col="id",
                 group_col="g", quota={})
 
+    def test_importance_selects_target_like_docs(self, spark):
+        # DSIR: raw docs drawn from two disjoint vocabularies; target
+        # written in vocabulary A -> the top-k must be exactly the
+        # A-vocabulary raw docs (their buckets carry positive
+        # log-ratios, B-vocabulary buckets negative)
+        a_doc = "alpha beta gamma delta epsilon"
+        b_doc = "zeta eta theta iota kappa"
+        raw = spark.createDataFrame(
+            [(i, a_doc if i % 2 == 0 else b_doc) for i in range(20)],
+            "doc_id long, text string",
+        )
+        target = spark.createDataFrame(
+            [(100 + i, "alpha beta gamma delta epsilon") for i in range(5)],
+            "doc_id long, text string",
+        )
+        res = run("sample.importance", spark, [raw, target],
+                  id_col="doc_id", text_col="text", k=10, n_buckets=64)
+        kept = sorted(r.doc_id for r in res["out"].collect())
+        assert kept == [i for i in range(20) if i % 2 == 0]
+        # deterministic: identical rerun, and scores rank A over B
+        res2 = run("sample.importance", spark, [raw, target],
+                   id_col="doc_id", text_col="text", k=10, n_buckets=64)
+        assert sorted(r.doc_id for r in res2["out"].collect()) == kept
+        sc = {r.doc_id: r.score_q for r in res["scores"].collect()}
+        assert min(sc[i] for i in range(0, 20, 2)) > max(
+            sc[i] for i in range(1, 20, 2)
+        )
+
+    def test_importance_zero_token_docs_unscorable(self, spark):
+        # docs with no tokens have no evidence and must never be
+        # selected, even when k exceeds the scorable population
+        raw = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "   "), (3, "")],
+            "doc_id long, text string",
+        )
+        target = spark.createDataFrame(
+            [(9, "alpha")], "doc_id long, text string"
+        )
+        res = run("sample.importance", spark, [raw, target],
+                  id_col="doc_id", text_col="text", k=5)
+        assert [r.doc_id for r in res["out"].collect()] == [1]
+        assert res["scores"].count() == 1
+
+    def test_importance_config_validation(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="positive"):
+            run("sample.importance", spark, [df, df], id_col="doc_id",
+                text_col="text", k=0)
+
     def test_balanced_is_fully_lazy(self, spark):
         # the round-5 in-plan audit removed the eager planning action:
         # invoking the operator must run ZERO Spark jobs (the fallback

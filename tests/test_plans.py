@@ -152,6 +152,23 @@ class TestNewOpPlanShapes:
         )
         assert "Exchange" not in plan_of(out)
 
+    def test_importance_topk_never_global_sorts(self, spark):
+        # DSIR selection must be TakeOrderedAndProject (per-partition
+        # heaps + driver merge of k rows) — a global Sort would
+        # serialize the whole scored corpus through one range shuffle
+        from ssis_to_pyspark_agent_spark.operators import get_operator
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        res = get_operator("sample.importance")(
+            spark,
+            [docs.filter("doc_id % 19 != 0"), docs.filter("doc_id % 19 = 0")],
+            {"id_col": "doc_id", "text_col": "text", "k": 50}, {},
+        )
+        p = plan_of(res["out"])
+        assert "TakeOrderedAndProject" in p
+        # the lambda table join must broadcast, not sort-merge
+        assert "SortMergeJoin" not in p
+
     def test_html_extract_is_pure_narrow(self, spark):
         # raw-web extraction must stay a single narrow projection over
         # the scan — zero exchanges, no Python stage (the zero-shuffle

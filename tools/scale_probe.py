@@ -952,6 +952,59 @@ def probe_mixture(spark, n=20_000_000):
 
 
 
+def probe_importance(spark, n_docs=2_000_000, n_target=100_000,
+                     k=20_000):
+    """sample.importance (DSIR) at 2M Zipf docs: 1% of raw docs carry
+    the target's distinctive token block — with the target
+    distribution dominated by those tokens, the planted docs must fill
+    the top-k. Scale shape under test: two B-bounded count shuffles +
+    broadcast lambda join + TakeOrdered — no global sort, no
+    corpus-sized persist."""
+    marker = " ".join(f"tgtword{i}" for i in range(8))
+    base = (
+        spark.range(n_docs)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            _zipf_lines_expr(10, 8, vocab=50_000, salt=5).alias("text"),
+        )
+    )
+    raw = base.select(
+        "doc_id",
+        F.when(F.pmod("doc_id", 100) == 0,
+               F.concat_ws(" ", "text", F.lit(marker)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).persist()
+    target = (
+        spark.range(n_target)
+        .repartition(16)
+        .select(
+            (F.col("id") + n_docs).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                _zipf_lines_expr(2, 8, vocab=50_000, salt=7),
+                F.lit(marker), F.lit(marker),
+            ).alias("text"),
+        )
+    )
+    raw.count()
+    t0 = time.perf_counter()
+    res = get_operator("sample.importance")(
+        spark, [raw, target],
+        {"id_col": "doc_id", "text_col": "text", "k": k}, {},
+    )
+    kept = res["out"].select("doc_id").collect()
+    dt = time.perf_counter() - t0
+    planted = sum(1 for r in kept if r.doc_id % 100 == 0)
+    print(
+        f"PROBE importance: n={n_docs} target={n_target} k={k} "
+        f"pass={dt:.1f}s ({n_docs/dt:,.0f} docs/s) "
+        f"planted_in_topk={planted}/{k} (expect {n_docs//100} planted)"
+    )
+    raw.unpersist()
+
+
 def probe_novelty(spark, n_docs=2_000_000, words_per_doc=80):
     """text.ngram_novelty at 2M docs: corpus-global bigram table
     (groupBy) + hash-keyed join-back — the same shuffle class as
@@ -1296,6 +1349,8 @@ def main():
         probe_semantic_boundary(spark)
     if which in ("cc", "all"):
         probe_cc(spark)
+    if which in ("importance", "all"):
+        probe_importance(spark)
 
 
 if __name__ == "__main__":
