@@ -554,6 +554,114 @@ def dedup_exact(spark: SparkSession, inputs, config, context) -> DataFrame:
     return df.dropDuplicates(list(cols))
 
 
+#: query-param names / prefixes dedup.url strips by default — the
+#: session-tracking parameters that make one page look like many URLs
+#: (the reason RefinedWeb/FineWeb-class pipelines canonicalize before
+#: URL-level dedup).
+_URL_TRACKING_NAMES = ("fbclid", "gclid", "msclkid", "ref")
+_URL_TRACKING_PREFIXES = ("utm_",)
+
+
+@operator("dedup.url")
+def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """URL canonicalization + URL-level dedup — the FIRST dedup stage of
+    a raw-web pretraining pipeline (RefinedWeb §3.1, FineWeb: dedupe by
+    normalized URL before any text-level pass; pairs with
+    `text.html_extract` upstream). Canonical form, each rule built from
+    JVM regexp/array expressions (zero shuffle):
+
+      lowercase scheme://authority; strip the scheme-default port
+      (:80/:443); strip a leading ``www.``; drop the ``#fragment``;
+      drop tracking query params (names in ``strip_params``, prefixes
+      in ``strip_param_prefixes`` — defaults above); sort the surviving
+      params. Path + param VALUES are untouched (case-significant per
+      RFC 3986). Strings without a ``scheme://authority`` head pass
+      through these rules as bare path?query; NULL urls canonicalize to
+      NULL and form a single group (SQL GROUP BY semantics).
+
+    emit='canon' adds ``canon_col`` only. emit='dedup' (default) keeps
+    the min-``id_col`` row per canonical URL; emit='flag' keeps every
+    row and adds a boolean ``keep_col``. The survivor choice is a
+    groupBy(md5(canon)) + join-back — 16-byte shuffle key regardless of
+    URL length, and no window over the hot key (a viral URL's group
+    must not serialize into one task; NOTES invariant 17).
+
+    config: url_col, id_col (dedup/flag), emit, canon_col
+    ('url_canon'), keep_col ('url_keep'), strip_fragment/strip_www/
+    strip_default_port/sort_params (all True), strip_params,
+    strip_param_prefixes. Reference has no counterpart — NEW per
+    SURVEY §2.12.
+    """
+    df: DataFrame = inputs[0]
+    url_col = config["url_col"]
+    emit = config.get("emit", "dedup")
+    if emit not in ("canon", "dedup", "flag"):
+        raise ValueError(
+            f"dedup.url: emit must be canon|dedup|flag, got {emit!r}"
+        )
+    canon_col = config.get("canon_col", "url_canon")
+    keep_col = config.get("keep_col", "url_keep")
+    strip_names = tuple(
+        config.get("strip_params", _URL_TRACKING_NAMES)
+    )
+    strip_prefixes = tuple(
+        config.get("strip_param_prefixes", _URL_TRACKING_PREFIXES)
+    )
+
+    u = F.trim(F.col(url_col))
+    head = F.regexp_extract(u, r"^([^:/?#]+://[^/?#]*)", 1)
+    tail = u.substr(F.length(head) + 1, F.length(u))
+    head = F.lower(head)
+    if config.get("strip_default_port", True):
+        head = F.regexp_replace(head, r"^(http://.*):80$", "$1")
+        head = F.regexp_replace(head, r"^(https://.*):443$", "$1")
+    if config.get("strip_www", True):
+        head = F.regexp_replace(head, r"^(https?://)www\.", "$1")
+    if config.get("strip_fragment", True):
+        tail = F.regexp_replace(tail, r"#.*$", "")
+    path = F.regexp_extract(tail, r"^([^?#]*)", 1)
+    query = F.regexp_extract(tail, r"^[^?#]*\?([^#]*)", 1)
+
+    def _is_tracking(p: Column) -> Column:
+        name = F.regexp_extract(p, r"^([^=]*)", 1)
+        cond = name.isin(*strip_names) if strip_names else F.lit(False)
+        for pfx in strip_prefixes:
+            cond = cond | name.startswith(pfx)
+        return cond
+
+    params = F.filter(
+        F.split(query, "&"), lambda p: (p != F.lit("")) & ~_is_tracking(p)
+    )
+    if config.get("sort_params", True):
+        params = F.array_sort(params)
+    qstr = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    canon = F.when(u.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(head, path, qstr)
+    )
+
+    out = df.withColumn(canon_col, canon)
+    if emit == "canon":
+        return out
+    id_col = config.get("id_col")
+    if not id_col:
+        raise ValueError(f"dedup.url: emit={emit!r} requires id_col")
+    # NULL-safe 16-byte group key (md5(NULL) is NULL and would drop on
+    # the join; the sentinel keeps SQL GROUP-BY-NULL semantics)
+    gkey = F.coalesce(F.md5(F.col(canon_col)), F.lit("\x00null"))
+    keyed = out.withColumn("_ukey", gkey)
+    mins = keyed.groupBy("_ukey").agg(F.min(F.col(id_col)).alias("_umin"))
+    flagged = (
+        keyed.join(mins, "_ukey")
+        .withColumn(keep_col, F.col(id_col) == F.col("_umin"))
+        .drop("_ukey", "_umin")
+    )
+    if emit == "flag":
+        return flagged
+    return flagged.filter(F.col(keep_col)).drop(keep_col)
+
+
 def _auto_bands(num_hashes: int, threshold: float) -> int:
     """Match LSH banding to the Jaccard threshold.
 

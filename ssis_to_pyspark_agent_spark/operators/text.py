@@ -1194,3 +1194,137 @@ def ngram_novelty(spark: SparkSession, inputs, config, context) -> DataFrame:
             "rare_ngrams": F.coalesce(F.col("rare_ngrams"), F.lit(0)),
         }
     )
+
+
+# Fixed-point log table for text.lm_score. Conditional probabilities are
+# quantized to a 1/LM_QGRID grid with INTEGER arithmetic, then the log2
+# comes from this table — computed ONCE here with driver-side Python and
+# embedded as the same literal in the Spark plan and the DuckDB oracle
+# SQL, so the score never touches an engine's libm (cross-engine ln()
+# differs in final ulps, which is exactly why ngram_novelty has no
+# log-prob column). LM_ILOG[q-1] = round(LM_SCALE * log2(LM_QGRID / q)):
+# the information content of probability q/LM_QGRID in 1/LM_SCALE-bit
+# units ("millibits"). LM_ILOG[LM_QGRID-1] = 0, LM_ILOG[0] = 11 * 1024.
+LM_QGRID = 2048
+LM_SCALE = 1024
+LM_ILOG: list[int] = [
+    round(LM_SCALE * math.log2(LM_QGRID / q)) for q in range(1, LM_QGRID + 1)
+]
+
+
+@operator("text.lm_score")
+def lm_score(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """N-gram LM cross-entropy scoring in exact fixed point — the CCNet /
+    RedPajama quality filter (score web docs by a KenLM trained on a clean
+    corpus; keep the low-perplexity tail). The model is an order-``n``
+    LM with add-one smoothing over the train corpus (``inputs[1]``, or
+    the corpus itself):
+
+        p(w_i | ctx) = (c_ngram + 1) / (c_ctx + V)
+
+    — a RATIONAL number, quantized to q = floor(LM_QGRID * p) in pure
+    integer arithmetic, then mapped to fixed-point bits via the LM_ILOG
+    literal (module docstring above). Every per-doc output is therefore
+    engine-exact: ``lm_ngrams`` (scored n-grams), ``lm_oov`` (grams with
+    train count 0 — always 0 self-trained), ``lm_bits_fp`` (sum of
+    fixed-point information, bigint; high = surprising/noisy text, the
+    Gopher/CCNet "head" cut keeps low), and ``lm_bpt`` (bits per token,
+    double — the ONLY float, an IEEE-exact bigint/bigint division both
+    engines round identically). Docs with < n tokens: zeros + NULL bpt.
+
+    Plan: the train token stream shuffles ONCE (map-side-combined
+    groupBy to distinct (ctx_hash, nxt_hash) counts); context counts and
+    vocab size V derive from that distinct-gram frame, NOT a second pass
+    over tokens; the doc side shuffles (id, 2x8B hashes) for the count
+    join-back — the same inherent corpus-global-statistic class as
+    ngram_novelty/line_dedup, with AQE broadcasting the count table when
+    it is small. Self-trained, the ngram_novelty hapax inference applies:
+    a doc gram occurs >= 1 time by construction, so the count table drops
+    rows with c < 2 before the join-back and missing coalesces to EXACTLY
+    1 (context table likewise) — often the difference between broadcast
+    and shuffle. V stays in-plan (1-row aggregate cross join): invoking
+    the operator runs zero Spark jobs.
+
+    config: id_col, text_col, n (default 2), train_text_col (column in
+    the train input; default text_col). Reference has no counterpart —
+    NEW per SURVEY §2.12.
+    """
+    df: DataFrame = inputs[0]
+    self_trained = len(inputs) <= 1
+    train: DataFrame = df if self_trained else inputs[1]
+    id_col, text_col = config["id_col"], config["text_col"]
+    train_text_col = config.get("train_text_col", text_col)
+    n = int(config.get("n", 2))
+    if n < 2:
+        raise ValueError("text.lm_score: n must be >= 2 (context + next)")
+
+    def gram_pairs(tcol: str) -> Column:
+        # (ctx_hash, nxt_hash) per position, built narrowly (no explode
+        # until the caller asks). ctx = words i..i+n-2, nxt = word i+n-1.
+        w = _words(F.col(tcol))
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.struct(
+                    F.xxhash64(F.concat_ws(" ", F.slice(w, i, n - 1))).alias(
+                        "_ctx"
+                    ),
+                    F.xxhash64(F.element_at(w, i + (n - 1))).alias("_nxt"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<_ctx:bigint,_nxt:bigint>>"))
+
+    tg = train.select(
+        F.explode(gram_pairs(train_text_col if not self_trained else text_col)).alias("_g")
+    ).select("_g._ctx", "_g._nxt")
+    counts = tg.groupBy("_ctx", "_nxt").agg(F.count(F.lit(1)).alias("_c"))
+    # Context totals + vocab derive from the distinct-gram frame — never a
+    # second pass over the token stream.
+    ctx_tab = counts.groupBy("_ctx").agg(F.sum("_c").alias("_cc"))
+    vocab = counts.agg(F.count_distinct(F.col("_nxt")).alias("_v"))
+    if self_trained:
+        counts = counts.filter(F.col("_c") >= 2)
+        ctx_tab = ctx_tab.filter(F.col("_cc") >= 2)
+    missing = 1 if self_trained else 0
+
+    dg = df.select(
+        F.col(id_col).alias("_id"), F.explode(gram_pairs(text_col)).alias("_g")
+    ).select("_id", "_g._ctx", "_g._nxt")
+    scored = (
+        dg.join(counts, ["_ctx", "_nxt"], "left")
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(missing)))
+        .join(ctx_tab, "_ctx", "left")
+        .withColumn("_cc", F.coalesce(F.col("_cc"), F.lit(missing)))
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_q",
+            F.least(
+                F.lit(LM_QGRID),
+                F.greatest(
+                    F.lit(1),
+                    F.expr(
+                        f"(( _c + 1 ) * {LM_QGRID}) div (_cc + _v)"
+                    ).cast("int"),
+                ),
+            ),
+        )
+        .withColumn("_bits", F.element_at(F.lit(LM_ILOG), F.col("_q")))
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("lm_ngrams"),
+        F.sum(F.when(F.col("_c") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("lm_oov"),
+        F.sum("_bits").cast("bigint").alias("lm_bits_fp"),
+    )
+    out = df.join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+    return out.withColumns(
+        {
+            "lm_ngrams": F.coalesce(F.col("lm_ngrams"), F.lit(0)),
+            "lm_oov": F.coalesce(F.col("lm_oov"), F.lit(0)),
+            "lm_bits_fp": F.coalesce(F.col("lm_bits_fp"), F.lit(0)),
+            "lm_bpt": F.col("lm_bits_fp").cast("double")
+            / (F.lit(float(LM_SCALE)) * F.col("lm_ngrams").cast("double")),
+        }
+    )

@@ -888,6 +888,16 @@ _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _WORDS_SQL = "regexp_extract_all(lower(text), '\\S+')"
 
 
+def _lm_tab_sql() -> str:
+    """text.lm_score's fixed-point log table as a DuckDB VALUES list —
+    generated from the SAME module constant the Spark plan embeds, so the
+    oracle never computes a log in SQL (engine libm drift is the whole
+    reason the table exists)."""
+    from ssis_to_pyspark_agent_spark.operators.text import LM_ILOG
+
+    return ", ".join(f"({q + 1},{b})" for q, b in enumerate(LM_ILOG))
+
+
 @query(
     "q30_dedup_exact_digest",
     # Merged q30+spans+decon: ('doc', survivors of exact-digest dedup),
@@ -2072,7 +2082,50 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
                '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
                '&amp;', '&'),
              '^\\s+|\\s+$', '', 'g') AS html_title
-      FROM hx)
+      FROM hx),
+    urw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+             (CASE WHEN doc_id % 2 = 0 THEN 'Example.COM'
+                   ELSE 'example.com' END) ||
+             (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+             '/' || source || '/p' || CAST(doc_id % 211 AS VARCHAR) ||
+             (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=feed'
+                   ELSE '?a=1&b=2&fbclid=abc' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END) AS url
+      FROM documents WHERE doc_id % 100 != 0),
+    urh AS (
+      SELECT doc_id, trim(url) AS u,
+             regexp_extract(trim(url), '^([^:/?#]+://[^/?#]*)', 1) AS head
+      FROM urw),
+    urh2 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(lower(head),
+               '^(http://.*):80$', '\\1'), '^(https://.*):443$', '\\1'),
+               '^(https?://)www\\.', '\\1') AS head,
+             regexp_replace(substr(u, length(head) + 1), '#.*$', '') AS tail
+      FROM urh),
+    urp AS (
+      SELECT doc_id, head, tail,
+             list_sort(list_filter(
+               string_split(regexp_extract(tail, '^[^?#]*\\?([^#]*)', 1), '&'),
+               p -> p <> '' AND NOT (
+                 regexp_extract(p, '^([^=]*)', 1)
+                   IN ('fbclid', 'gclid', 'msclkid', 'ref')
+                 OR starts_with(regexp_extract(p, '^([^=]*)', 1), 'utm_'))))
+               AS prm
+      FROM urh2),
+    urc AS (
+      SELECT doc_id,
+             head || regexp_extract(tail, '^([^?#]*)', 1) ||
+             (CASE WHEN len(prm) > 0 THEN '?' || array_to_string(prm, '&')
+                   ELSE '' END) AS url_canon
+      FROM urp),
+    urk AS (
+      SELECT doc_id, url_canon,
+             doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS url_keep
+      FROM urc)
     SELECT r.doc_id, r.n_email, r.n_ipv4, r.n_phone, r.red_len,
            CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
            COALESCE(o.n_overlap, 0) >= 1 AS contaminated,
@@ -2084,13 +2137,15 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
            bp.n_boilerplate_lines, bp.clean_len,
            COALESCE(cb.lab, 'negative') AS cls_label,
            CAST(COALESCE(cb.logit, 0) AS DOUBLE) AS cls_score,
-           hf.html_len, hf.html_md5, hf.html_title
+           hf.html_len, hf.html_md5, hf.html_title,
+           uk.url_canon, uk.url_keep
     FROM red r LEFT JOIN overlap o ON o.doc_id = r.doc_id
     JOIN lstat ls ON ls.doc_id = r.doc_id
     JOIN rstat rs ON rs.doc_id = r.doc_id
     JOIN nl ON nl.doc_id = r.doc_id
     JOIN bp ON bp.doc_id = r.doc_id
     JOIN hfin hf ON hf.doc_id = r.doc_id
+    JOIN urk uk ON uk.doc_id = r.doc_id
     LEFT JOIN (SELECT * FROM cbest WHERE rn = 1) cb ON cb.doc_id = r.doc_id
     """,
 )
@@ -2169,14 +2224,41 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
             "html_len": F.length("page_text"),
             "html_md5": F.md5("page_text"),
         })
-        .step("prj", "select", "hm",
+        # URL-level dedup leg: synthesize a messy-but-deterministic URL
+        # per doc (case drift, www, default port, tracking params,
+        # unsorted params, fragment) and run the canonicalize+dedup the
+        # raw-web pipelines do FIRST — docs sharing (source, doc_id%211)
+        # collide post-canonicalization and only the min doc_id keeps
+        .step("uw", "derived_column", "hm", columns={
+            "url": F.concat(
+                F.when(F.col("doc_id") % 2 == 0, F.lit("https://"))
+                 .otherwise(F.lit("HTTPS://")),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+                 .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("Example.COM"))
+                 .otherwise(F.lit("example.com")),
+                F.when(F.col("doc_id") % 4 == 0, F.lit(":443"))
+                 .otherwise(F.lit("")),
+                F.lit("/"), F.col("source"), F.lit("/p"),
+                (F.col("doc_id") % 211).cast("string"),
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.lit("?b=2&a=1&utm_source=feed"))
+                 .otherwise(F.lit("?a=1&b=2&fbclid=abc")),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("#sec2"))
+                 .otherwise(F.lit("")),
+            )
+        })
+        .step("ud", "dedup.url", "uw", url_col="url", id_col="doc_id",
+              emit="flag")
+        .step("prj", "select", "ud",
               columns=["doc_id", "n_email", "n_ipv4", "n_phone",
                        "red_len", "n_overlap", "contaminated",
                        "dup_line_frac", "dup_line_char_frac",
                        "top_2gram_char_frac", "dup_5gram_char_frac",
                        "n_boilerplate_lines", "clean_len",
                        "cls_label", "cls_score",
-                       "html_len", "html_md5", "html_title"])
+                       "html_len", "html_md5", "html_title",
+                       "url_canon", "url_keep"])
     )
     return run_pipeline(spark, p).df("prj")
 
@@ -2935,12 +3017,17 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q53_term_text_stats",
-    # Merged q53+q63+novelty: Term Lookup (dictionary occurrence counts
-    # via explode + broadcast equi-join), exact TF-IDF, and
-    # text.ngram_novelty (corpus-self-trained bigram typicality — the
-    # integer-exact CCNet-style quality signal) as one tagged union over
-    # (doc_id, term) rows; novelty rows carry per-doc stats in the
-    # cnt/df/tfidf slots (n_ngrams / rare_ngrams / mean_ngram_freq).
+    # Merged q53+q63+novelty+lm: Term Lookup (dictionary occurrence counts
+    # via explode + broadcast equi-join), exact TF-IDF,
+    # text.ngram_novelty (corpus-self-trained bigram typicality), and
+    # text.lm_score (fixed-point CCNet-style bigram-LM cross-entropy —
+    # the quantized-probability + literal log-table design keeps the
+    # whole score integer-exact across engines; the log table itself is
+    # re-derived here as a VALUES join table from the SAME Python
+    # constant the Spark plan embeds) as one tagged union over
+    # (doc_id, term) rows; novelty/lm rows carry per-doc stats in the
+    # cnt/df/tfidf slots (n_ngrams/rare/mean_freq and
+    # lm_ngrams/lm_bits_fp/lm_bpt respectively).
     oracle=f"""
     WITH terms(term) AS (VALUES ('data'), ('query'), ('stream'), ('vector')),
     docs AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS words
@@ -2969,7 +3056,24 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(SUM(CASE WHEN gc.c < 2 THEN 1 ELSE 0 END) AS BIGINT)
               AS rare,
             CAST(SUM(gc.c) AS DOUBLE) / COUNT(*) AS mean_freq
-            FROM ng JOIN gc USING (g) GROUP BY ng.doc_id)
+            FROM ng JOIN gc USING (g) GROUP BY ng.doc_id),
+    lmg0 AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                    i -> struct_pack(ctx := w[i], nxt := w[i+1]))) AS g
+             FROM nwords),
+    lmg AS (SELECT doc_id, g.ctx AS ctx, g.nxt AS nxt FROM lmg0),
+    lmc AS (SELECT ctx, nxt, COUNT(*) AS c FROM lmg GROUP BY ctx, nxt),
+    lmctx AS (SELECT ctx, SUM(c) AS cc FROM lmc GROUP BY ctx),
+    lmv AS (SELECT COUNT(DISTINCT nxt) AS v FROM lmc),
+    lmtab(q, bits) AS (VALUES {_lm_tab_sql()}),
+    lmq AS (SELECT g.doc_id,
+            least(2048, greatest(1,
+              CAST(((c.c + 1) * 2048) // (x.cc + lmv.v) AS INT))) AS q
+            FROM lmg g JOIN lmc c USING (ctx, nxt)
+                 JOIN lmctx x USING (ctx), lmv),
+    lms AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(t.bits) AS BIGINT) AS bits
+            FROM lmq JOIN lmtab t USING (q) GROUP BY doc_id)
     SELECT 'lookup' AS kind, doc_id, term, cnt,
            CAST(NULL AS BIGINT) AS df, CAST(NULL AS DOUBLE) AS tfidf
     FROM lookup
@@ -2982,6 +3086,10 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'novelty', doc_id, CAST(NULL AS VARCHAR), n_ngrams, rare,
            mean_freq
     FROM nov
+    UNION ALL
+    SELECT 'lm', doc_id, CAST(NULL AS VARCHAR), n, bits,
+           bits / (1024.0 * n)
+    FROM lms
     """,
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2998,6 +3106,8 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("tif", "filter", "ti", predicate="[doc_id] % 10 == 0")
         .step("nv", "text.ngram_novelty", "documents", id_col="doc_id",
               text_col="text", n=2, min_count=2)
+        .step("lm", "text.lm_score", "documents", id_col="doc_id",
+              text_col="text", n=2)
     )
     r = run_pipeline(spark, p)
     lk = r.df("tl").select(
@@ -3018,7 +3128,14 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rare_ngrams").cast("bigint").alias("df"),
         F.col("mean_ngram_freq").cast("double").alias("tfidf"),
     )
-    return lk.unionByName(ti).unionByName(nv)
+    lm = r.df("lm").filter(F.col("lm_ngrams") > 0).select(
+        F.lit("lm").alias("kind"), "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.col("lm_ngrams").cast("bigint").alias("cnt"),
+        F.col("lm_bits_fp").cast("bigint").alias("df"),
+        F.col("lm_bpt").cast("double").alias("tfidf"),
+    )
+    return lk.unionByName(ti).unionByName(nv).unionByName(lm)
 
 
 @query(

@@ -955,6 +955,120 @@ class TestTextOps:
         )
         assert a == b
 
+    def test_lm_score_hand_computed(self, spark):
+        from ssis_to_pyspark_agent_spark.operators.text import (
+            LM_ILOG, LM_QGRID, LM_SCALE,
+        )
+        # self-trained bigram LM, add-one smoothing:
+        # corpus grams: (a,b)x3, (b,a)x1, (b,c)x1
+        # ctx totals: a->3, b->2; V = |{b, a, c}| = 3
+        # (a,b): p=(3+1)/(3+3) -> q=floor(2048*4/6)=1365
+        # (b,a): p=(1+1)/(2+3) -> q=floor(2048*2/5)=819
+        # (b,c): same as (b,a): q=819
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "x")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in run(
+            "text.lm_score", spark, [df], id_col="doc_id",
+            text_col="text", n=2).collect()}
+        q_ab = (4 * LM_QGRID) // 6
+        q_ba = (2 * LM_QGRID) // 5
+        assert (out[1].lm_ngrams, out[1].lm_oov) == (3, 0)
+        assert out[1].lm_bits_fp == 2 * LM_ILOG[q_ab - 1] + LM_ILOG[q_ba - 1]
+        assert out[1].lm_bpt == out[1].lm_bits_fp / (LM_SCALE * 3.0)
+        assert (out[2].lm_ngrams, out[2].lm_oov) == (2, 0)
+        assert out[2].lm_bits_fp == LM_ILOG[q_ab - 1] + LM_ILOG[q_ba - 1]
+        assert (out[3].lm_ngrams, out[3].lm_oov, out[3].lm_bits_fp) == (0, 0, 0)
+        assert out[3].lm_bpt is None
+        # external train = doc1 only: counts (a,b)=2, (b,a)=1; ctx a->2,
+        # b->1; V=2. doc2: (a,b) q=floor(2048*3/4)=1536; (b,c) OOV c=0,
+        # q=floor(2048*1/3)=682
+        out2 = {r.doc_id: r for r in run(
+            "text.lm_score", spark, [df, df.filter("doc_id = 1")],
+            id_col="doc_id", text_col="text", n=2).collect()}
+        assert (out2[2].lm_ngrams, out2[2].lm_oov) == (2, 1)
+        assert out2[2].lm_bits_fp == (
+            LM_ILOG[(3 * LM_QGRID) // 4 - 1] + LM_ILOG[LM_QGRID // 3 - 1]
+        )
+
+    def test_lm_score_hapax_prune_exact(self, spark):
+        # self-trained prunes hapax rows from BOTH the gram and context
+        # tables; outputs must match the no-prune external-train run on
+        # the same corpus (missing => count exactly 1)
+        import random
+        rng = random.Random(13)
+        rows = [
+            (i, " ".join(f"w{rng.randrange(80)}" for _ in range(25)))
+            for i in range(150)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(
+            (r.doc_id, r.lm_ngrams, r.lm_oov, r.lm_bits_fp)
+            for r in run("text.lm_score", spark, [df],
+                         id_col="doc_id", text_col="text", n=2).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.lm_ngrams, r.lm_oov, r.lm_bits_fp)
+            for r in run("text.lm_score", spark, [df, df.select("text")],
+                         id_col="doc_id", text_col="text", n=2).collect()
+        )
+        assert a == b
+        assert all(r[2] == 0 for r in a)  # self-corpus: no OOV possible
+
+    def test_lm_score_config_validation(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="n must be >= 2"):
+            run("text.lm_score", spark, [df], id_col="doc_id",
+                text_col="text", n=1)
+
+    def test_dedup_url_canonicalization(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "HTTPS://WWW.Example.COM:443/A/b?b=2&utm_source=x&a=1#frag"),
+                (2, "https://example.com/A/b?a=1&b=2"),
+                (3, "http://example.com:80/A/b?fbclid=zz&a=1&b=2"),
+                (4, "https://example.com/A/B"),          # path case differs
+                (5, "relative/path?utm_medium=m&k=v"),   # no scheme head
+                (6, None),
+                (7, "  https://example.com/A/b?b=2&a=1  "),  # trim
+            ],
+            "id long, url string",
+        )
+        out = {r.id: r.url_canon for r in run(
+            "dedup.url", spark, [df], url_col="url", emit="canon").collect()}
+        assert out[1] == "https://example.com/A/b?a=1&b=2"
+        assert out[2] == "https://example.com/A/b?a=1&b=2"
+        assert out[3] == "http://example.com/A/b?a=1&b=2"
+        assert out[4] == "https://example.com/A/B"
+        assert out[5] == "relative/path?k=v"
+        assert out[6] is None
+        assert out[7] == "https://example.com/A/b?a=1&b=2"
+
+    def test_dedup_url_dedup_and_flag(self, spark):
+        df = spark.createDataFrame(
+            [
+                (10, "https://example.com/x?utm_source=a"),
+                (3, "https://WWW.example.com/x"),
+                (5, "https://example.com/y"),
+                (8, None),
+                (9, None),
+            ],
+            "id long, url string",
+        )
+        kept = sorted(r.id for r in run(
+            "dedup.url", spark, [df], url_col="url", id_col="id").collect())
+        # canon group {10,3} -> keep 3; y -> 5; NULLs group together -> 8
+        assert kept == [3, 5, 8]
+        flags = {r.id: r.url_keep for r in run(
+            "dedup.url", spark, [df], url_col="url", id_col="id",
+            emit="flag").collect()}
+        assert flags == {10: False, 3: True, 5: True, 8: True, 9: False}
+        with pytest.raises(ValueError, match="requires id_col"):
+            run("dedup.url", spark, [df], url_col="url")
+        with pytest.raises(ValueError, match="emit must be"):
+            run("dedup.url", spark, [df], url_col="url", emit="bogus")
+
     def test_dedup_spans_against_reference(self, spark):
         # second input = benchmark corpus -> span-level decontamination:
         # doc 1 embeds the benchmark phrase "q1 q2 q3 q4" (grams at pos

@@ -1047,6 +1047,66 @@ def probe_novelty(spark, n_docs=2_000_000, words_per_doc=80):
     docs.unpersist()
 
 
+def probe_lm(spark, n_docs=2_000_000, words_per_doc=80):
+    """text.lm_score (fixed-point bigram-LM cross-entropy) at 2M docs on
+    the ADVERSARIAL Zipf(s=1)+boilerplate corpus — the same class of
+    corpus-global-statistic shuffle as ngram_novelty, plus the per-gram
+    element_at log lookup and the ctx/vocab join-backs. Sanity:
+    sum(lm_ngrams) == docs * (tokens-1) with the boilerplate lines in
+    place (all docs same token count), oov == 0 (self-trained), and the
+    boilerplate-heavy docs must score LOWER bits-per-token than pure
+    Zipf docs (the LM assigns hot grams high probability — exactly how
+    a CCNet filter separates boilerplate from content)."""
+    docs = (
+        spark.range(n_docs)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.regexp_replace(
+                _zipf_lines_expr(10, 8, vocab=50_000, salt=21, boiler=BOILER),
+                "\n", " ",
+            ).alias("text"),
+        )
+        .persist()
+    )
+    docs.count()
+    t0 = time.perf_counter()
+    out = get_operator("text.lm_score")(
+        spark, [docs], {"id_col": "doc_id", "text_col": "text", "n": 2}, {}
+    )
+    r = out.agg(
+        F.sum("lm_ngrams"), F.sum("lm_oov"), F.avg("lm_bpt")
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    n_tok = 10 * 8
+    print(
+        f"PROBE lm: n={n_docs} pass={dt:.1f}s ({n_docs/dt:,.0f} docs/s) "
+        f"total_grams={r[0]} (expect {n_docs*(n_tok-1)}) oov={r[1]} "
+        f"mean_bpt={r[2]:.3f}"
+    )
+    # boilerplate-free variant must score HIGHER bpt (no hot grams)
+    docs2 = (
+        spark.range(200_000)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.regexp_replace(
+                _zipf_lines_expr(10, 8, vocab=50_000, salt=21),
+                "\n", " ",
+            ).alias("text"),
+        )
+    )
+    out2 = get_operator("text.lm_score")(
+        spark, [docs2], {"id_col": "doc_id", "text_col": "text", "n": 2}, {}
+    )
+    bpt2 = out2.agg(F.avg("lm_bpt")).collect()[0][0]
+    print(
+        f"PROBE lm: pure-zipf 200k mean_bpt={bpt2:.3f} "
+        f"(boilerplate corpus must be lower: {r[2]:.3f})"
+    )
+    docs.unpersist()
+
+
 def _zipf_lines_expr(n_lines, words_per_line, vocab=50_000, salt=0,
                      boiler=None, zipf=True):
     """Text expr over F.col('id'): `n_lines` lines of `words_per_line`
@@ -1339,6 +1399,8 @@ def main():
         probe_mixture(spark)
     if which in ("novelty", "all"):
         probe_novelty(spark)
+    if which in ("lm", "all"):
+        probe_lm(spark)
     if which in ("spans_skew", "all"):
         probe_spans_skew(spark)
     if which in ("adversarial", "all"):
