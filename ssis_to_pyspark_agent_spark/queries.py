@@ -3064,7 +3064,8 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     lmg AS (SELECT doc_id, g.ctx AS ctx, g.nxt AS nxt FROM lmg0),
     lmc AS (SELECT ctx, nxt, COUNT(*) AS c FROM lmg GROUP BY ctx, nxt),
     lmctx AS (SELECT ctx, SUM(c) AS cc FROM lmc GROUP BY ctx),
-    lmv AS (SELECT COUNT(DISTINCT nxt) AS v FROM lmc),
+    lmv AS (SELECT COUNT(DISTINCT tok) AS v FROM
+            (SELECT unnest(w) AS tok FROM nwords) WHERE tok <> ''),
     lmtab(q, bits) AS (VALUES {_lm_tab_sql()}),
     lmq AS (SELECT g.doc_id,
             least(2048, greatest(1,

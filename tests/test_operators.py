@@ -961,10 +961,10 @@ class TestTextOps:
         )
         # self-trained bigram LM, add-one smoothing:
         # corpus grams: (a,b)x3, (b,a)x1, (b,c)x1
-        # ctx totals: a->3, b->2; V = |{b, a, c}| = 3
-        # (a,b): p=(3+1)/(3+3) -> q=floor(2048*4/6)=1365
-        # (b,a): p=(1+1)/(2+3) -> q=floor(2048*2/5)=819
-        # (b,c): same as (b,a): q=819
+        # ctx totals: a->3, b->2; V = |{a, b, c, x}| = 4 (vocab size)
+        # (a,b): p=(3+1)/(3+4) -> q=floor(2048*4/7)=1170
+        # (b,a): p=(1+1)/(2+4) -> q=floor(2048*2/6)=682
+        # (b,c): same as (b,a): q=682
         df = spark.createDataFrame(
             [(1, "a b a b"), (2, "a b c"), (3, "x")],
             "doc_id long, text string",
@@ -972,8 +972,8 @@ class TestTextOps:
         out = {r.doc_id: r for r in run(
             "text.lm_score", spark, [df], id_col="doc_id",
             text_col="text", n=2).collect()}
-        q_ab = (4 * LM_QGRID) // 6
-        q_ba = (2 * LM_QGRID) // 5
+        q_ab = (4 * LM_QGRID) // 7
+        q_ba = (2 * LM_QGRID) // 6
         assert (out[1].lm_ngrams, out[1].lm_oov) == (3, 0)
         assert out[1].lm_bits_fp == 2 * LM_ILOG[q_ab - 1] + LM_ILOG[q_ba - 1]
         assert out[1].lm_bpt == out[1].lm_bits_fp / (LM_SCALE * 3.0)
@@ -982,8 +982,8 @@ class TestTextOps:
         assert (out[3].lm_ngrams, out[3].lm_oov, out[3].lm_bits_fp) == (0, 0, 0)
         assert out[3].lm_bpt is None
         # external train = doc1 only: counts (a,b)=2, (b,a)=1; ctx a->2,
-        # b->1; V=2. doc2: (a,b) q=floor(2048*3/4)=1536; (b,c) OOV c=0,
-        # q=floor(2048*1/3)=682
+        # b->1; V=|{a,b}|=2. doc2: (a,b) q=floor(2048*3/4)=1536; (b,c)
+        # OOV c=0, q=floor(2048*1/3)=682
         out2 = {r.doc_id: r for r in run(
             "text.lm_score", spark, [df, df.filter("doc_id = 1")],
             id_col="doc_id", text_col="text", n=2).collect()}

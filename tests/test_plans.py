@@ -76,12 +76,29 @@ class TestJoinStrategies:
 
     def test_term_lookup_is_equi_join_not_cartesian(self, spark):
         # explode + broadcast equi-join: linear in tokens; a crossJoin here
-        # would be O(docs x terms x doc_len) — a 100 TB scale-killer
-        df = QUERIES["q53_term_text_stats"](spark, SF)
-        p = plan_of(df)
+        # would be O(docs x terms x doc_len) — a 100 TB scale-killer.
+        # Asserted on the OPERATOR's own plan: the full q53 plan now
+        # legitimately carries one BroadcastNestedLoopJoin (lm_score's
+        # 1-row vocab-scalar broadcast — Catalyst folds any constant
+        # equi-key away, so a scalar cross join can't plan as BHJ).
+        from ssis_to_pyspark_agent_spark.operators import get_operator
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        terms = spark.createDataFrame(
+            [("data",), ("query",), ("stream",)], "term string"
+        )
+        out = get_operator("term_lookup")(
+            spark, [docs, terms], {"text_col": "text", "term_col": "term"}, {}
+        )
+        p = plan_of(out)
         assert "BroadcastHashJoin" in p
         assert "BroadcastNestedLoopJoin" not in p
         assert "CartesianProduct" not in p
+        # full-query guard: a real cartesian is still forbidden, and the
+        # only tolerated BNLJ build side is the 1-row scalar
+        pq = plan_of(QUERIES["q53_term_text_stats"](spark, SF))
+        assert "CartesianProduct" not in pq
+        assert pq.count("BroadcastNestedLoopJoin") <= 1
 
     def test_semi_anti_strategies(self, spark):
         both = QUERIES["q06_join_semi_anti"](spark, SF)
