@@ -424,17 +424,24 @@ def _propagate_labels(
     # different labels can land on different sides) — fail fast instead.
     raise ValueError(
         f"label propagation did not converge within max_rounds="
-        f"{max_rounds}: a near-dup component has a longer chain "
-        f"diameter. Raise max_rounds (rounds needed ~= the longest "
-        f"pair-chain length), or use cc_impl='auto'/'star'."
+        f"{max_rounds}: a near-dup component has a chain diameter "
+        f"above that. Raise max_rounds to >= the component diameter "
+        f"(longest pair-chain hops; the quiet confirmation round is "
+        f"free), or use cc_impl='auto'/'star'."
     )
 
 
 def _lp_labels(pairs: DataFrame, max_rounds: int):
     """Min-label propagation: each round every node adopts the smallest
-    label in its neighborhood; <= diameter+1 rounds. Returns
-    (labels, converged) — the caller decides whether a non-converged
-    run falls back (auto) or fails (lp)."""
+    label in its neighborhood; labels complete in <= diameter rounds.
+    ``max_rounds`` bounds the UPDATING rounds — convergence can only be
+    observed by one further quiet round, so the loop runs max_rounds+1
+    times and a component of diameter exactly max_rounds still
+    converges (a review pass caught the boundary: labels complete on
+    the last allowed round read as "not converged", spuriously failing
+    'lp' and making 'auto' redo finished work in star contraction).
+    Returns (labels, converged) — the caller decides whether a
+    non-converged run falls back (auto) or fails (lp)."""
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
@@ -446,7 +453,7 @@ def _lp_labels(pairs: DataFrame, max_rounds: int):
     ).localCheckpoint()
 
     changed = 0
-    for _ in range(max_rounds):
+    for _ in range(max_rounds + 1):
         neighbor_min = (
             edges.join(labels, "x")
             .select(F.col("y").alias("x"), "comp")
@@ -617,10 +624,16 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
         head = F.regexp_replace(head, r"^(https://.*):443$", "$1")
     if config.get("strip_www", True):
         head = F.regexp_replace(head, r"^(https?://)www\.", "$1")
-    if config.get("strip_fragment", True):
-        tail = F.regexp_replace(tail, r"#.*$", "")
+    # path/query stop at '#' regardless — the fragment is carried as its
+    # own piece so strip_fragment=False genuinely preserves it (a review
+    # pass caught the first cut silently dropping it in both modes)
     path = F.regexp_extract(tail, r"^([^?#]*)", 1)
     query = F.regexp_extract(tail, r"^[^?#]*\?([^#]*)", 1)
+    frag = (
+        F.lit("")
+        if config.get("strip_fragment", True)
+        else F.regexp_extract(tail, r"(#.*)$", 1)
+    )
 
     def _is_tracking(p: Column) -> Column:
         name = F.regexp_extract(p, r"^([^=]*)", 1)
@@ -638,7 +651,7 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
     canon = F.when(u.isNull(), F.lit(None).cast("string")).otherwise(
-        F.concat(head, path, qstr)
+        F.concat(head, path, qstr, frag)
     )
 
     out = df.withColumn(canon_col, canon)
@@ -934,9 +947,14 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
     persisted shingle pass and picks 'df' only when the corpus is big
     AND skewed (small/uniform corpora measure the DF pass as a net
     loss); `auto_min_docs` / `auto_hot_df` tune the probe, explicit
-    'hash'/'df' override it. The effective order is recorded in
-    ``context['_ngram_prefix_order']`` (and, inside a pipeline, under
-    ``_ngram_prefix_order:<step>`` — the bare key is
+    'hash'/'df' override it. Probe cost caveat: the probe counts and
+    samples the RAW INPUT, which is metadata-cheap only when that input
+    is a source scan — fed from an expensive uncached subplan (joins,
+    transforms), the count and the sample each re-run that subplan
+    before the main pass; persist the input first, or pass an explicit
+    'hash'/'df' to skip the probe entirely. The effective order is
+    recorded in ``context['_ngram_prefix_order']`` (and, inside a
+    pipeline, under ``_ngram_prefix_order:<step>`` — the bare key is
     last-writer-wins)."""
     df: DataFrame = inputs[0]
     id_col, text_col = config["id_col"], config["text_col"]
@@ -1050,7 +1068,10 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             # changes, so oracles are unaffected.
             min_docs = int(config.get("auto_min_docs", 400_000))
             n_docs = df.count()
-            if n_docs < min_docs:
+            # n_docs == 0 short-circuits regardless of auto_min_docs
+            # (an auto_min_docs <= 0 config would otherwise divide by
+            # zero in the sample fraction; the pair set is empty anyway)
+            if n_docs < min_docs or n_docs == 0:
                 prefix_order = "hash"
             else:
                 frac = min(1.0, 200_000 / n_docs)

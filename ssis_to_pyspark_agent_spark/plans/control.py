@@ -148,22 +148,39 @@ class ControlFlowRunner:
         results: dict[str, TaskResult] = {}
         order = self._topo(tasks, incoming)
 
-        for name in order:
-            task = tasks[name]
-            cons = incoming[name]
-            if cons:
-                sats = [self._satisfied(e, results, context) for e in cons]
-                ok = all(sats) if task.logic == "and" else any(sats)
-                if not ok:
-                    results[name] = TaskResult(status="skipped")
-                    continue
-            results[name] = self._execute(task, context)
-            if results[name].status == "failure" and not any(
-                e.on in ("failure", "completion") for e in outgoing[name]
-            ):
-                raise ControlFlowError(
-                    f"task {name!r} failed with no failure-handling edge"
-                ) from results[name].error
+        try:
+            for name in order:
+                task = tasks[name]
+                cons = incoming[name]
+                if cons:
+                    sats = [self._satisfied(e, results, context) for e in cons]
+                    ok = all(sats) if task.logic == "and" else any(sats)
+                    if not ok:
+                        results[name] = TaskResult(status="skipped")
+                        continue
+                results[name] = self._execute(task, context)
+                if results[name].status == "failure" and not any(
+                    e.on in ("failure", "completion") for e in outgoing[name]
+                ):
+                    raise ControlFlowError(
+                        f"task {name!r} failed with no failure-handling edge"
+                    ) from results[name].error
+        finally:
+            # Operator-registered caches (e.g. a parsed conditional
+            # split's persisted route frame) are scoped to the graph run:
+            # inter-task data flows through sinks/variables, and each
+            # dataflow's eager sinks have run by the time its task
+            # returns, so nothing downstream needs the cache. Without
+            # this, every parsed package with a split leaked one
+            # session-lifetime cache per dataflow unless the CALLER dug
+            # the RunResult out (the control runner strips underscore
+            # keys from merged contexts, so '_op_persists' was otherwise
+            # unreachable). Frames returned to the caller stay valid —
+            # re-collecting them just recomputes. Idempotent with a
+            # caller's own release_caches().
+            for r in results.values():
+                if r.run is not None:
+                    r.run.release_caches()
         return results, context
 
     # -- internals -----------------------------------------------------------
@@ -305,6 +322,10 @@ class ControlFlowRunner:
             context.update(
                 {k: v for k, v in run.context.items() if not k.startswith("_")}
             )
+            # container bodies discard their RunResult — release operator
+            # caches here or a Foreach over a split-bearing pipeline
+            # leaks one per iteration (same scope rule as run())
+            run.release_caches()
             return False
 
     def _eval_scalar(self, expr: str, context: dict[str, Any]):

@@ -211,3 +211,26 @@ def test_foreach_container_propagates_handled_inner_failure(spark):
     results, _ = run_task_graph(spark, g)
     assert results["fe"].status == "failure"
     assert results["recover"].status == "success"
+
+
+def test_graph_releases_operator_caches(spark):
+    # a parsed/declared pipeline task with a conditional split persists
+    # its routed frame; the graph runner must release it when the run
+    # ends — the control runner strips underscore keys from merged
+    # contexts, so without this the cache leaked unless the CALLER dug
+    # out the inner RunResult (review finding)
+    p = Pipeline("split_pipe")
+    p.step("src", "source.dataframe", df=spark.range(10))
+    p.step("cs", "conditional_split", "src",
+           outputs={"low": "[id] < 5", "high": "[id] >= 5"},
+           persist=True)
+    p.step("rc", "row_count", "cs.low", into="LowCnt", eager=True)
+    g = TaskGraph("pkg")
+    g.task("flow", "pipeline", p)
+    results, ctx = run_task_graph(spark, g)
+    assert results["flow"].status == "success"
+    assert ctx["LowCnt"] == 5
+    run = results["flow"].run
+    assert run.context.get("_op_persists", []) == []
+    # frames stay consumable after the release (recompute, not error)
+    assert run.df("cs.low").count() == 5

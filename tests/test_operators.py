@@ -497,6 +497,16 @@ class TestSimilarity:
             id_col="doc_id", text_col="text", shingle_k=3, threshold=0.5)
         assert ctx3["_ngram_prefix_order"] == "hash"
         spark.catalog.clearCache()
+        # empty input + auto_min_docs=0 must short-circuit to 'hash',
+        # not divide by zero in the sample fraction (review finding)
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        ctx4 = {}
+        out4 = run("dedup.ngram_jaccard", spark, [empty], _context=ctx4,
+                   id_col="doc_id", text_col="text", shingle_k=3,
+                   threshold=0.5, auto_min_docs=0, return_pairs=True)
+        assert out4["out"].count() == 0 and out4["pairs"].count() == 0
+        assert ctx4["_ngram_prefix_order"] == "hash"
+        spark.catalog.clearCache()
 
     def test_embedding_verify_impls_agree(self, spark):
         """in-bucket applyInPandas verify (default for quantized LSH) and
@@ -1045,6 +1055,26 @@ class TestTextOps:
         assert out[6] is None
         assert out[7] == "https://example.com/A/b?a=1&b=2"
 
+    def test_dedup_url_keep_fragment(self, spark):
+        # strip_fragment=False must genuinely PRESERVE the fragment —
+        # the first cut dropped it in both modes because path/query
+        # extraction stopped at '#' unconditionally (review finding)
+        df = spark.createDataFrame(
+            [(1, "https://x.com/p?b=2&a=1#sec1"),
+             (2, "https://x.com/p#sec2"),
+             (3, "https://x.com/p#sec2")],
+            "id long, url string",
+        )
+        out = {r.id: r.url_canon for r in run(
+            "dedup.url", spark, [df], url_col="url", emit="canon",
+            strip_fragment=False).collect()}
+        assert out[1] == "https://x.com/p?a=1&b=2#sec1"
+        assert out[2] == "https://x.com/p#sec2"
+        kept = sorted(r.id for r in run(
+            "dedup.url", spark, [df], url_col="url", id_col="id",
+            strip_fragment=False).collect())
+        assert kept == [1, 2]  # sec1 vs sec2 stay distinct; 2,3 collide
+
     def test_dedup_url_dedup_and_flag(self, spark):
         df = spark.createDataFrame(
             [
@@ -1525,6 +1555,20 @@ class TestSampleModes:
         want = sorted((r.id, r.comp, r.side) for r in ok)
         assert sorted((r.id, r.comp, r.side) for r in via_lp) == want
         assert sorted((r.id, r.comp, r.side) for r in via_labels) == want
+
+    def test_lp_converges_at_exact_diameter_bound(self, spark):
+        # max_rounds bounds the UPDATING rounds; the quiet confirmation
+        # round is free. A 26-doc chain (diameter 25) must converge with
+        # max_rounds=25 — the first cut needed 26 because the last
+        # updating round read as "not converged" (review finding)
+        docs = spark.createDataFrame([(i,) for i in range(26)], "id long")
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(25)], "a long, b long"
+        )
+        out = run("sample.holdout", spark, [docs, chain], id_col="id",
+                  test_frac=0.5, cc_impl="lp",
+                  max_rounds=25)["out"].collect()
+        assert all(r.comp == 0 for r in out)
 
     def test_cc_max_rounds_zero_is_config_error(self, spark):
         # max_rounds=0 must be rejected up front: a zero-iteration lp
