@@ -516,3 +516,138 @@ def sample_importance(spark: SparkSession, inputs, config, context):
         F.broadcast(sel.withColumnRenamed("_id", id_col)), id_col
     )
     return {"out": out, "scores": scores.withColumnRenamed("_id", id_col)}
+
+
+def _dyadic_pow(x: Column, alpha: float, bits: int = 12) -> tuple[Column, int]:
+    """``x ** alpha`` for x >= 0 with alpha quantized to ``bits`` binary
+    fraction digits, built ONLY from IEEE-754 correctly-rounded ops
+    (sqrt and multiply) so Spark and any IEEE SQL engine produce
+    bit-identical doubles — unlike ``pow()``, which libm implementations
+    round differently in the last ulp (the reason text.lm_score embeds a
+    literal log2 table).
+
+    alpha_q = round(alpha * 2^bits) / 2^bits; the result is the product
+    of repeated square roots of x selected by alpha_q's set bits:
+    x^(1/2) * x^(1/4) * ... Returns (column, alpha_q_numerator).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("temperature alpha must be in (0, 1]")
+    num = int(alpha * (1 << bits) + 0.5)
+    if num == 0:
+        raise ValueError(f"alpha={alpha} underflows {bits} fraction bits")
+    if num == (1 << bits):
+        return x, num
+    term = x
+    acc: Column | None = None
+    for j in range(1, bits + 1):
+        term = F.sqrt(term)
+        if (num >> (bits - j)) & 1:
+            acc = term if acc is None else acc * term
+    assert acc is not None
+    return acc, num
+
+
+def _dyadic_pow_sql(x_sql: str, num: int, bits: int = 12) -> str:
+    """The SQL text mirror of `_dyadic_pow` — same op tree, same result
+    bits on any IEEE engine (used by oracle legs)."""
+    if num == (1 << bits):
+        return x_sql
+    terms = []
+    expr = x_sql
+    for j in range(1, bits + 1):
+        expr = f"sqrt({expr})"
+        if (num >> (bits - j)) & 1:
+            terms.append(expr)
+    return " * ".join(terms)
+
+
+@operator("sample.temperature")
+def sample_temperature(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Temperature-scaled domain sampling — the multilingual/multi-source
+    rebalancing step (exponentiated smoothing over source shares:
+    mBERT/XLM-R/mT5-style p_g ∝ n_g^alpha): small domains are kept at
+    higher rates, large domains downsampled, with alpha=1 proportional
+    (no change) and alpha→0 uniform.
+
+    Per group g with n_g rows: q_g = n_g^alpha (computed via
+    `_dyadic_pow`, exact across engines), quantized to
+    qi_g = floor(q_g * 1024 + 0.5) so the normalizer S = Σ qi_g is an
+    order-independent INTEGER sum; the keep rate is
+    r_g = min(1, T * qi_g / (S * n_g)) with T the row budget (``budget``
+    int, or ``budget_frac`` of the total), evaluated as a fixed
+    double-typed expression tree (every step correctly rounded ⇒
+    engine-identical). A row is kept iff
+    md5_60bit(id || salt) < r_g * 2^60 — deterministic across runs AND
+    engines, exactly re-derivable by a SQL oracle (NOTES invariant 5).
+
+    Scale shape: ONE tiny shuffle (the per-group count, map-side
+    combined), a single-task window-sum over the <=|groups| count rows
+    for S, then the rate table broadcast-joins back onto the stream —
+    the corpus itself never shuffles, so the operator is a pure filter
+    at 100 TB. NULL groups form their own group (consistent with
+    sample.balanced).
+
+    config: id_col, group_col, alpha (quantized to ``alpha_bits``
+    binary digits, default 12), budget OR budget_frac, salt,
+    rate_quant (default 1024). Output = input columns (the kept rows).
+
+    Reference has no counterpart (nearest: Percentage Sampling,
+    data_engineering_parser.py:1096) — NEW per SURVEY §2.12.
+    """
+    from pyspark.sql import Window
+
+    from ssis_to_pyspark_agent_spark.operators.dedup import _md5_60bit
+
+    df: DataFrame = inputs[0]
+    id_col, group_col = config["id_col"], config["group_col"]
+    alpha = float(config["alpha"])
+    bits = int(config.get("alpha_bits", 12))
+    rq = int(config.get("rate_quant", 1024))
+    salt = config.get("salt", "")
+    budget = config.get("budget")
+    budget_frac = config.get("budget_frac")
+    if (budget is None) == (budget_frac is None):
+        raise ValueError(
+            "sample.temperature: exactly one of budget / budget_frac required"
+        )
+    if rq <= 0:
+        raise ValueError("sample.temperature: rate_quant must be positive")
+
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    powed, _num = _dyadic_pow(F.col("_n").cast("double"), alpha, bits)
+    q = counts.select(
+        "_g", "_n", F.floor(powed * rq + F.lit(0.5)).cast("long").alias("_qi")
+    )
+    w = Window.partitionBy()  # <= |groups| rows: a single tiny task
+    q = q.select(
+        "_g",
+        "_n",
+        "_qi",
+        F.sum("_qi").over(w).alias("_s"),
+        F.sum("_n").over(w).alias("_ntot"),
+    )
+    if budget is not None:
+        t_expr = F.lit(int(budget)).cast("double")
+    else:
+        t_expr = F.floor(F.lit(float(budget_frac)) * F.col("_ntot").cast("double")).cast(
+            "double"
+        )
+    # fixed double expression tree — mirrored token-for-token by oracles
+    thr = F.least(
+        F.lit(1.0),
+        (t_expr * F.col("_qi").cast("double"))
+        / (F.col("_s").cast("double") * F.col("_n").cast("double")),
+    )
+    rates = q.select("_g", thr.alias("_thr"))
+    h = _md5_60bit(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    joined = df.join(
+        F.broadcast(rates),
+        F.col(group_col).eqNullSafe(F.col("_g")),
+        "left",
+    )
+    return (
+        joined.filter(h.cast("double") < F.col("_thr") * F.lit(float(1 << 60)))
+        .drop("_g", "_thr")
+    )

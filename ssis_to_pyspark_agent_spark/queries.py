@@ -655,9 +655,14 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash, re-derived here verbatim) — sample.balanced, per-group
     # quota capping: each source keeps its 120 rows with the smallest
     # (md5 hash, id), the exact ROW_NUMBER the oracle computes
-    # directly — AND sample.importance (DSIR, Xie et al. 2023):
+    # directly — sample.importance (DSIR, Xie et al. 2023):
     # quantized bucketed-unigram log-ratio scores vs the %19 target
-    # split, integer-exact in both engines.
+    # split, integer-exact in both engines — AND sample.temperature
+    # (mT5/XLM-R-style n^alpha domain rebalancing, alpha=0.5,
+    # budget_frac=0.4): the n^0.5 is IEEE sqrt (correctly rounded in
+    # BOTH engines, unlike pow), the normalizer is an integer sum of
+    # quantized q_g, and the keep rule is the md5-hash threshold —
+    # every double op mirrored token-for-token below.
     oracle="""
     SELECT 'mod' AS mode, o_orderkey AS key, o_orderstatus AS grp,
            0 AS replica
@@ -720,6 +725,21 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM db JOIN lam USING (b) GROUP BY db.doc_id)
       SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 200
     ) s JOIN documents r2 USING (doc_id)
+    UNION ALL
+    SELECT 'temperature', d.doc_id, d.source, 0
+    FROM documents d JOIN (
+      SELECT _g, least(1.0,
+               (CAST(floor(0.4 * CAST(ntot AS DOUBLE)) AS DOUBLE)
+                * CAST(qi AS DOUBLE))
+               / (CAST(s AS DOUBLE) * CAST(n AS DOUBLE))) AS thr
+      FROM (SELECT _g, n, qi, SUM(qi) OVER () AS s, SUM(n) OVER () AS ntot
+            FROM (SELECT source AS _g, COUNT(*) AS n,
+                         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1024
+                                    + 0.5) AS BIGINT) AS qi
+                  FROM documents GROUP BY source))
+    ) r ON d.source = r._g
+    WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS DOUBLE) < r.thr * 1152921504606846976.0
     """,
 )
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,6 +769,8 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("imp", "sample.importance", ["rawd", "tgt"],
               id_col="doc_id", text_col="text", k=200, n_buckets=4096,
               quantize=1000)
+        .step("temp", "sample.temperature", "mixp", id_col="doc_id",
+              group_col="source", alpha=0.5, budget_frac=0.4)
     )
     r = run_pipeline(spark, p)
 
@@ -770,6 +792,7 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg(r.df("bal"), "balanced", "doc_id", "source"))
         .unionByName(leg(r.df("imp.out"), "importance", "doc_id",
                          "source", "score_q"))
+        .unionByName(leg(r.df("temp"), "temperature", "doc_id", "source"))
     )
 
 

@@ -1716,6 +1716,117 @@ class TestSampleModes:
             run("sample.mixture", spark, [df], id_col="id", group_col="grp",
                 weights={"a": -1.0})
 
+    @staticmethod
+    def _temp_expected(rows_, alpha_num, bits, budget_frac, rq=1024):
+        # bit-exact Python replication of sample.temperature's math:
+        # repeated-sqrt dyadic pow (math.sqrt IS IEEE correctly-rounded),
+        # integer normalizer, fixed double expression tree, md5 threshold
+        import hashlib
+        import math
+
+        counts: dict = {}
+        for i, g in rows_:
+            counts[g] = counts.get(g, 0) + 1
+        qi = {}
+        for g, n in counts.items():
+            if alpha_num == (1 << bits):
+                p = float(n)
+            else:
+                term, acc = float(n), None
+                for j in range(1, bits + 1):
+                    term = math.sqrt(term)
+                    if (alpha_num >> (bits - j)) & 1:
+                        acc = term if acc is None else acc * term
+                p = acc
+            qi[g] = math.floor(p * rq + 0.5)
+        s, ntot = sum(qi.values()), sum(counts.values())
+        t = float(math.floor(budget_frac * float(ntot)))
+        thr = {
+            g: min(1.0, (t * float(qi[g])) / (float(s) * float(counts[g])))
+            for g in counts
+        }
+        keep = set()
+        for i, g in rows_:
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            if float(h) < thr[g] * float(1 << 60):
+                keep.add(i)
+        return keep, thr
+
+    def test_temperature_matches_python_replica_exactly(self, spark):
+        # skewed corpus: the kept SET must equal the bit-exact Python
+        # replication — this is the engine-exactness contract the q23
+        # oracle leg relies on
+        data = [(i, "big" if i < 1000 else "small") for i in range(1010)]
+        df = spark.createDataFrame(data, "doc_id long, src string")
+        out = run("sample.temperature", spark, [df], id_col="doc_id",
+                  group_col="src", alpha=0.5, budget_frac=0.4)
+        got = {r.doc_id for r in out.collect()}
+        exp, thr = self._temp_expected(data, 2048, 12, 0.4)
+        assert got == exp
+        # temperature semantics: the small domain's rate beats the big
+        # domain's (alpha < 1 flattens shares toward uniform)
+        assert thr["small"] > thr["big"]
+        assert out.columns == ["doc_id", "src"]
+
+    def test_temperature_alpha1_is_proportional(self, spark):
+        # alpha=1: qi = 1024*n exactly, so every group's rate collapses
+        # to the same T/N — uniform downsampling
+        data = [(i, f"g{i % 3}") for i in range(300)]
+        df = spark.createDataFrame(data, "doc_id long, src string")
+        out = run("sample.temperature", spark, [df], id_col="doc_id",
+                  group_col="src", alpha=1.0, budget=150)
+        got = {r.doc_id for r in out.collect()}
+        import hashlib
+
+        thr = min(1.0, (150.0 * float(100 * 1024))
+                  / (float(3 * 100 * 1024) * 100.0))
+        exp = {
+            i for i, _ in data
+            if float(int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16))
+            < thr * float(1 << 60)
+        }
+        assert got == exp
+
+    def test_temperature_dyadic_pow_mirrors_duckdb(self, spark):
+        # the SQL mirror of the dyadic pow must produce the SAME double
+        # bits DuckDB-side for a non-trivial alpha (0.7 -> 2867/4096)
+        import duckdb
+
+        from ssis_to_pyspark_agent_spark.operators.routing import (
+            _dyadic_pow,
+            _dyadic_pow_sql,
+        )
+
+        col, num = _dyadic_pow(F.col("x").cast("double"), 0.7)
+        assert num == int(0.7 * 4096 + 0.5)
+        vals = [1.0, 2.0, 1000.0, 123456789.0]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        spark_out = [r.p for r in df.select(col.alias("p")).collect()]
+        for v, sp in zip(vals, spark_out):
+            dk = duckdb.sql(
+                f"SELECT {_dyadic_pow_sql(f'CAST({v!r} AS DOUBLE)', num)}"
+            ).fetchone()[0]
+            assert sp == dk and sp == pytest.approx(v ** 0.7, rel=1e-3)
+
+    def test_temperature_null_group_and_validation(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None)], "doc_id long, src string"
+        )
+        # budget larger than N: every rate caps at 1 -> passthrough,
+        # including the NULL group (its rows must not be dropped)
+        out = run("sample.temperature", spark, [df], id_col="doc_id",
+                  group_col="src", alpha=0.5, budget=100)
+        assert {r.doc_id for r in out.collect()} == {1, 2, 3}
+        with pytest.raises(ValueError, match="exactly one"):
+            run("sample.temperature", spark, [df], id_col="doc_id",
+                group_col="src", alpha=0.5)
+        with pytest.raises(ValueError, match="exactly one"):
+            run("sample.temperature", spark, [df], id_col="doc_id",
+                group_col="src", alpha=0.5, budget=10, budget_frac=0.5)
+        with pytest.raises(ValueError, match="alpha"):
+            run("sample.temperature", spark, [df], id_col="doc_id",
+                group_col="src", alpha=0.0, budget=10)
+
 
 class TestAsofJoin:
     @pytest.fixture()
