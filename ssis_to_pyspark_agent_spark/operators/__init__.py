@@ -44,6 +44,7 @@ def list_operators() -> list[str]:
 # Import all operator modules so their @operator registrations run.
 from ssis_to_pyspark_agent_spark.operators import (  # noqa: E402,F401
     agg,
+    clustering,
     dedup,
     joins,
     joins_advanced,

@@ -1,0 +1,222 @@
+"""Embedding-space clustering (SURVEY §2.12 — LLM-pipeline scale ops).
+
+Distributed Lloyd's k-means over an embedding column. This is the
+standalone, FULL-corpus counterpart of the driver-sample
+`_kmeans_centroids` helper similarity.topk_ivf / dedup.semantic use for
+centroid seeding: every iteration assigns the whole corpus and updates
+centroids from exact per-cluster sums, the canonical k-means data-map /
+domain-discovery step in front of SemDeDup-style pipelines.
+
+All arithmetic is engine-exact (the repo's oracle discipline):
+vectors quantize to integers (Spark `round(x*quant)` == the numpy
+`_half_up` kernel, pinned by similarity.py's contract), distances are
+integer-valued squared L2, and centroid updates are exact integer
+floor-divisions — so a SQL engine replays every iteration bit-for-bit
+(the q80 oracle does, including the tie-breaks).
+
+Reference has no counterpart (nearest: Fuzzy Grouping,
+data_engineering_parser.py:1114) — NEW per SURVEY §2.12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssis_to_pyspark_agent_spark.operators import operator
+
+
+def _assign_kernel(cents, quantize: int, out_fields: list[str], vec_col: str,
+                   cluster_col: str = "cluster"):
+    """mapInPandas generator: rows -> rows + `cluster` (argmin of exact
+    integer squared-L2 against the broadcast centroid matrix, ties to the
+    LOWEST cluster id — np.argmin's first-occurrence rule).
+
+    Integer-valued float64 throughout: quantized coords are < ~2^31 and
+    squared-distance sums stay far under 2^53, so every distance is
+    EXACT and the argmin matches any integer-arithmetic replay (the SQL
+    oracle's ROW_NUMBER ORDER BY dist, cluster)."""
+    import numpy as np
+    import pandas as pd
+
+    from ssis_to_pyspark_agent_spark.operators.similarity import (
+        _half_up,
+        _vecmat,
+    )
+
+    cm = np.asarray(cents, dtype=np.float64)  # already integer-valued
+    c2 = (cm * cm).sum(axis=1)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(**{cluster_col: pd.Series([], dtype="int32")})
+                continue
+            vq = _half_up(_vecmat(pdf[vec_col]), quantize)
+            d2 = (vq * vq).sum(axis=1)[:, None] - 2.0 * (vq @ cm.T) + c2[None, :]
+            pdf = pdf.copy()
+            pdf[cluster_col] = np.argmin(d2, axis=1).astype("int32")
+            yield pdf[out_fields]
+
+    return gen
+
+
+def _update_kernel(cents):
+    """mapInPandas generator for the Lloyd's update step: assign each
+    batch row to its nearest centroid (same exact integer argmin as
+    `_assign_kernel`) and emit PER-BATCH partial sums
+    (cluster, dim, s, n) — at most k*d rows per batch. The `_vq` ints
+    arrive pre-quantized (JVM `round`), so `_half_up` never reruns here;
+    float64 accumulation is exact while |s| < 2^53, which a single batch
+    (<= ~10k rows x quant-scaled coords) cannot exceed; the cross-batch
+    sum then rides Spark's exact BIGINT aggregation."""
+    import numpy as np
+    import pandas as pd
+
+    cm = np.asarray(cents, dtype=np.float64)
+    c2 = (cm * cm).sum(axis=1)
+    k, d = cm.shape
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            from ssis_to_pyspark_agent_spark.operators.similarity import (
+                _vecmat,
+            )
+
+            vq = _vecmat(pdf["_vq"])  # already integer-valued
+            d2 = (vq * vq).sum(axis=1)[:, None] - 2.0 * (vq @ cm.T) + c2[None, :]
+            lab = np.argmin(d2, axis=1)
+            n = np.bincount(lab, minlength=k)
+            present = np.flatnonzero(n)
+            sums = np.zeros((len(present), d), dtype=np.float64)
+            for row, c in enumerate(present):
+                sums[row] = vq[lab == c].sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(present, d).astype("int32"),
+                    "dim": np.tile(np.arange(d), len(present)).astype("int32"),
+                    "s": sums.reshape(-1).astype("int64"),
+                    "n": np.repeat(n[present], d).astype("int64"),
+                }
+            )
+
+    return gen
+
+
+@operator("cluster.kmeans")
+def cluster_kmeans(spark: SparkSession, inputs, config, context):
+    """Distributed Lloyd's k-means (MacQueen 1967 / Lloyd 1982, public)
+    over ``vec_col``, engine-exact and fully deterministic:
+
+    - **seed**: the ``k`` rows with the smallest (md5_60bit(id), id) —
+      the repo's engine-neutral seeding idiom (NOTES invariant 5);
+      their quantized vectors are the initial integer centroids.
+    - **assign**: one numpy matmul per Arrow batch against the k x d
+      centroid matrix (broadcast as a task constant — k*d ints); exact
+      integer squared-L2, ties to the lowest cluster id.
+    - **update**: per-(cluster, dim) integer sums via posexplode with
+      map-side partial aggregation — the shuffle carries at most
+      k * d * partitions rows, never the corpus — then exact integer
+      floor-division sum // count on the driver (k*d scalars). A cluster
+      that loses every member keeps its previous centroid.
+
+    ``n_iter`` assignment passes + 1 final labeling pass. The quantized
+    frame is persisted for the iteration loop and RELEASED before
+    returning (NOTES invariant 13) — the lazy output recomputes the
+    cheap narrow quantization.
+
+    Driver state is k x d integers per iteration — the same bounded
+    collect contract as similarity's centroid helpers; at 100 TB the
+    corpus only ever streams through narrow passes and one tiny
+    partial-aggregated shuffle per iteration.
+
+    config: id_col, vec_col, k, n_iter (default 5), quantize (default
+    10000), cluster_col (default 'cluster').
+    Ports: 'out' (input columns + cluster), 'centroids'
+    (cluster int, dim int, val long).
+    """
+    from ssis_to_pyspark_agent_spark.operators.dedup import _md5_60bit
+
+    df: DataFrame = inputs[0]
+    id_col, vec_col = config["id_col"], config["vec_col"]
+    k = int(config["k"])
+    n_iter = int(config.get("n_iter", 5))
+    quantize = int(config.get("quantize", 10_000))
+    cluster_col = config.get("cluster_col", "cluster")
+    if k <= 0 or n_iter < 0 or quantize <= 0:
+        raise ValueError("cluster.kmeans: k, quantize must be > 0; n_iter >= 0")
+    if cluster_col in df.columns:
+        raise ValueError(
+            f"cluster.kmeans: output column {cluster_col!r} already exists"
+        )
+
+    # JVM-side quantization: the SAME ints `_half_up` produces in the
+    # kernel (similarity.py's pinned contract)
+    vq_expr = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * quantize).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("_id"), vq_expr.alias("_vq"))
+
+    seeds = (
+        base.orderBy(_md5_60bit(F.col("_id").cast("string")), F.col("_id"))
+        .limit(k)
+        .collect()
+    )
+    if not seeds:
+        out = df.withColumn(cluster_col, F.lit(None).cast("int"))
+        cents_df = spark.createDataFrame([], "cluster int, dim int, val long")
+        return {"out": out, "centroids": cents_df}
+    if len(seeds) < k:
+        raise ValueError(
+            f"cluster.kmeans: k={k} exceeds the {len(seeds)}-row corpus"
+        )
+    cents = [list(r["_vq"]) for r in seeds]
+    dim = len(cents[0])
+
+    # cache only the quantized vectors — ids are needed by the seeding
+    # pass (above, pre-persist) and the final labeling (original df),
+    # never by the iteration loop (NOTES invariant 10: pre-project
+    # before a persist so the cached relation is narrow)
+    cached = base.select("_vq").persist()
+    try:
+        for _ in range(n_iter):
+            # the kernel assigns AND partial-aggregates per batch: it
+            # emits (cluster, dim, s, n) sums — k*d rows per batch, not
+            # the corpus — so neither the vectors nor a posexploded
+            # (row x dim) stream ever crosses Arrow back out of Python,
+            # and the shuffle carries k*d*batches pre-combined rows
+            # (measured 41.4s -> see PLANS.md at 500k x 64 x k=64).
+            # Integer sums are order-independent, so the result is
+            # bit-identical to the naive formulation.
+            gen = _update_kernel(cents)
+            upd = (
+                cached.mapInPandas(
+                    gen, schema="cluster int, dim int, s long, n long"
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
+            new = [list(c) for c in cents]  # empty cluster keeps its centroid
+            for r in upd:
+                new[r["cluster"]][r["dim"]] = r["s"] // r["n"]
+            cents = new
+    finally:
+        cached.unpersist()
+
+    # final labeling pass over the ORIGINAL columns (lazy; narrow)
+    out_fields = df.columns + [cluster_col]
+    gen = _assign_kernel(cents, quantize, out_fields, vec_col, cluster_col)
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{cluster_col} int"]
+    )
+    out = df.mapInPandas(gen, schema=out_schema)
+    cents_df = spark.createDataFrame(
+        [(c, d, int(cents[c][d])) for c in range(k) for d in range(dim)],
+        "cluster int, dim int, val long",
+    )
+    return {"out": out, "centroids": cents_df}

@@ -3725,3 +3725,100 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Embedding clustering (§2.12 — cluster.kmeans)
+# ---------------------------------------------------------------------------
+
+_Q80_HASH = "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+def _q80_oracle(k: int, n_iter: int, quantize: int, dims: int) -> str:
+    """The SQL replay of cluster.kmeans: quantize, md5-seed, then n_iter
+    (assign via exact integer squared-L2 argmin with ties to the lowest
+    cluster, update via exact integer floor-division — DuckDB's // 
+    TRUNCATES on negatives, so the non-negative-remainder idiom
+    (s - ((s%n + n) % n)) // n re-derives Python's floor) and one final
+    assignment. Built programmatically because the iteration chain is
+    mechanical; every op is integer-exact so the chain is bit-stable."""
+    ctes = [
+        f"""vq AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * {quantize}) AS BIGINT)) AS q
+            FROM embeddings)""",
+        f"""seeds AS (SELECT q, ROW_NUMBER() OVER (ORDER BY {_Q80_HASH},
+                   vec_id) - 1 AS cluster
+          FROM vq ORDER BY {_Q80_HASH}, vec_id LIMIT {k})""",
+        f"""c0 AS (SELECT cluster, d.d AS dim, q[d.d + 1] AS val
+          FROM seeds, range({dims}) d(d))""",
+    ]
+    prev = "c0"
+    for i in range(1, n_iter + 2):
+        final = i == n_iter + 1
+        ctes.append(
+            f"""d{i} AS (SELECT v.vec_id, c.cluster,
+              SUM((v.q[c.dim + 1] - c.val) * (v.q[c.dim + 1] - c.val)) AS dist
+          FROM vq v, {prev} c GROUP BY v.vec_id, c.cluster)"""
+        )
+        ctes.append(
+            f"""a{i} AS (SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+            FROM d{i}) WHERE rk = 1)"""
+        )
+        if final:
+            break
+        ctes.append(
+            f"""u{i} AS (SELECT a{i}.cluster, d.d AS dim,
+              SUM(v.q[d.d + 1]) AS s, COUNT(*) AS n
+          FROM a{i} JOIN vq v USING (vec_id), range({dims}) d(d)
+          GROUP BY a{i}.cluster, d.d)""",
+        )
+        ctes.append(
+            f"""c{i} AS (SELECT p.cluster, p.dim,
+              COALESCE((u.s - ((u.s % u.n + u.n) % u.n)) // u.n, p.val) AS val
+          FROM {prev} p LEFT JOIN u{i} u
+            ON p.cluster = u.cluster AND p.dim = u.dim)"""
+        )
+        prev = f"c{i}"
+    last_a = f"a{n_iter + 1}"
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT 'assign' AS mode, vec_id AS a, CAST(cluster AS BIGINT) AS b,
+           CAST(0 AS BIGINT) AS v
+    FROM {last_a}
+    UNION ALL
+    SELECT 'centroid', CAST(cluster AS BIGINT), CAST(dim AS BIGINT),
+           CAST(val AS BIGINT)
+    FROM {prev}"""
+    )
+
+
+@query(
+    "q80_embedding_kmeans",
+    # Distributed Lloyd's over the 64-dim embedding corpus: md5-ordered
+    # seeding, 2 full assign/update iterations, final labeling — checked
+    # row-for-row (every assignment AND every centroid coordinate)
+    # against the oracle's iterative CTE replay. Engine-exact because
+    # the operator does everything in quantized integers.
+    oracle=_q80_oracle(k=4, n_iter=2, quantize=10000, dims=64),
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _p("q80", sf_dir, "embeddings")
+        .step("km", "cluster.kmeans", "embeddings", id_col="vec_id",
+              vec_col="embedding", k=4, n_iter=2, quantize=10000)
+    )
+    r = run_pipeline(spark, p)
+    assign = r.df("km.out").select(
+        F.lit("assign").alias("mode"),
+        F.col("vec_id").alias("a"),
+        F.col("cluster").cast("long").alias("b"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    cents = r.df("km.centroids").select(
+        F.lit("centroid").alias("mode"),
+        F.col("cluster").cast("long").alias("a"),
+        F.col("dim").cast("long").alias("b"),
+        F.col("val").alias("v"),
+    )
+    return assign.unionByName(cents)

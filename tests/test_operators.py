@@ -2543,3 +2543,147 @@ def test_percentile_approx_accuracy_argument(spark):
     }).first()
     assert 400 < out["pa"] < 600
     assert len(out["pa_arr"]) == 2
+
+
+class TestClusterKmeans:
+    @staticmethod
+    def _py_kmeans(data, k, n_iter, quantize):
+        # bit-exact Python replication of cluster.kmeans: half-up
+        # quantization, md5-ordered seeding, exact int squared-L2 argmin
+        # (tie -> lowest cluster), exact floor-div centroid update
+        import hashlib
+        import math
+
+        def q(v):
+            return [
+                math.floor(x * quantize + 0.5)
+                if x >= 0 else math.ceil(x * quantize - 0.5)
+                for x in v
+            ]
+
+        vq = {i: q(v) for i, v in data}
+        order = sorted(
+            vq, key=lambda i: (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i)
+        )
+        cents = [list(vq[i]) for i in order[:k]]
+
+        def assign():
+            lab = {}
+            for i, v in vq.items():
+                dists = [
+                    sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents
+                ]
+                lab[i] = dists.index(min(dists))
+                # Python's list.index == first occurrence == np.argmin
+            return lab
+
+        for _ in range(n_iter):
+            lab = assign()
+            sums: dict = {}
+            cnt: dict = {}
+            for i, c in lab.items():
+                cnt[c] = cnt.get(c, 0) + 1
+                s = sums.setdefault(c, [0] * len(vq[i]))
+                for d, x in enumerate(vq[i]):
+                    s[d] += x
+            for c in range(k):
+                if c in cnt:
+                    cents[c] = [s // cnt[c] for s in sums[c]]
+        return assign(), cents
+
+    def test_kmeans_matches_python_replica_exactly(self, spark):
+        import random
+
+        rng = random.Random(7)
+        blobs = [(-1.0, -1.0), (1.0, 1.0), (1.0, -1.0)]
+        data = [
+            (i, [bx + rng.uniform(-0.3, 0.3), by + rng.uniform(-0.3, 0.3),
+                 rng.uniform(-0.1, 0.1)])
+            for i in range(90)
+            for bx, by in [blobs[i % 3]]
+        ]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in data],
+            "vec_id long, embedding array<float>",
+        )
+        # float32 storage: replicate through the stored float values
+        stored = [(r.vec_id, list(r.embedding)) for r in df.collect()]
+        res = run("cluster.kmeans", spark, [df], id_col="vec_id",
+                  vec_col="embedding", k=3, n_iter=3, quantize=1000)
+        got = {r.vec_id: r.cluster for r in res["out"].collect()}
+        exp_lab, exp_cents = self._py_kmeans(stored, 3, 3, 1000)
+        assert got == exp_lab
+        got_c = {(r.cluster, r.dim): r.val for r in res["centroids"].collect()}
+        exp_c = {
+            (c, d): exp_cents[c][d]
+            for c in range(3) for d in range(3)
+        }
+        assert got_c == exp_c
+        # structure: multiple clusters in use, and no two DIFFERENT blobs
+        # share a majority label (seeding may split one blob — that's
+        # Lloyd's with random seeds, not a bug; the replica equality
+        # above is the real contract)
+        from collections import Counter
+
+        maj = {
+            b: Counter(got[i] for i, _ in data if i % 3 == b).most_common(1)[0][0]
+            for b in range(3)
+        }
+        assert len(set(got.values())) >= 2
+        assert len(set(maj.values())) >= 2
+
+    def test_kmeans_deterministic_and_out_schema(self, spark):
+        df = spark.createDataFrame(
+            [(i, [float(i % 5), float(i % 7)]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        r1 = run("cluster.kmeans", spark, [df], id_col="vec_id",
+                 vec_col="embedding", k=4, n_iter=2)
+        r2 = run("cluster.kmeans", spark, [df], id_col="vec_id",
+                 vec_col="embedding", k=4, n_iter=2)
+        a1 = sorted((r.vec_id, r.cluster) for r in r1["out"].collect())
+        a2 = sorted((r.vec_id, r.cluster) for r in r2["out"].collect())
+        assert a1 == a2
+        assert r1["out"].columns == ["vec_id", "embedding", "cluster"]
+
+    def test_kmeans_empty_cluster_keeps_centroid(self, spark):
+        # two seed rows identical -> one cluster immediately starves;
+        # its centroid must survive (not crash / NaN) and stay unused
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [10.0, 10.0])],
+            "vec_id long, embedding array<float>",
+        )
+        res = run("cluster.kmeans", spark, [df], id_col="vec_id",
+                  vec_col="embedding", k=3, n_iter=4)
+        labs = {r.vec_id: r.cluster for r in res["out"].collect()}
+        assert labs[1] == labs[2] != labs[3]
+        assert res["centroids"].count() == 6  # 3 clusters x 2 dims
+
+    def test_kmeans_validation_and_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="exceeds"):
+            run("cluster.kmeans", spark, [df], id_col="vec_id",
+                vec_col="embedding", k=5)
+        with pytest.raises(ValueError, match="already exists"):
+            run("cluster.kmeans", spark, [df], id_col="vec_id",
+                vec_col="embedding", k=1, cluster_col="embedding")
+        empty = df.filter(F.lit(False))
+        res = run("cluster.kmeans", spark, [empty], id_col="vec_id",
+                  vec_col="embedding", k=2)
+        assert res["out"].count() == 0 and res["centroids"].count() == 0
+
+    def test_kmeans_releases_its_cache(self, spark):
+        # the iteration-loop persist must NOT outlive the operator
+        # (NOTES invariant 13)
+        df = spark.createDataFrame(
+            [(i, [float(i)]) for i in range(20)],
+            "vec_id long, embedding array<float>",
+        )
+        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        run("cluster.kmeans", spark, [df], id_col="vec_id",
+            vec_col="embedding", k=2, n_iter=2)
+        after = len(spark.sparkContext._jsc.getPersistentRDDs())
+        assert after == before

@@ -1357,6 +1357,43 @@ def probe_adversarial(spark, n_docs=1_000_000, only=None):
     docs.unpersist()
 
 
+def probe_kmeans(spark, n_vec=500_000, dim=64, k=64, n_iter=3):
+    """cluster.kmeans at 500k x 64-dim / k=64 / 3 Lloyd's iterations.
+    Cost model per iteration: one narrow mapInPandas assignment pass
+    (numpy matmul, n x k x 8B distances per batch) + one
+    partial-aggregated (cluster, dim) shuffle bounded by
+    k * dim * partitions rows. Per-iteration time should be FLAT (no
+    state growth); also prints docs/s for the whole fit+label."""
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 1000) / 500.0 - 1.0)
+        .cast("float"),
+    )
+    docs = spark.range(n_vec).repartition(32).select(
+        F.col("id").alias("vid"), vec.alias("v")
+    ).persist()
+    docs.count()
+    t0 = time.perf_counter()
+    res = get_operator("cluster.kmeans")(
+        spark, [docs],
+        {"id_col": "vid", "vec_col": "v", "k": k, "n_iter": n_iter,
+         "quantize": 10000},
+        {},
+    )
+    fit = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    sizes = res["out"].groupBy("cluster").count().collect()
+    label = time.perf_counter() - t1
+    occ = sorted(r["count"] for r in sizes)
+    print(
+        f"PROBE kmeans: n={n_vec} dim={dim} k={k} iters={n_iter} "
+        f"fit={fit:.1f}s label+count={label:.1f}s "
+        f"({n_vec/(fit+label):,.0f} vec/s) clusters_used={len(occ)} "
+        f"occupancy min/med/max={occ[0]}/{occ[len(occ)//2]}/{occ[-1]}"
+    )
+    docs.unpersist()
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(
@@ -1413,6 +1450,8 @@ def main():
         probe_cc(spark)
     if which in ("importance", "all"):
         probe_importance(spark)
+    if which in ("kmeans", "all"):
+        probe_kmeans(spark)
 
 
 if __name__ == "__main__":
