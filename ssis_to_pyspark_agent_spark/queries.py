@@ -3822,3 +3822,214 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val").alias("v"),
     )
     return assign.unionByName(cents)
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel (§2.12 — sequential composition)
+# ---------------------------------------------------------------------------
+
+_Q81_TOK = "len(regexp_extract_all(trim(text), '\\S+'))"
+
+
+@query(
+    "q81_curation_funnel",
+    # A RefinedWeb/FineWeb-shaped curation CASCADE — unlike q44's
+    # parallel hygiene legs, each stage here consumes the PREVIOUS
+    # stage's survivors, so the oracle must replay the whole funnel:
+    #   s0 raw -> s1 URL-canonicalize+dedup -> s2 language gate
+    #   (lang_pred = 'en') -> s3 quality gate (stopword_ratio > 0.04
+    #   AND n_words >= 25) -> s4 exact-text dedup (keep-first by id)
+    #   -> s5 temperature resample (n^0.5 source shares, 60% budget).
+    # Output = the funnel report every curation run ships: per-stage
+    # surviving docs + whitespace tokens, then the final per-source mix.
+    # Any stage computing the wrong survivor set corrupts every later
+    # count — the composition itself is what's under test.
+    oracle=f"""
+    WITH d0 AS (SELECT doc_id, text, source, {_Q81_TOK} AS tok FROM (
+                  SELECT doc_id, text, source FROM documents
+                  UNION ALL
+                  SELECT doc_id + 10007, text, source FROM documents
+                  WHERE doc_id % 40 = 3) u),
+    urw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+             (CASE WHEN doc_id % 2 = 0 THEN 'Example.COM'
+                   ELSE 'example.com' END) ||
+             (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+             '/' || source || '/p' || CAST(doc_id % 50 AS VARCHAR) ||
+             (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=feed'
+                   ELSE '?a=1&b=2&fbclid=abc' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END) AS url
+      FROM d0),
+    urh AS (
+      SELECT doc_id, trim(url) AS u,
+             regexp_extract(trim(url), '^([^:/?#]+://[^/?#]*)', 1) AS head
+      FROM urw),
+    urh2 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(lower(head),
+               '^(http://.*):80$', '\\1'), '^(https://.*):443$', '\\1'),
+               '^(https?://)www\\.', '\\1') AS head,
+             regexp_replace(substr(u, length(head) + 1), '#.*$', '') AS tail
+      FROM urh),
+    urp AS (
+      SELECT doc_id, head, tail,
+             list_sort(list_filter(
+               string_split(regexp_extract(tail, '^[^?#]*\\?([^#]*)', 1), '&'),
+               p -> p <> '' AND NOT (
+                 regexp_extract(p, '^([^=]*)', 1)
+                   IN ('fbclid', 'gclid', 'msclkid', 'ref')
+                 OR starts_with(regexp_extract(p, '^([^=]*)', 1), 'utm_'))))
+               AS prm
+      FROM urh2),
+    urc AS (
+      SELECT doc_id,
+             head || regexp_extract(tail, '^([^?#]*)', 1) ||
+             (CASE WHEN len(prm) > 0 THEN '?' || array_to_string(prm, '&')
+                   ELSE '' END) AS url_canon
+      FROM urp),
+    s1 AS (
+      SELECT d0.* FROM d0 JOIN (
+        SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY url_canon)
+                 AS keepf
+        FROM urc) k USING (doc_id)
+      WHERE k.keepf),
+    lbase AS (SELECT doc_id, {_WORDS_SQL} AS words FROM s1),
+    lscored AS (
+      SELECT doc_id, lang,
+             CAST(hits AS DOUBLE) / GREATEST(len(words), 1) AS score
+      FROM lbase, LATERAL (VALUES
+        {", ".join(f"('{lg}', len(list_filter(words, w -> list_contains({sw}, w))))" for lg, sw in _LANGS_SQL.items())}
+      ) t(lang, hits)),
+    lbest AS (
+      SELECT doc_id, lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+      FROM lscored),
+    s2 AS (
+      SELECT s1.* FROM s1 JOIN lbest b USING (doc_id)
+      WHERE b.rn = 1 AND b.score > 0 AND b.lang = 'en'),
+    qual AS (
+      SELECT doc_id, {_WORDS_SQL} AS words FROM s2),
+    s3 AS (
+      SELECT s2.* FROM s2 JOIN (
+        SELECT doc_id,
+               len(words) AS n_words,
+               CAST(len(list_filter(words, w -> list_contains({_EN_SW}, w)))
+                    AS DOUBLE) / GREATEST(len(words), 1) AS stopword_ratio
+        FROM qual) q USING (doc_id)
+      WHERE q.stopword_ratio > 0.04 AND q.n_words >= 25),
+    s4 AS (
+      SELECT * FROM (
+        SELECT s3.*, ROW_NUMBER() OVER (PARTITION BY text
+                                        ORDER BY doc_id) AS rk
+        FROM s3) WHERE rk = 1),
+    tcnt AS (SELECT source AS _g, COUNT(*) AS n FROM s4 GROUP BY source),
+    tq AS (SELECT _g, n,
+                  CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1024 + 0.5) AS BIGINT)
+                    AS qi
+           FROM tcnt),
+    tr AS (SELECT _g, least(1.0,
+               (CAST(floor(0.6 * CAST(ntot AS DOUBLE)) AS DOUBLE)
+                * CAST(qi AS DOUBLE))
+               / (CAST(s AS DOUBLE) * CAST(n AS DOUBLE))) AS thr
+           FROM (SELECT _g, n, qi, SUM(qi) OVER () AS s,
+                        SUM(n) OVER () AS ntot FROM tq)),
+    s5 AS (
+      SELECT s4.* FROM s4 JOIN tr ON s4.source = tr._g
+      WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) AS DOUBLE) < tr.thr * 1152921504606846976.0)
+    SELECT 'stage' AS kind, 's0_raw' AS key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(tok), 0) AS BIGINT) AS tok FROM d0
+    UNION ALL SELECT 'stage', 's1_url', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(tok), 0) AS BIGINT) FROM s1
+    UNION ALL SELECT 'stage', 's2_lang', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(tok), 0) AS BIGINT) FROM s2
+    UNION ALL SELECT 'stage', 's3_quality', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(tok), 0) AS BIGINT) FROM s3
+    UNION ALL SELECT 'stage', 's4_exact', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(tok), 0) AS BIGINT) FROM s4
+    UNION ALL SELECT 'stage', 's5_temperature', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(tok), 0) AS BIGINT) FROM s5
+    UNION ALL
+    SELECT 'by_source', source, CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(tok), 0) AS BIGINT)
+    FROM s5 GROUP BY source
+    """,
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _p("q81", sf_dir, "documents")
+        # plant exact-dup clones with FRESH ids (+10007 keeps them off
+        # every url residue class, so they reach s4 and must be caught
+        # by the exact-text stage — without them the synthetic corpus
+        # has zero exact dups and s4 would be an unexercised pass)
+        .step("base", "select", "documents",
+              columns=["doc_id", "text", "source"])
+        .step("cl0", "filter", "base", predicate="[doc_id] % 40 == 3")
+        .step("cl1", "derived_column", "cl0",
+              columns={"doc_id2": "[doc_id] + 10007"})
+        .step("cl2", "select", "cl1",
+              columns={"doc_id": "doc_id2", "text": "text",
+                       "source": "source"})
+        .step("d0", "union_all", ["base", "cl2"])
+        .step("tok", "text.token_count", "d0", text_col="text")
+        .step("uw", "derived_column", "tok", columns={
+            "url": F.concat(
+                F.when(F.col("doc_id") % 2 == 0, F.lit("https://"))
+                 .otherwise(F.lit("HTTPS://")),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+                 .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("Example.COM"))
+                 .otherwise(F.lit("example.com")),
+                F.when(F.col("doc_id") % 4 == 0, F.lit(":443"))
+                 .otherwise(F.lit("")),
+                F.lit("/"), F.col("source"), F.lit("/p"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.lit("?b=2&a=1&utm_source=feed"))
+                 .otherwise(F.lit("?a=1&b=2&fbclid=abc")),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("#sec2"))
+                 .otherwise(F.lit("")),
+            )
+        })
+        .step("ud", "dedup.url", "uw", url_col="url", id_col="doc_id",
+              emit="flag")
+        .step("s1", "filter", "ud", predicate="[url_keep]")
+        .step("lid", "text.lang_id", "s1", text_col="text")
+        .step("s2", "filter", "lid", predicate='[lang_pred] == "en"')
+        .step("ql", "text.quality", "s2", text_col="text")
+        .step("s3", "filter", "ql",
+              predicate="[stopword_ratio] > 0.04 && [n_words] >= 25")
+        .step("s4", "dedup.exact", "s3", columns=["text"],
+              keep_by=["doc_id"])
+        .step("s5", "sample.temperature", "s4", id_col="doc_id",
+              group_col="source", alpha=0.5, budget_frac=0.6)
+    )
+    r = run_pipeline(spark, p)
+
+    def stage(step: str, key: str) -> DataFrame:
+        return r.df(step).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("ws_tokens"), F.lit(0)).cast("long").alias("tok"),
+        ).select(F.lit("stage").alias("kind"), F.lit(key).alias("key"),
+                 "n", "tok")
+
+    out = (
+        stage("tok", "s0_raw")
+        .unionByName(stage("s1", "s1_url"))
+        .unionByName(stage("s2", "s2_lang"))
+        .unionByName(stage("s3", "s3_quality"))
+        .unionByName(stage("s4", "s4_exact"))
+        .unionByName(stage("s5", "s5_temperature"))
+        .unionByName(
+            r.df("s5").groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.coalesce(F.sum("ws_tokens"), F.lit(0)).cast("long")
+                 .alias("tok"),
+            ).select(F.lit("by_source").alias("kind"),
+                     F.col("source").alias("key"), "n", "tok")
+        )
+    )
+    return out
