@@ -220,3 +220,115 @@ def cluster_kmeans(spark: SparkSession, inputs, config, context):
         "cluster int, dim int, val long",
     )
     return {"out": out, "centroids": cents_df}
+
+
+@operator("cluster.prune")
+def cluster_prune(spark: SparkSession, inputs, config, context):
+    """Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws: beating power law scaling via data pruning",
+    public): rank every example by its distance to its cluster centroid
+    and drop a per-cluster fraction — ``keep='hard'`` (the paper's
+    headline setting for large corpora) drops the CLOSEST-to-centroid
+    (most prototypical / redundant) examples, ``keep='easy'`` drops the
+    farthest (outlier removal for noisy corpora).
+
+    inputs: [assigned, centroids] — the two ports cluster.kmeans emits
+    ('out' with the cluster column; 'centroids' as (cluster, dim, val)).
+    Distances are exact integer squared-L2 on the same quantized grid
+    (``quantize`` must match the kmeans run), ranks are total-ordered by
+    (dist, id), and the per-cluster drop count is floor(prune_frac * n)
+    — so a SQL oracle replays the kept set exactly.
+
+    Scale shape: centroids collect k*d ints (bounded); distances ride a
+    narrow mapInPandas pass; cluster sizes are one partial-aggregated
+    count; the rank is a window PARTITIONED BY CLUSTER — occupancy is
+    corpus/k on a balanced clustering, so granularity is the operator's
+    scale contract (same as dedup.semantic's cluster_cap: cluster more
+    finely rather than ranking a mega-partition; NOTES invariant 17
+    applies to HOT-KEY windows, which a k-means cluster is not once k
+    scales with the corpus).
+
+    config: id_col, vec_col, cluster_col (default 'cluster'),
+    prune_frac in [0, 1), keep ('hard'|'easy'), quantize (default
+    10000). Ports: 'out' (kept rows + dist), 'scores'
+    ((id, cluster, dist) for every row).
+
+    Reference has no counterpart (nearest: Percentage Sampling,
+    data_engineering_parser.py:1096) — NEW per SURVEY §2.12.
+    """
+    from pyspark.sql import Window
+
+    df: DataFrame = inputs[0]
+    cents_df: DataFrame = inputs[1]
+    id_col, vec_col = config["id_col"], config["vec_col"]
+    cluster_col = config.get("cluster_col", "cluster")
+    frac = float(config["prune_frac"])
+    keep = config.get("keep", "hard")
+    quantize = int(config.get("quantize", 10_000))
+    if not 0.0 <= frac < 1.0:
+        raise ValueError(f"prune_frac must be in [0, 1), got {frac}")
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"keep must be 'hard' or 'easy', got {keep!r}")
+    if cluster_col not in df.columns:
+        raise ValueError(
+            f"cluster.prune: input lacks cluster column {cluster_col!r} "
+            "(wire cluster.kmeans' 'out' port)"
+        )
+
+    rows = cents_df.collect()  # bounded: k * dim ints
+    if not rows:
+        raise ValueError("cluster.prune: empty centroid input")
+    k = max(r["cluster"] for r in rows) + 1
+    dim = max(r["dim"] for r in rows) + 1
+    cents = [[0] * dim for _ in range(k)]
+    for r in rows:
+        cents[r["cluster"]][r["dim"]] = r["val"]
+
+    import numpy as np
+    import pandas as pd
+
+    cm = np.asarray(cents, dtype=np.float64)
+    out_fields = df.columns + ["dist"]
+
+    def gen(batches):
+        from ssis_to_pyspark_agent_spark.operators.similarity import (
+            _half_up,
+            _vecmat,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(dist=pd.Series([], dtype="int64"))
+                continue
+            vq = _half_up(_vecmat(pdf[vec_col]), quantize)
+            diff = vq - cm[pdf[cluster_col].to_numpy()]
+            pdf = pdf.copy()
+            pdf["dist"] = (diff * diff).sum(axis=1).astype("int64")
+            yield pdf[out_fields]
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["dist bigint"]
+    )
+    scored = df.mapInPandas(gen, schema=schema)
+
+    sizes = scored.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("_n"))
+    order = (
+        [F.col("dist").asc(), F.col(id_col).asc()]
+        if keep == "hard"
+        else [F.col("dist").desc(), F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    ranked = scored.withColumn("_rn", F.row_number().over(w)).join(
+        F.broadcast(sizes), cluster_col
+    )
+    kept = (
+        ranked.filter(
+            F.col("_rn") > F.floor(F.lit(frac) * F.col("_n")).cast("long")
+        )
+        .drop("_rn", "_n")
+    )
+    return {
+        "out": kept,
+        "scores": scored.select(id_col, cluster_col, "dist"),
+    }

@@ -3733,14 +3733,16 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q80_HASH = "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
 
 
-def _q80_oracle(k: int, n_iter: int, quantize: int, dims: int) -> str:
-    """The SQL replay of cluster.kmeans: quantize, md5-seed, then n_iter
-    (assign via exact integer squared-L2 argmin with ties to the lowest
-    cluster, update via exact integer floor-division — DuckDB's // 
-    TRUNCATES on negatives, so the non-negative-remainder idiom
-    (s - ((s%n + n) % n)) // n re-derives Python's floor) and one final
-    assignment. Built programmatically because the iteration chain is
-    mechanical; every op is integer-exact so the chain is bit-stable."""
+def _q80_ctes(k: int, n_iter: int, quantize: int, dims: int):
+    """The CTE chain replaying cluster.kmeans in SQL: quantize, md5-seed,
+    then n_iter (assign via exact integer squared-L2 argmin with ties to
+    the lowest cluster, update via exact integer floor-division —
+    DuckDB's // TRUNCATES on negatives, so the non-negative-remainder
+    idiom (s - ((s%n + n) % n)) // n re-derives Python's floor) and one
+    final assignment. Built programmatically because the iteration chain
+    is mechanical; every op is integer-exact so the chain is bit-stable.
+    Returns (ctes, final_assign_name, final_centroid_name) so q82's
+    prune oracle can extend the same chain."""
     ctes = [
         f"""vq AS (SELECT vec_id, list_transform(embedding,
               x -> CAST(round(CAST(x AS DOUBLE) * {quantize}) AS BIGINT)) AS q
@@ -3780,7 +3782,11 @@ def _q80_oracle(k: int, n_iter: int, quantize: int, dims: int) -> str:
             ON p.cluster = u.cluster AND p.dim = u.dim)"""
         )
         prev = f"c{i}"
-    last_a = f"a{n_iter + 1}"
+    return ctes, f"a{n_iter + 1}", prev
+
+
+def _q80_oracle(k: int, n_iter: int, quantize: int, dims: int) -> str:
+    ctes, last_a, last_c = _q80_ctes(k, n_iter, quantize, dims)
     return (
         "WITH " + ",\n    ".join(ctes) + f"""
     SELECT 'assign' AS mode, vec_id AS a, CAST(cluster AS BIGINT) AS b,
@@ -3789,7 +3795,7 @@ def _q80_oracle(k: int, n_iter: int, quantize: int, dims: int) -> str:
     UNION ALL
     SELECT 'centroid', CAST(cluster AS BIGINT), CAST(dim AS BIGINT),
            CAST(val AS BIGINT)
-    FROM {prev}"""
+    FROM {last_c}"""
     )
 
 
@@ -4033,3 +4039,59 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def _q82_oracle(k: int, n_iter: int, quantize: int, dims: int,
+                frac: float) -> str:
+    """q80's kmeans CTE chain + the cluster.prune replay: exact integer
+    distance of every vector to ITS centroid, ROW_NUMBER over
+    (dist, vec_id) per cluster, drop the floor(frac*n) most prototypical
+    (keep='hard')."""
+    ctes, last_a, last_c = _q80_ctes(k, n_iter, quantize, dims)
+    ctes.append(
+        f"""pd0 AS (SELECT v.vec_id, a.cluster,
+              SUM((v.q[c.dim + 1] - c.val) * (v.q[c.dim + 1] - c.val))
+                AS dist
+          FROM vq v JOIN {last_a} a USING (vec_id)
+          JOIN {last_c} c ON a.cluster = c.cluster
+          GROUP BY v.vec_id, a.cluster)"""
+    )
+    ctes.append(
+        "pn AS (SELECT cluster, COUNT(*) AS n FROM pd0 GROUP BY cluster)"
+    )
+    ctes.append(
+        """pr AS (SELECT vec_id, cluster, dist, ROW_NUMBER() OVER (
+              PARTITION BY cluster ORDER BY dist, vec_id) AS rn
+          FROM pd0)"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT pr.vec_id, CAST(pr.cluster AS BIGINT) AS cluster,
+           CAST(pr.dist AS BIGINT) AS dist
+    FROM pr JOIN pn USING (cluster)
+    WHERE pr.rn > CAST(floor({frac} * pn.n) AS BIGINT)"""
+    )
+
+
+@query(
+    "q82_cluster_prune",
+    # Sorscher et al. 2022 prototypicality pruning composed on the q80
+    # kmeans: drop the 50% of each cluster closest to its centroid
+    # (keep the hard examples). The oracle extends the kmeans replay
+    # with the exact integer distance rank — kept ids AND their
+    # distances hash-checked.
+    oracle=_q82_oracle(k=4, n_iter=2, quantize=10000, dims=64, frac=0.5),
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _p("q82", sf_dir, "embeddings")
+        .step("km", "cluster.kmeans", "embeddings", id_col="vec_id",
+              vec_col="embedding", k=4, n_iter=2, quantize=10000)
+        .step("pr", "cluster.prune", ["km.out", "km.centroids"],
+              id_col="vec_id", vec_col="embedding", prune_frac=0.5,
+              keep="hard", quantize=10000)
+    )
+    r = run_pipeline(spark, p)
+    return r.df("pr.out").select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), "dist"
+    )

@@ -2687,3 +2687,56 @@ class TestClusterKmeans:
             vec_col="embedding", k=2, n_iter=2)
         after = len(spark.sparkContext._jsc.getPersistentRDDs())
         assert after == before
+
+    def test_prune_hard_drops_prototypical(self, spark):
+        # one cluster at origin with distances 0,1,4,9 (ids 1-4), one at
+        # (100,) with distances 0,1 (ids 5-6); frac=0.5 keep='hard'
+        # drops the floor(n/2) CLOSEST per cluster
+        df = spark.createDataFrame(
+            [(1, [0.0]), (2, [0.1]), (3, [0.2]), (4, [0.3]),
+             (5, [100.0]), (6, [100.1])],
+            "vec_id long, embedding array<float>",
+        )
+        assigned = df.withColumn(
+            "cluster", (F.col("vec_id") > 4).cast("int")
+        )
+        cents = spark.createDataFrame(
+            [(0, 0, 0), (1, 0, 1000)], "cluster int, dim int, val long"
+        )
+        res = run("cluster.prune", spark, [assigned, cents],
+                  id_col="vec_id", vec_col="embedding", prune_frac=0.5,
+                  keep="hard", quantize=10)
+        kept = sorted((r.vec_id, r.dist) for r in res["out"].collect())
+        # cluster 0: dists 0,1,4,9 -> drop ids 1,2 (closest); cluster 1:
+        # dists 0,1 -> drop id 5
+        assert kept == [(3, 4), (4, 9), (6, 1)]
+        easy = run("cluster.prune", spark, [assigned, cents],
+                   id_col="vec_id", vec_col="embedding", prune_frac=0.5,
+                   keep="easy", quantize=10)
+        assert sorted(r.vec_id for r in easy["out"].collect()) == [1, 2, 5]
+        # scores port covers every row
+        assert res["scores"].count() == 6
+
+    def test_prune_frac_zero_and_validation(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0])], "vec_id long, embedding array<float>"
+        ).withColumn("cluster", F.lit(0))
+        cents = spark.createDataFrame(
+            [(0, 0, 0)], "cluster int, dim int, val long"
+        )
+        out = run("cluster.prune", spark, [df, cents], id_col="vec_id",
+                  vec_col="embedding", prune_frac=0.0)
+        assert out["out"].count() == 1
+        with pytest.raises(ValueError, match="prune_frac"):
+            run("cluster.prune", spark, [df, cents], id_col="vec_id",
+                vec_col="embedding", prune_frac=1.0)
+        with pytest.raises(ValueError, match="keep"):
+            run("cluster.prune", spark, [df, cents], id_col="vec_id",
+                vec_col="embedding", prune_frac=0.5, keep="x")
+        with pytest.raises(ValueError, match="cluster column"):
+            run("cluster.prune", spark, [df.drop("cluster"), cents],
+                id_col="vec_id", vec_col="embedding", prune_frac=0.5)
+        with pytest.raises(ValueError, match="empty centroid"):
+            run("cluster.prune", spark,
+                [df, cents.filter(F.lit(False))],
+                id_col="vec_id", vec_col="embedding", prune_frac=0.5)

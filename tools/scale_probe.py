@@ -1005,6 +1005,39 @@ def probe_importance(spark, n_docs=2_000_000, n_target=100_000,
     raw.unpersist()
 
 
+def probe_temperature(spark, n=20_000_000):
+    """sample.temperature at 20M rows with a heavily skewed domain mix
+    (one domain holds 85%): the operator is one tiny count shuffle + a
+    broadcast rate join + a filter, so the pass should run at
+    scan-bound rows/s regardless of skew (no hot-key window anywhere —
+    invariant 17 by construction). Verifies the small domains are kept
+    at full rate while the giant is downsampled toward the n^0.5 share."""
+    grp = (
+        F.when(F.pmod("id", 100) < 85, F.lit("giant"))
+        .when(F.pmod("id", 100) < 95, F.lit("mid"))
+        .otherwise(F.concat(F.lit("s"), F.pmod("id", 5)))
+    )
+    df = spark.range(n).repartition(64).select("id", grp.alias("grp")).persist()
+    df.count()
+    t0 = time.perf_counter()
+    out = get_operator("sample.temperature")(
+        spark, [df],
+        {"id_col": "id", "group_col": "grp", "alpha": 0.5,
+         "budget_frac": 0.3}, {},
+    )
+    got = {r["grp"]: r["c"] for r in
+           out.groupBy("grp").agg(F.count(F.lit(1)).alias("c")).collect()}
+    dt = time.perf_counter() - t0
+    kept = sum(got.values())
+    print(
+        f"PROBE temperature: n={n} pass={dt:.1f}s ({n/dt:,.0f} rows/s) "
+        f"kept={kept} ({kept/n:.3f} of corpus vs budget 0.3) "
+        f"giant={got.get('giant')}/{int(n*0.85)} mid={got.get('mid')} "
+        f"small_each~{got.get('s0')}"
+    )
+    df.unpersist()
+
+
 def probe_novelty(spark, n_docs=2_000_000, words_per_doc=80):
     """text.ngram_novelty at 2M docs: corpus-global bigram table
     (groupBy) + hash-keyed join-back — the same shuffle class as
@@ -1452,6 +1485,8 @@ def main():
         probe_importance(spark)
     if which in ("kmeans", "all"):
         probe_kmeans(spark)
+    if which in ("temperature", "all"):
+        probe_temperature(spark)
 
 
 if __name__ == "__main__":
