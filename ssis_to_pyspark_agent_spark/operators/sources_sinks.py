@@ -325,3 +325,34 @@ def sql_task(spark: SparkSession, inputs, config, context) -> DataFrame:
         for var, colname in bind.items():
             context[var] = row[colname] if row is not None else None
     return df
+
+
+@operator("source.orc")
+def orc_source(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """ORC scan — Spark-native columnar reader (same pushdown/pruning
+    contract as source.parquet; ORC is the other first-class columnar
+    format a Spark-first engine must read). `columns` prunes the read
+    schema; `where` stays pushdown-eligible."""
+    r = spark.read
+    for k, v in config.get("options", {}).items():
+        r = r.option(k, v)
+    df = r.orc(config["path"])
+    if cols := config.get("columns"):
+        df = df.select(*cols)
+    if pred := config.get("where"):
+        df = df.filter(pred)
+    return df
+
+
+@operator("sink.orc")
+def orc_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """ORC destination — mirrors sink.parquet (mode/options/partition_by)
+    over Spark's native ORC writer."""
+    df: DataFrame = inputs[0]
+    w = df.write.mode(config.get("mode", "append"))
+    for k, v in config.get("options", {}).items():
+        w = w.option(k, v)
+    if pb := config.get("partition_by"):
+        w = w.partitionBy(*pb)
+    w.orc(config["path"])
+    return df

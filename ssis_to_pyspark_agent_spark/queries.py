@@ -2323,7 +2323,9 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM (
       SELECT o_orderkey AS k, 'A' AS src FROM orders WHERE o_orderstatus = 'O'
       UNION ALL
-      SELECT o_orderkey, 'B' FROM orders WHERE o_orderstatus = 'F')
+      SELECT o_orderkey, 'B' FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, 'C' FROM orders WHERE o_orderstatus = 'P')
     ORDER BY k
     """,
 )
@@ -2331,8 +2333,9 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge (sorted union) — with each input arriving through a file
     format round-trip: branch A via the Flat-File/CSV destination+source
     (declared DDL schema, no inferSchema double-scan), branch B via the
-    Spark-4-native XML destination+source. Both flat-file paths are
-    oracle-load-bearing: a mis-parsed row or type would hash-mismatch."""
+    Spark-4-native XML destination+source, branch C via the native ORC
+    columnar writer+reader. All three file paths are oracle-load-bearing:
+    a mis-parsed row or type would hash-mismatch."""
     scratch = _scratch("q46_files")
     p = (
         _p("q46", sf_dir, "orders")
@@ -2350,7 +2353,13 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
               mode="overwrite")
         .step("bl_rt", "source.xml", "xml_out", path=f"{scratch}/b_xml",
               schema="k bigint, src string")
-        .step("m", "merge_sorted", ["al_rt", "bl_rt"], keys=["k"])
+        .step("c0", "filter", "orders", predicate='[o_orderstatus] == "P"')
+        .step("c", "select", "c0", columns={"k": "o_orderkey"})
+        .step("cl", "derived_column", "c", columns={"src": '"C"'})
+        .step("orc_out", "sink.orc", "cl", path=f"{scratch}/c_orc",
+              mode="overwrite")
+        .step("cl_rt", "source.orc", "orc_out", path=f"{scratch}/c_orc")
+        .step("m", "merge_sorted", ["al_rt", "bl_rt", "cl_rt"], keys=["k"])
     )
     return run_pipeline(spark, p).df("m")
 

@@ -91,6 +91,25 @@ class TestFileSources:
                    schema="id int, s string", header=True)
         assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
 
+    def test_orc_roundtrip_partitioned(self, spark):
+        # native ORC write+read with partition layout; types and
+        # partition-column values must survive the round trip
+        path = os.path.join(SCRATCH, "orc_out")
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", -2.5), (3, "a", 0.0)],
+            "id int, g string, v double",
+        )
+        run("sink.orc", spark, [df], path=path, mode="overwrite",
+            partition_by=["g"])
+        back = run("source.orc", spark, [], path=path)
+        assert sorted((r.id, r.g, r.v) for r in back.collect()) == \
+            [(1, "a", 1.5), (2, "b", -2.5), (3, "a", 0.0)]
+        # pruned read: columns + pushdown-eligible predicate
+        some = run("source.orc", spark, [], path=path, columns=["id", "g"],
+                   where="g = 'a'")
+        assert sorted(r.id for r in some.collect()) == [1, 3]
+        assert some.columns == ["id", "g"]
+
     def test_json_source_with_record_path(self, spark):
         path = os.path.join(SCRATCH, "rec.json")
         with open(path, "w") as fh:
