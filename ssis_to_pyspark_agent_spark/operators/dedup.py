@@ -1831,6 +1831,10 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
     similarity.topk_ivf — ``centroid_order='md5'`` + ``quantize`` makes
     assignment, pair cosines, and the keep rule exact integer-derived
     arithmetic any SQL engine reproduces (the q38/q40 oracle idiom).
+    A SECOND input, when wired, is a precomputed (cluster, dim, val)
+    centroid frame — cluster.kmeans' 'centroids' port — for the
+    full-corpus distributed Lloyd's path (requires ``quantize``; the
+    integer coordinates descale exactly onto the assignment grid).
 
     ``verify_nprobe`` (default 1): SemDeDup by design never scores a
     pair split across clusters. 2 ships each vector into its two
@@ -1890,7 +1894,27 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
                 [], f"{id_col} {id_type}, cluster int"
             )
         return result if len(result) > 1 else df
-    if config.get("kmeans"):
+    if len(inputs) > 1:
+        # precomputed clustering: the (cluster, dim, val) centroid frame
+        # cluster.kmeans emits (the docstring's "when a clustering
+        # already exists" case — full-corpus Lloyd's instead of the
+        # driver-sample path). Integer centroid values are descaled by
+        # `quantize` back to the float grid the assignment kernel
+        # re-quantizes to (exact round trip: _half_up(c/q*q) == c).
+        if not quantize:
+            raise ValueError(
+                "dedup.semantic centroid input requires `quantize` "
+                "(centroid frames carry quantized integer coordinates)"
+            )
+        rows = inputs[1].collect()  # bounded: k * dim ints
+        if not rows:
+            raise ValueError("dedup.semantic: empty centroid input")
+        n_clusters = max(r["cluster"] for r in rows) + 1
+        dim = max(r["dim"] for r in rows) + 1
+        cents = [[0.0] * dim for _ in range(n_clusters)]
+        for r in rows:
+            cents[r["cluster"]][r["dim"]] = r["val"] / quantize
+    elif config.get("kmeans"):
         cent_rows = _kmeans_centroids(
             base.withColumnRenamed("_id", "corpus_id")
             .withColumnRenamed("_v", "_cv"),

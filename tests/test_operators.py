@@ -2031,6 +2031,30 @@ class TestSemanticDedup:
             assert jsc.getPersistentRDDs().size() - before <= 1, keep
         spark.catalog.clearCache()
 
+    def test_semantic_accepts_kmeans_centroid_input(self, spark):
+        # wire cluster.kmeans' centroids port as dedup.semantic's second
+        # input (the full-corpus clustering path): planted near-dups in
+        # both direction blobs must still be removed, and the config
+        # guards must fire
+        df = self._clustered(spark)
+        km = run("cluster.kmeans", spark, [df], id_col="vec_id",
+                 vec_col="v", k=2, n_iter=2, quantize=10000)
+        out = run("dedup.semantic", spark, [df, km["centroids"]],
+                  id_col="vec_id", vec_col="v", threshold=0.99,
+                  quantize=10000, return_pairs=True)
+        pairs = sorted((r.a, r.b) for r in out["pairs"].collect())
+        assert (0, 1) in pairs and (10, 11) in pairs
+        kept = sorted(r.vec_id for r in out["out"].collect())
+        assert 1 not in kept and 11 not in kept and 0 in kept and 10 in kept
+        with pytest.raises(ValueError, match="quantize"):
+            run("dedup.semantic", spark, [df, km["centroids"]],
+                id_col="vec_id", vec_col="v", threshold=0.99)
+        with pytest.raises(ValueError, match="empty centroid"):
+            run("dedup.semantic", spark,
+                [df, km["centroids"].filter(F.lit(False))],
+                id_col="vec_id", vec_col="v", threshold=0.99,
+                quantize=10000)
+
     def test_verify_nprobe_catches_boundary_pair(self, spark):
         """verify_nprobe=2 (round 5): a near-dup pair whose endpoints
         assign to DIFFERENT clusters is unscored at nprobe=1 (SemDeDup's
