@@ -1370,3 +1370,62 @@ def lm_score(spark: SparkSession, inputs, config, context) -> DataFrame:
             / (F.lit(float(LM_SCALE)) * F.col("lm_ngrams").cast("double")),
         }
     )
+
+
+@operator("text.segment")
+def segment(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Document segmentation — the chunking step in front of embedding /
+    RAG / window-limited scoring pipelines: split each document into
+    ordered segments and emit one row per segment.
+
+    modes:
+      'paragraph'   — split on ``pattern`` (default blank lines
+                      ``\\n\\s*\\n+``); segments are trimmed and empty
+                      ones dropped BEFORE indexing, so seg_idx is dense;
+      'sentence'    — maximal runs ending at [.!?]+ (char-class regex
+                      only: Java and RE2 agree — no lookbehind, which
+                      RE2 lacks);
+      'fixed_words' — n-word windows (``n``, default 64) over raw
+                      whitespace tokens; the last window may be short.
+
+    Adds seg_idx (0-based, dense), seg_text, seg_tokens (whitespace
+    token count). Pure JVM array expressions + one posexplode — zero
+    shuffle at any scale; the corpus streams through once.
+
+    Reference has no counterpart (nearest: Term Extraction,
+    data_engineering_parser.py:1131) — NEW per SURVEY §2.12.
+    """
+    df: DataFrame = inputs[0]
+    c = F.col(config["text_col"])
+    mode = config.get("mode", "paragraph")
+    if mode == "paragraph":
+        pattern = config.get("pattern", r"\n\s*\n+")
+        parts = F.split(c, pattern)
+    elif mode == "sentence":
+        parts = F.regexp_extract_all(c, F.lit(r"[^.!?]+[.!?]*"), 0)
+    elif mode == "fixed_words":
+        n = int(config.get("n", 64))
+        if n <= 0:
+            raise ValueError("text.segment: n must be positive")
+        words = F.filter(F.split(c, r"\s+"), lambda x: x != "")
+        nseg = F.ceil(F.size(words) / F.lit(n)).cast("int")
+        parts = F.transform(
+            F.sequence(F.lit(0), F.greatest(nseg, F.lit(1)) - 1),
+            lambda j: F.concat_ws(" ", F.slice(words, j * n + 1, n)),
+        )
+    else:
+        raise ValueError(
+            f"text.segment: mode must be 'paragraph', 'sentence' or "
+            f"'fixed_words', got {mode!r}"
+        )
+    segs = F.filter(
+        F.transform(parts, lambda x: F.trim(x)), lambda x: x != ""
+    )
+    out = df.select(
+        "*", F.posexplode(segs).alias("seg_idx", "seg_text")
+    )
+    return out.withColumn(
+        "seg_tokens",
+        F.size(F.filter(F.split(F.col("seg_text"), r"\s+"),
+                        lambda x: x != "")).cast("int"),
+    )

@@ -4104,3 +4104,70 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.df("pr.out").select(
         "vec_id", F.col("cluster").cast("long").alias("cluster"), "dist"
     )
+
+
+@query(
+    "q83_segmentation",
+    # text.segment — the pre-embedding chunking primitive. Paragraph
+    # mode runs over text with injected blank-line breaks (the corpus
+    # has none natively: every 'table ' occurrence becomes a paragraph
+    # boundary, a deterministic replace both engines share); fixed_words
+    # mode windows the raw whitespace tokens 16 at a time. Segment
+    # indices are dense post-filter; md5 + token count of every segment
+    # hash-checked.
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             replace(text, 'table ', 'table.' || chr(10) || chr(10)) AS t
+      FROM documents),
+    pl AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split_regex(t, '\\n\\s*\\n+'),
+                                        x -> trim(x)), x -> x <> '') AS l
+      FROM aug),
+    para AS (
+      SELECT doc_id, unnest(l) AS seg, generate_subscripts(l, 1) AS i
+      FROM pl),
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    fseg AS (
+      SELECT doc_id, j,
+             array_to_string(w[j*16+1 : least((j+1)*16, len(w))], ' ') AS seg
+      FROM (SELECT doc_id, w,
+                   unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS j
+            FROM w WHERE len(w) > 0))
+    SELECT doc_id, 'para' AS mode, CAST(i - 1 AS INT) AS seg_idx,
+           md5(seg) AS seg_md5,
+           CAST(len(regexp_extract_all(seg, '\\S+')) AS INT) AS seg_tokens
+    FROM para
+    UNION ALL
+    SELECT doc_id, 'fixed', CAST(j AS INT), md5(seg),
+           CAST(len(regexp_extract_all(seg, '\\S+')) AS INT)
+    FROM fseg
+    """,
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _p("q83", sf_dir, "documents")
+        .step("aug", "derived_column", "documents", columns={
+            "t": F.replace(F.col("text"), F.lit("table "),
+                           F.lit("table.\n\n"))
+        })
+        .step("ps", "text.segment", "aug", text_col="t", mode="paragraph")
+        .step("fs", "text.segment", "documents", text_col="text",
+              mode="fixed_words", n=16)
+    )
+    r = run_pipeline(spark, p)
+
+    def leg(df: DataFrame, mode: str) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.lit(mode).alias("mode"),
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            F.md5("seg_text").alias("seg_md5"),
+            F.col("seg_tokens").cast("int").alias("seg_tokens"),
+        )
+
+    return leg(r.df("ps"), "para").unionByName(leg(r.df("fs"), "fixed"))

@@ -2764,3 +2764,48 @@ class TestClusterKmeans:
             run("cluster.prune", spark,
                 [df, cents.filter(F.lit(False))],
                 id_col="vec_id", vec_col="embedding", prune_frac=0.5)
+
+
+class TestTextSegment:
+    def test_paragraph_mode_dense_idx(self, spark):
+        df = spark.createDataFrame(
+            [(1, "first para\n\n\n  \nsecond para\n\n\n"),
+             (2, "only one"),
+             (3, "   ")],
+            "doc_id long, text string",
+        )
+        out = run("text.segment", spark, [df], text_col="text",
+                  mode="paragraph")
+        rows = sorted((r.doc_id, r.seg_idx, r.seg_text, r.seg_tokens)
+                      for r in out.collect())
+        # trailing blank-line tail and the whitespace-only doc drop;
+        # indices stay dense after the drop
+        assert rows == [
+            (1, 0, "first para", 2), (1, 1, "second para", 2),
+            (2, 0, "only one", 2),
+        ]
+
+    def test_sentence_mode(self, spark):
+        df = spark.createDataFrame(
+            [(1, "One two. Three!  Four? no end")],
+            "doc_id long, text string",
+        )
+        out = run("text.segment", spark, [df], text_col="text",
+                  mode="sentence")
+        segs = [r.seg_text for r in out.orderBy("seg_idx").collect()]
+        assert segs == ["One two.", "Three!", "Four?", "no end"]
+
+    def test_fixed_words_windows(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g")], "doc_id long, text string"
+        )
+        out = run("text.segment", spark, [df], text_col="text",
+                  mode="fixed_words", n=3)
+        rows = [(r.seg_idx, r.seg_text, r.seg_tokens)
+                for r in out.orderBy("seg_idx").collect()]
+        assert rows == [(0, "a b c", 3), (1, "d e f", 3), (2, "g", 1)]
+        with pytest.raises(ValueError, match="positive"):
+            run("text.segment", spark, [df], text_col="text",
+                mode="fixed_words", n=0)
+        with pytest.raises(ValueError, match="mode"):
+            run("text.segment", spark, [df], text_col="text", mode="x")
