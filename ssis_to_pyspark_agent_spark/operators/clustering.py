@@ -203,6 +203,13 @@ def cluster_kmeans(spark: SparkSession, inputs, config, context):
             new = [list(c) for c in cents]  # empty cluster keeps its centroid
             for r in upd:
                 new[r["cluster"]][r["dim"]] = r["s"] // r["n"]
+            if new == cents:
+                # Lloyd's fixed point: the update left every centroid
+                # unchanged, so every later iteration (and the final
+                # labeling) would reproduce this exact state — stop
+                # paying for no-op passes. Output-identical by
+                # construction (integer arithmetic, no drift).
+                break
             cents = new
     finally:
         cached.unpersist()

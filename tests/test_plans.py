@@ -276,3 +276,89 @@ class TestNewOpPlanShapes:
         p = plan_of(r["pairs"])
         assert "FlatMapGroupsInPandas" in p
         assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+class TestRound5bPlans:
+    def test_temperature_corpus_side_never_shuffles(self, spark):
+        # the doc stream must reach the output through a BROADCAST join
+        # of the tiny rate table — the only Exchange(s) belong to the
+        # per-group count/normalizer branch, never to the corpus scan
+        from ssis_to_pyspark_agent_spark.operators import get_operator
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = get_operator("sample.temperature")(
+            spark, [docs],
+            {"id_col": "doc_id", "group_col": "source", "alpha": 0.5,
+             "budget_frac": 0.4}, {},
+        )
+        p = plan_of(out)
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        # corpus side: no Exchange between the documents scan and the
+        # broadcast join probe side — every Exchange in the plan sits
+        # under the broadcast (rates) subtree
+        probe = p.split("BroadcastHashJoin")[0]
+        assert "Exchange" not in probe, (
+            "corpus side of sample.temperature shuffled:\n" + probe
+        )
+
+    def test_segment_is_pure_narrow(self, spark):
+        from ssis_to_pyspark_agent_spark.operators import get_operator
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        for mode in ("paragraph", "sentence", "fixed_words"):
+            out = get_operator("text.segment")(
+                spark, [docs], {"text_col": "text", "mode": mode}, {},
+            )
+            assert "Exchange" not in plan_of(out), mode
+
+    def test_prune_sizes_join_broadcasts(self, spark):
+        # the per-cluster size table must broadcast back onto the scored
+        # stream — a sort-merge join would shuffle the corpus twice
+        from pyspark.sql import functions as F
+
+        from ssis_to_pyspark_agent_spark.operators import get_operator
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        km = get_operator("cluster.kmeans")(
+            spark, [emb],
+            {"id_col": "vec_id", "vec_col": "embedding", "k": 4,
+             "n_iter": 1, "quantize": 10000}, {},
+        )
+        pr = get_operator("cluster.prune")(
+            spark, [km["out"], km["centroids"]],
+            {"id_col": "vec_id", "vec_col": "embedding",
+             "prune_frac": 0.5, "quantize": 10000}, {},
+        )
+        p = plan_of(pr["out"])
+        assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    def test_kmeans_early_stops_at_fixed_point(self, spark):
+        # data already at a Lloyd's fixed point: n_iter=25 must cost far
+        # fewer jobs than 25 update rounds (the convergence break), and
+        # the result must equal the n_iter=2 run exactly
+        from ssis_to_pyspark_agent_spark.operators import get_operator
+
+        df = spark.createDataFrame(
+            [(i, [float(1000 * (i % 2))]) for i in range(8)],
+            "vec_id long, embedding array<float>",
+        )
+        tracker = spark.sparkContext.statusTracker()
+
+        def fit(n_iter):
+            before = len(tracker.getJobIdsForGroup() or [])
+            res = get_operator("cluster.kmeans")(
+                spark, [df],
+                {"id_col": "vec_id", "vec_col": "embedding", "k": 2,
+                 "n_iter": n_iter}, {},
+            )
+            labs = sorted((r.vec_id, r.cluster) for r in res["out"].collect())
+            jobs = len(tracker.getJobIdsForGroup() or []) - before
+            return labs, jobs
+
+        labs25, jobs25 = fit(25)
+        labs2, jobs2 = fit(2)
+        assert labs25 == labs2
+        assert jobs25 <= jobs2 + 2, (
+            f"no early stop: {jobs25} jobs for n_iter=25 vs {jobs2} for 2"
+        )
