@@ -26,6 +26,21 @@ from pyspark.sql import functions as F
 from ssis_to_pyspark_agent_spark.operators import operator
 
 
+def cents_from_frame(rows, who: str) -> list[list[int]]:
+    """Decode cluster.kmeans' centroid-port contract — collected
+    (cluster, dim, val) rows — into a dense k x d integer list. The ONE
+    decoder every consumer shares (cluster.prune, dedup.semantic's
+    centroid input): if the port shape ever changes, it changes here."""
+    if not rows:
+        raise ValueError(f"{who}: empty centroid input")
+    k = max(r["cluster"] for r in rows) + 1
+    dim = max(r["dim"] for r in rows) + 1
+    cents = [[0] * dim for _ in range(k)]
+    for r in rows:
+        cents[r["cluster"]][r["dim"]] = r["val"]
+    return cents
+
+
 def _assign_kernel(cents, quantize: int, out_fields: list[str], vec_col: str,
                    cluster_col: str = "cluster"):
     """mapInPandas generator: rows -> rows + `cluster` (argmin of exact
@@ -52,6 +67,11 @@ def _assign_kernel(cents, quantize: int, out_fields: list[str], vec_col: str,
             if not len(pdf):
                 yield pdf.assign(**{cluster_col: pd.Series([], dtype="int32")})
                 continue
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    f"cluster.kmeans: NULL {vec_col!r} in the corpus — "
+                    "filter NULL vectors out upstream"
+                )
             vq = _half_up(_vecmat(pdf[vec_col]), quantize)
             d2 = (vq * vq).sum(axis=1)[:, None] - 2.0 * (vq @ cm.T) + c2[None, :]
             pdf = pdf.copy()
@@ -85,6 +105,11 @@ def _update_kernel(cents):
                 _vecmat,
             )
 
+            if pdf["_vq"].isna().any():
+                raise ValueError(
+                    "cluster.kmeans: NULL embedding in the corpus — "
+                    "filter NULL vectors out upstream"
+                )
             vq = _vecmat(pdf["_vq"])  # already integer-valued
             d2 = (vq * vq).sum(axis=1)[:, None] - 2.0 * (vq @ cm.T) + c2[None, :]
             lab = np.argmin(d2, axis=1)
@@ -172,6 +197,11 @@ def cluster_kmeans(spark: SparkSession, inputs, config, context):
     if len(seeds) < k:
         raise ValueError(
             f"cluster.kmeans: k={k} exceeds the {len(seeds)}-row corpus"
+        )
+    if any(r["_vq"] is None for r in seeds):
+        raise ValueError(
+            "cluster.kmeans: NULL embedding in the corpus — filter NULL "
+            "vectors out upstream"
         )
     cents = [list(r["_vq"]) for r in seeds]
     dim = len(cents[0])
@@ -282,19 +312,13 @@ def cluster_prune(spark: SparkSession, inputs, config, context):
             "(wire cluster.kmeans' 'out' port)"
         )
 
-    rows = cents_df.collect()  # bounded: k * dim ints
-    if not rows:
-        raise ValueError("cluster.prune: empty centroid input")
-    k = max(r["cluster"] for r in rows) + 1
-    dim = max(r["dim"] for r in rows) + 1
-    cents = [[0] * dim for _ in range(k)]
-    for r in rows:
-        cents[r["cluster"]][r["dim"]] = r["val"]
+    cents = cents_from_frame(cents_df.collect(), "cluster.prune")
 
     import numpy as np
     import pandas as pd
 
     cm = np.asarray(cents, dtype=np.float64)
+    k = cm.shape[0]
     out_fields = df.columns + ["dist"]
 
     def gen(batches):
@@ -307,8 +331,25 @@ def cluster_prune(spark: SparkSession, inputs, config, context):
             if not len(pdf):
                 yield pdf.assign(dist=pd.Series([], dtype="int64"))
                 continue
+            lab = pdf[cluster_col]
+            # fail fast with a CLEAR message on wiring mistakes (mixing
+            # centroid frames between runs, or a join that left the
+            # cluster NULL) instead of an opaque numpy IndexError deep
+            # in a Python worker
+            if lab.isna().any():
+                raise ValueError(
+                    f"cluster.prune: NULL {cluster_col!r} — rows must "
+                    "carry the clustering the centroid frame came from"
+                )
+            li = lab.to_numpy()
+            if len(li) and (li.min() < 0 or li.max() >= k):
+                raise ValueError(
+                    f"cluster.prune: cluster id {int(li.max())} outside "
+                    f"the centroid frame's 0..{k - 1} — assigned rows "
+                    "and centroids come from different clusterings"
+                )
             vq = _half_up(_vecmat(pdf[vec_col]), quantize)
-            diff = vq - cm[pdf[cluster_col].to_numpy()]
+            diff = vq - cm[li]
             pdf = pdf.copy()
             pdf["dist"] = (diff * diff).sum(axis=1).astype("int64")
             yield pdf[out_fields]
@@ -319,7 +360,12 @@ def cluster_prune(spark: SparkSession, inputs, config, context):
     )
     scored = df.mapInPandas(gen, schema=schema)
 
-    sizes = scored.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("_n"))
+    # sizes come from the INPUT, not `scored`: the distance pass is 1:1
+    # with its input, so the counts are identical — and building the
+    # broadcast side from `scored` would run the Python distance kernel
+    # (plus whatever upstream labeling feeds it) a second time per
+    # action (review finding, round 5)
+    sizes = df.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("_n"))
     order = (
         [F.col("dist").asc(), F.col(id_col).asc()]
         if keep == "hard"

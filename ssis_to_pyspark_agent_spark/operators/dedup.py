@@ -1906,14 +1906,13 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
                 "dedup.semantic centroid input requires `quantize` "
                 "(centroid frames carry quantized integer coordinates)"
             )
-        rows = inputs[1].collect()  # bounded: k * dim ints
-        if not rows:
-            raise ValueError("dedup.semantic: empty centroid input")
-        n_clusters = max(r["cluster"] for r in rows) + 1
-        dim = max(r["dim"] for r in rows) + 1
-        cents = [[0.0] * dim for _ in range(n_clusters)]
-        for r in rows:
-            cents[r["cluster"]][r["dim"]] = r["val"] / quantize
+        from ssis_to_pyspark_agent_spark.operators.clustering import (
+            cents_from_frame,
+        )
+
+        ic = cents_from_frame(inputs[1].collect(), "dedup.semantic")
+        n_clusters = len(ic)
+        cents = [[v / quantize for v in row] for row in ic]
     elif config.get("kmeans"):
         cent_rows = _kmeans_centroids(
             base.withColumnRenamed("_id", "corpus_id")

@@ -4055,7 +4055,10 @@ def _q82_oracle(k: int, n_iter: int, quantize: int, dims: int,
     """q80's kmeans CTE chain + the cluster.prune replay: exact integer
     distance of every vector to ITS centroid, ROW_NUMBER over
     (dist, vec_id) per cluster, drop the floor(frac*n) most prototypical
-    (keep='hard')."""
+    (keep='hard'). frac is emitted as CAST(.. AS DOUBLE) — a bare
+    literal would be DuckDB DECIMAL, whose exact floor(0.3 * 10) = 3
+    diverges from the operator's double floor(2.999..) = 2 for
+    non-dyadic fractions (review finding, round 5)."""
     ctes, last_a, last_c = _q80_ctes(k, n_iter, quantize, dims)
     ctes.append(
         f"""pd0 AS (SELECT v.vec_id, a.cluster,
@@ -4078,7 +4081,8 @@ def _q82_oracle(k: int, n_iter: int, quantize: int, dims: int,
     SELECT pr.vec_id, CAST(pr.cluster AS BIGINT) AS cluster,
            CAST(pr.dist AS BIGINT) AS dist
     FROM pr JOIN pn USING (cluster)
-    WHERE pr.rn > CAST(floor({frac} * pn.n) AS BIGINT)"""
+    WHERE pr.rn > CAST(floor(CAST({frac!r} AS DOUBLE)
+                             * CAST(pn.n AS DOUBLE)) AS BIGINT)"""
     )
 
 

@@ -2809,3 +2809,72 @@ class TestTextSegment:
                 mode="fixed_words", n=0)
         with pytest.raises(ValueError, match="mode"):
             run("text.segment", spark, [df], text_col="text", mode="x")
+
+    def test_prune_single_distance_pass(self, spark):
+        # the per-cluster size table must come from the INPUT, not the
+        # scored frame — building it from `scored` ran the Python
+        # distance kernel twice per action (review finding, round 5):
+        # exactly ONE MapInPandas in the whole plan
+        df = spark.createDataFrame(
+            [(i, [float(i)], i % 2) for i in range(10)],
+            "vec_id long, embedding array<float>, cluster int",
+        )
+        cents = spark.createDataFrame(
+            [(0, 0, 0), (1, 0, 5000)], "cluster int, dim int, val long"
+        )
+        res = run("cluster.prune", spark, [df, cents], id_col="vec_id",
+                  vec_col="embedding", prune_frac=0.4, quantize=1000)
+        plan = res["out"]._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1, plan
+
+    def test_prune_rejects_foreign_or_null_clusters(self, spark):
+        # wiring mistakes fail fast with a clear message, not an opaque
+        # numpy IndexError in the worker
+        cents = spark.createDataFrame(
+            [(0, 0, 0), (1, 0, 5000)], "cluster int, dim int, val long"
+        )
+        bad = spark.createDataFrame(
+            [(1, [0.0], 7)], "vec_id long, embedding array<float>, cluster int"
+        )
+        res = run("cluster.prune", spark, [bad, cents], id_col="vec_id",
+                  vec_col="embedding", prune_frac=0.5, quantize=1000)
+        with pytest.raises(Exception, match="different clusterings"):
+            res["out"].collect()
+        nullc = spark.createDataFrame(
+            [(1, [0.0], None)],
+            "vec_id long, embedding array<float>, cluster int",
+        )
+        res2 = run("cluster.prune", spark, [nullc, cents], id_col="vec_id",
+                   vec_col="embedding", prune_frac=0.5, quantize=1000)
+        with pytest.raises(Exception, match="NULL"):
+            res2["out"].collect()
+
+    def test_prune_nondyadic_frac_matches_duckdb_oracle(self, spark):
+        # frac=0.3: DuckDB DECIMAL floor(0.3*10)=3 vs double
+        # floor(2.999..)=2 — the oracle must emit the DOUBLE cast so
+        # both engines keep the same rows (review finding, round 5)
+        import duckdb
+
+        from ssis_to_pyspark_agent_spark.queries import _q82_oracle
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        km = run("cluster.kmeans", spark, [emb], id_col="vec_id",
+                 vec_col="embedding", k=4, n_iter=1, quantize=10000)
+        pr = run("cluster.prune", spark, [km["out"], km["centroids"]],
+                 id_col="vec_id", vec_col="embedding", prune_frac=0.3,
+                 keep="hard", quantize=10000)
+        got = sorted(r.vec_id for r in pr["out"].collect())
+        con = duckdb.connect()
+        con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                    "'/root/testdata/sf0.001/embeddings.parquet'")
+        osql = _q82_oracle(k=4, n_iter=1, quantize=10000, dims=64, frac=0.3)
+        exp = sorted(r[0] for r in con.execute(osql).fetchall())
+        assert got == exp
+
+    def test_kmeans_null_embedding_fails_fast(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0]), (2, None)], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(Exception, match="NULL"):
+            run("cluster.kmeans", spark, [df], id_col="vec_id",
+                vec_col="embedding", k=1, n_iter=1)
