@@ -39,6 +39,9 @@ HEADLINE = [
     "q31_dedup_ngram_cluster",      # exact ngram block-join + closure
     "q40_dedup_embedding_pairs",    # vectorized quantized matmul
     "q78_stream_stream_join",       # micro-batch stream-stream join
+    # round-5 additions: the clustering + composed-pipeline flagships
+    "q80_embedding_kmeans",         # distributed Lloyd's (iterative jobs)
+    "q81_curation_funnel",          # sequential five-stage curation cascade
 ]
 
 

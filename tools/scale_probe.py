@@ -1038,6 +1038,80 @@ def probe_temperature(spark, n=20_000_000):
     df.unpersist()
 
 
+def probe_funnel(spark, n_docs=2_000_000, words_per_doc=80):
+    """The q81 curation cascade (url-dedup -> lang gate -> quality gate
+    -> exact-text dedup -> temperature resample) end-to-end at 2M raw
+    docs. Every stage is shuffle-light by design (url/exact dedup
+    shuffle 16-byte digests; lang/quality are narrow; temperature is a
+    broadcast-rate filter), so the funnel should run at corpus-scan
+    throughput. Corpus: 10% of docs carry no stopwords (the lang gate
+    cuts them), urls collide 4:1 (the url stage cuts 75%), ~1% exact
+    clones survive to the exact stage."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    word = lambda i: F.element_at(
+        vocab, (F.pmod(F.xxhash64(F.col("doc_id"), i), 500) + 1).cast("int")
+    )
+    # every 7th word is 'the' unless doc_id % 10 == 0 (those docs stay
+    # stopword-free and must die at the lang gate)
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(words_per_doc)),
+            lambda i: F.when(
+                (i % 7 == 0) & (F.pmod(F.col("doc_id"), 10) != 0),
+                F.lit("the"),
+            ).otherwise(word(i)),
+        ),
+    )
+    base = (
+        spark.range(n_docs)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), F.pmod(F.col("id"), 4)).alias("source"),
+            F.concat(
+                F.lit("https://Example.COM/p"),
+                F.pmod(F.col("id"), n_docs // 4).cast("string"),
+                F.lit("?utm_source=x"),
+            ).alias("url"),
+        )
+        .withColumn("text", text)
+    )
+    clones = base.filter(F.pmod("doc_id", 100) == 1).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"), "source",
+        F.concat(F.lit("https://other.net/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    docs = base.unionByName(clones).persist()
+    total = docs.count()
+    t0 = time.perf_counter()
+    s1 = get_operator("dedup.url")(
+        spark, [docs], {"url_col": "url", "id_col": "doc_id",
+                        "emit": "flag"}, {},
+    ).filter("url_keep")
+    s2 = get_operator("text.lang_id")(
+        spark, [s1], {"text_col": "text"}, {},
+    ).filter("lang_pred = 'en'")
+    s3 = get_operator("text.quality")(
+        spark, [s2], {"text_col": "text"}, {},
+    ).filter("stopword_ratio > 0.04 and n_words >= 25")
+    s4 = get_operator("dedup.exact")(
+        spark, [s3], {"columns": ["text"], "keep_by": ["doc_id"]}, {},
+    )
+    s5 = get_operator("sample.temperature")(
+        spark, [s4], {"id_col": "doc_id", "group_col": "source",
+                      "alpha": 0.5, "budget_frac": 0.5}, {},
+    )
+    kept = s5.count()
+    dt = time.perf_counter() - t0
+    print(
+        f"PROBE funnel: n={total} end-to-end={dt:.1f}s "
+        f"({total/dt:,.0f} docs/s) kept={kept}"
+    )
+    docs.unpersist()
+
+
 def probe_novelty(spark, n_docs=2_000_000, words_per_doc=80):
     """text.ngram_novelty at 2M docs: corpus-global bigram table
     (groupBy) + hash-keyed join-back — the same shuffle class as
@@ -1487,6 +1561,8 @@ def main():
         probe_kmeans(spark)
     if which in ("temperature", "all"):
         probe_temperature(spark)
+    if which in ("funnel", "all"):
+        probe_funnel(spark)
 
 
 if __name__ == "__main__":
