@@ -181,13 +181,36 @@ def _spread(spark, df: DataFrame) -> DataFrame:
 
 
 def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
-    """Distinct (a, b) id pairs co-occurring in a bucket: groupBy bucket,
-    collect (capped, sorted) id lists, explode the i<j combinations.
-    One shuffle total — the self-join alternative shuffles the tagged
-    table twice and sorts both sides."""
-    buckets = (
+    """Distinct (a, b) id pairs co-occurring in a bucket.
+
+    Buckets at-or-under ``cap`` ride the one-shuffle path: groupBy
+    bucket, collect sorted id lists, explode the i<j combinations (the
+    self-join alternative shuffles the tagged table twice and sorts
+    both sides). Buckets OVER the cap — where a collected id array
+    would be an unbounded single-row memory hazard — go through a
+    distributed self-join instead: the |B|^2 candidate set is exactly
+    what the blocking scheme demands for those ids, produced across
+    tasks (AQE skew-split spreads a hot key) rather than silently
+    thrown away.
+
+    The cap used to TRUNCATE (slice after sort): every pair involving
+    an id beyond position `cap` of a hot bucket silently vanished — at
+    sf0.1 dedup.simhash lost 13 of 512 oracle pairs the moment one
+    15-bit chunk bucket crossed 200 docs, quietly voiding the
+    pigeonhole scheme's completeness guarantee (round-5 find). The cap
+    is now a PLAN switch, never a recall cut; the hot-key table it
+    broadcasts is small by construction (keys with > cap members).
+    """
+    counts = (
         tagged.groupBy(*bucket_cols)
-        .agg(F.slice(F.sort_array(F.collect_set("_id")), 1, cap).alias("_ids"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    hot_keys = counts.filter(F.col("_n") > cap).select(*bucket_cols)
+    cold = tagged.join(F.broadcast(hot_keys), bucket_cols, "left_anti")
+    buckets = (
+        cold.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set("_id")).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
     combos = F.flatten(
@@ -199,11 +222,17 @@ def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFr
             ),
         )
     )
-    return (
+    cold_pairs = (
         buckets.select(F.explode(combos).alias("_p"))
         .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
-        .dropDuplicates(["a", "b"])
     )
+    hot = tagged.join(F.broadcast(hot_keys), bucket_cols, "left_semi")
+    hot_pairs = hot.alias("l").join(
+        hot.alias("r"),
+        [F.col(f"l.{c}") == F.col(f"r.{c}") for c in bucket_cols]
+        + [F.col("l._id") < F.col("r._id")],
+    ).select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+    return cold_pairs.unionByName(hot_pairs).dropDuplicates(["a", "b"])
 
 
 def _signature_bands(

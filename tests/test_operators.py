@@ -2878,3 +2878,27 @@ class TestTextSegment:
         with pytest.raises(Exception, match="NULL"):
             run("cluster.kmeans", spark, [df], id_col="vec_id",
                 vec_col="embedding", k=1, n_iter=1)
+
+
+class TestBucketPairsHotBucket:
+    def test_simhash_recall_survives_bucket_cap(self, spark):
+        # 30 identical docs share every chunk bucket; bucket_cap=4 used
+        # to TRUNCATE the collected id list and silently drop most of
+        # the 435 pairs (the sf0.1 q33 regression class). The cap is now
+        # a plan switch: all pairs must surface regardless of cap.
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta") for i in range(30)],
+            "doc_id long, text string",
+        )
+        res = run("dedup.simhash", spark, [df], id_col="doc_id",
+                  text_col="text", max_distance=3, hash_fn="md5",
+                  bucket_cap=4, return_pairs=True)
+        assert res["pairs"].count() == 30 * 29 // 2
+        assert res["out"].count() == 1  # min-id survivor
+        # and the cold path (cap not hit) returns the same set
+        big = run("dedup.simhash", spark, [df], id_col="doc_id",
+                  text_col="text", max_distance=3, hash_fn="md5",
+                  bucket_cap=1000, return_pairs=True)
+        key = lambda r: (r.a, r.b)
+        assert sorted(map(key, res["pairs"].collect())) == \
+            sorted(map(key, big["pairs"].collect()))
