@@ -201,45 +201,62 @@ def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFr
     is now a PLAN switch, never a recall cut; the hot-key table it
     broadcasts is small by construction (keys with > cap members).
     """
-    counts = (
+    # ONE aggregation carries both the EXACT bucket count and the
+    # (cap-sliced) sorted id list; an eager bounded probe collects the
+    # hot keys off that same plan. No hot buckets (the overwhelmingly
+    # common case) ⇒ the returned plan is the pre-fix single-aggregation
+    # one — the only added cost is the probe pass, which rides the
+    # upstream cache when the caller persisted its signature stage
+    # (q32's shape) and costs one recompute when it didn't. The earlier
+    # anti+semi two-broadcast formulation paid THREE uncached signature
+    # passes (510k-doc minhash probe: 182s vs 53s pre-fix); this one
+    # pays two. A left-join-with-marker single-broadcast variant was
+    # also tried and is worse still (12-18s warm vs 3.5s at sf0.1): the
+    # outer join's null side blocks the partial collect_set shape.
+    agg = (
         tagged.groupBy(*bucket_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.slice(F.sort_array(F.collect_set("_id")), 1, cap).alias("_ids"),
+        )
         .filter(F.col("_n") > 1)
     )
-    # persist the (tiny, bounded: keys with > cap members) hot-key
-    # table: it feeds TWO broadcast builds (anti + semi), and without
-    # the cache each build re-materializes the whole upstream signature
-    # stage — measured 2x the cold q32 pass (49.6s vs 23.4s at sf0.1;
-    # the persisted-broadcast pair runs 32.8s cold / 3.5s warm). A
-    # single left-join-with-marker formulation was TRIED and is WORSE
-    # (12-18s warm vs 3.5s): the outer join's null-producing side
-    # blocks the partial collect_set aggregation shape the anti-join
-    # keeps.
-    hot_keys = (
-        counts.filter(F.col("_n") > cap).select(*bucket_cols).persist()
-    )
-    cold = tagged.join(F.broadcast(hot_keys), bucket_cols, "left_anti")
-    buckets = (
-        cold.groupBy(*bucket_cols)
-        .agg(F.sort_array(F.collect_set("_id")).alias("_ids"))
-        .filter(F.size("_ids") > 1)
-    )
-    combos = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+    hot = agg.filter(F.col("_n") > cap).select(*bucket_cols).collect()
+
+    def _combos(src: DataFrame) -> DataFrame:
+        combos = F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        return src.select(F.explode(combos).alias("_p")).select(
+            F.col("_p.a").alias("a"), F.col("_p.b").alias("b")
+        )
+
+    if not hot:
+        return _combos(agg).dropDuplicates(["a", "b"])
+    # hot buckets exist (> cap co-occurring ids): their |B|^2 candidate
+    # set is exactly what the blocking scheme demands — produce it with
+    # a distributed self-join (AQE skew-split spreads a hot key) instead
+    # of one unbounded in-memory id array. The cap used to TRUNCATE
+    # here: every pair past position `cap` of a hot bucket silently
+    # vanished — at sf0.1 dedup.simhash lost 13/512 oracle pairs the
+    # moment one 15-bit chunk bucket crossed 200 docs, voiding the
+    # pigeonhole completeness guarantee (round-5 find).
+    hot_df = F.broadcast(
+        tagged.sparkSession.createDataFrame(
+            [tuple(r[c] for c in bucket_cols) for r in hot],
+            tagged.select(*bucket_cols).schema,
         )
     )
-    cold_pairs = (
-        buckets.select(F.explode(combos).alias("_p"))
-        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
-    )
-    hot = tagged.join(F.broadcast(hot_keys), bucket_cols, "left_semi")
-    hot_pairs = hot.alias("l").join(
-        hot.alias("r"),
+    cold_pairs = _combos(agg.filter(F.col("_n") <= cap))
+    hot_rows = tagged.join(hot_df, bucket_cols, "left_semi")
+    hot_pairs = hot_rows.alias("l").join(
+        hot_rows.alias("r"),
         [F.col(f"l.{c}") == F.col(f"r.{c}") for c in bucket_cols]
         + [F.col("l._id") < F.col("r._id")],
     ).select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
