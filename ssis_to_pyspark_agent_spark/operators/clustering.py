@@ -364,8 +364,35 @@ def cluster_prune(spark: SparkSession, inputs, config, context):
     # with its input, so the counts are identical — and building the
     # broadcast side from `scored` would run the Python distance kernel
     # (plus whatever upstream labeling feeds it) a second time per
-    # action (review finding, round 5)
-    sizes = df.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("_n"))
+    # action (review finding, round 5). The NULL/range validation ALSO
+    # lives here, on the bounded per-cluster rows: the kernel-side
+    # check alone is NOT reliably reached for the 'out' port — the
+    # inner sizes join infers isnotnull(cluster), and when every
+    # cluster is NULL, AQE propagates the EMPTY build side into an
+    # EmptyRelation that skips the kernel entirely (observed: raise in
+    # a fresh session, silent [] after AQE won the race in a warm one).
+    # raise_error inside the join-key projection always materializes
+    # with the broadcast, so the failure is deterministic.
+    bad_msg = (
+        f"cluster.prune: NULL or out-of-range {cluster_col!r} — assigned "
+        "rows and centroids come from different clusterings "
+        f"(expected 0..{k - 1})"
+    )
+    sizes = (
+        df.groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.when(
+                F.col(cluster_col).isNull()
+                | (F.col(cluster_col) < 0)
+                | (F.col(cluster_col) >= k),
+                F.raise_error(F.lit(bad_msg)),
+            )
+            .otherwise(F.col(cluster_col))
+            .alias(cluster_col),
+            "_n",
+        )
+    )
     order = (
         [F.col("dist").asc(), F.col(id_col).asc()]
         if keep == "hard"
