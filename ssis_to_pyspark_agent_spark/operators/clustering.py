@@ -33,6 +33,13 @@ def cents_from_frame(rows, who: str) -> list[list[int]]:
     centroid input): if the port shape ever changes, it changes here."""
     if not rows:
         raise ValueError(f"{who}: empty centroid input")
+    if any(r["cluster"] < 0 or r["dim"] < 0 for r in rows):
+        # Python negative indexing would otherwise silently OVERWRITE
+        # the last centroid's coordinates — corruption, not an error
+        raise ValueError(
+            f"{who}: negative cluster/dim in the centroid frame — not a "
+            "cluster.kmeans 'centroids' port"
+        )
     k = max(r["cluster"] for r in rows) + 1
     dim = max(r["dim"] for r in rows) + 1
     cents = [[0] * dim for _ in range(k)]

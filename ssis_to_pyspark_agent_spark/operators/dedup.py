@@ -200,6 +200,15 @@ def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFr
     pigeonhole scheme's completeness guarantee (round-5 find). The cap
     is now a PLAN switch, never a recall cut; the hot-key table it
     broadcasts is small by construction (keys with > cap members).
+
+    The hot/cold split is decided by an eager probe; the returned plan
+    GUARDS against probe/action drift (a bucket crossing the cap
+    between the two because the caller's lineage is non-deterministic)
+    with an in-plan raise_error — such a bucket fails loudly instead of
+    losing its pairs. When hot buckets exist, their actions recompute
+    the aggregation and the semi-filtered scans from the caller's
+    lineage — persist the upstream signature stage (cache_base=True on
+    the dedup ops) if hot buckets are expected on an expensive input.
     """
     # ONE aggregation carries both the EXACT bucket count and the
     # (cap-sliced) sorted id list; an eager bounded probe collects the
@@ -224,11 +233,25 @@ def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFr
     hot = agg.filter(F.col("_n") > cap).select(*bucket_cols).collect()
 
     def _combos(src: DataFrame) -> DataFrame:
+        # drift guard: a bucket the probe classified cold but whose
+        # count exceeds `cap` at action time (non-deterministic caller
+        # lineage) would otherwise explode a TRUNCATED id list — fail
+        # loudly instead (see docstring)
+        ids = F.when(
+            F.col("_n") > cap,
+            F.raise_error(
+                F.lit(
+                    "_bucket_pairs: a bucket crossed bucket_cap between "
+                    "the planning probe and the action — the input "
+                    "lineage is non-deterministic; persist or seed it"
+                )
+            ),
+        ).otherwise(F.col("_ids"))
         combos = F.flatten(
             F.transform(
-                F.col("_ids"),
+                ids,
                 lambda x, i: F.transform(
-                    F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                    F.slice(ids, i + 2, F.size(ids)),
                     lambda y: F.struct(x.alias("a"), y.alias("b")),
                 ),
             )
@@ -239,21 +262,17 @@ def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFr
 
     if not hot:
         return _combos(agg).dropDuplicates(["a", "b"])
-    # hot buckets exist (> cap co-occurring ids): their |B|^2 candidate
-    # set is exactly what the blocking scheme demands — produce it with
-    # a distributed self-join (AQE skew-split spreads a hot key) instead
-    # of one unbounded in-memory id array. The cap used to TRUNCATE
-    # here: every pair past position `cap` of a hot bucket silently
-    # vanished — at sf0.1 dedup.simhash lost 13/512 oracle pairs the
-    # moment one 15-bit chunk bucket crossed 200 docs, voiding the
-    # pigeonhole completeness guarantee (round-5 find).
+    # hot buckets: distributed self-join (see docstring)
     hot_df = F.broadcast(
         tagged.sparkSession.createDataFrame(
             [tuple(r[c] for c in bucket_cols) for r in hot],
             tagged.select(*bucket_cols).schema,
         )
     )
-    cold_pairs = _combos(agg.filter(F.col("_n") <= cap))
+    # anti-join (not a count filter) picks the cold side, so a bucket
+    # that DRIFTED over the cap still reaches _combos and trips the
+    # guard instead of being silently dropped from both branches
+    cold_pairs = _combos(agg.join(hot_df, bucket_cols, "left_anti"))
     hot_rows = tagged.join(hot_df, bucket_cols, "left_semi")
     hot_pairs = hot_rows.alias("l").join(
         hot_rows.alias("r"),
@@ -1438,7 +1457,19 @@ def dedup_embedding(spark: SparkSession, inputs, config, context):
                 if len(pdf) < 2:
                     return pd.DataFrame({"a": [], "b": [],
                                          "cosine": pd.Series(dtype="float64")})
-                pdf = pdf.sort_values("_id").head(cap)
+                if len(pdf) > cap:
+                    # head(cap) here used to TRUNCATE — the same silent
+                    # recall loss _bucket_pairs had (round-5 find); the
+                    # |B|^2 kernel matrix is a worker-memory hazard, so
+                    # a fat bucket fails LOUDLY instead (the exact
+                    # default verify_impl='join' handles it)
+                    raise ValueError(
+                        f"dedup.embedding: bucket {key} holds {len(pdf)}"
+                        f" rows (> bucket_cap {cap}); use the default "
+                        "verify_impl='join' (exact at any bucket size) "
+                        "or raise bucket_cap"
+                    )
+                pdf = pdf.sort_values("_id")
                 v = _half_up(_vecmat(pdf["_v"]), quantize)
                 n = np.sqrt((v * v).sum(axis=1))
                 with np.errstate(divide="ignore", invalid="ignore"):
