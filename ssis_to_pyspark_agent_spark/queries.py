@@ -1296,7 +1296,14 @@ _LANGS_SQL = {
     # Tagged union: ('doc', per-doc features) rows plus ('chunk',
     # text.pack emit='text' materialized packed sequences — md5 + token
     # count of each 512-token chunk of the normalized global token
-    # stream, re-derived in SQL from the same cumsum).
+    # stream, re-derived in SQL from the same cumsum), plus the
+    # text.segment legs (merged former q83, round-6 consolidation):
+    # ('seg_para', paragraph mode over text with injected blank-line
+    # breaks — every 'table ' occurrence becomes a paragraph boundary,
+    # a deterministic replace both engines share) and ('seg_fixed',
+    # 16-word windows over the raw whitespace tokens). Segment indices
+    # are dense post-filter; md5 + token count of EVERY segment
+    # hash-checked.
     oracle=f"""
     WITH tok AS (
       SELECT doc_id,
@@ -1364,7 +1371,29 @@ _LANGS_SQL = {
     pchunk AS (SELECT CAST(g // 512 AS BIGINT) AS chunk_id,
                       MD5(string_agg(tok, ' ' ORDER BY g)) AS packed_md5,
                       CAST(COUNT(*) AS INT) AS packed_tokens
-               FROM pglob GROUP BY g // 512)
+               FROM pglob GROUP BY g // 512),
+    saug AS (
+      SELECT doc_id,
+             replace(text, 'table ', 'table.' || chr(10) || chr(10)) AS t
+      FROM documents),
+    spl AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split_regex(t, '\\n\\s*\\n+'),
+                                        x -> trim(x)), x -> x <> '') AS l
+      FROM saug),
+    spara AS (
+      SELECT doc_id, unnest(l) AS seg, generate_subscripts(l, 1) AS i
+      FROM spl),
+    sw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    sfseg AS (
+      SELECT doc_id, j,
+             array_to_string(w[j*16+1 : least((j+1)*16, len(w))], ' ') AS seg
+      FROM (SELECT doc_id, w,
+                   unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS j
+            FROM sw WHERE len(w) > 0))
     SELECT 'doc' AS kind, t.doc_id, t.ws_tokens, t.bpe_tokens, t.fp_md5,
            q.n_chars, q.n_words, q.mean_word_len, q.punct_ratio,
            q.digit_ratio, q.stopword_ratio, l.lang_pred, l.lang_score,
@@ -1382,6 +1411,22 @@ _LANGS_SQL = {
            NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
            packed_md5, packed_tokens
     FROM pchunk
+    UNION ALL
+    -- text.segment legs (merged former q83, round-6 consolidation):
+    -- ws_tokens carries seg_idx, packed_md5/packed_tokens carry the
+    -- segment md5 + token count (same column-repurposing idiom as the
+    -- 'chunk' leg's chunk_id-in-doc_id)
+    SELECT 'seg_para', doc_id, CAST(i - 1 AS BIGINT), NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, md5(seg),
+           CAST(len(regexp_extract_all(seg, '\\S+')) AS INT)
+    FROM spara
+    UNION ALL
+    SELECT 'seg_fixed', doc_id, CAST(j AS BIGINT), NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, md5(seg),
+           CAST(len(regexp_extract_all(seg, '\\S+')) AS INT)
+    FROM sfseg
     """,
 )
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1401,6 +1446,15 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "last_chunk", "n_chunks"])
         .step("pkt", "text.pack", "documents", id_col="doc_id",
               count_col=None, text_col="text", capacity=512, emit="text")
+        # text.segment legs (merged former q83): paragraph mode over
+        # injected blank-line breaks + fixed 16-word windows
+        .step("sa", "derived_column", "documents", columns={
+            "t": F.replace(F.col("text"), F.lit("table "),
+                           F.lit("table.\n\n"))
+        })
+        .step("ps", "text.segment", "sa", text_col="t", mode="paragraph")
+        .step("fs", "text.segment", "documents", text_col="text",
+              mode="fixed_words", n=16)
     )
     r = run_pipeline(spark, p)
     docs = (
@@ -1423,7 +1477,29 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("packed_md5"),
         F.col("n_tokens").cast("int").alias("packed_tokens"),
     )
-    return docs.unionByName(chunks)
+
+    def seg_leg(df: DataFrame, kind: str) -> DataFrame:
+        # ws_tokens carries seg_idx; packed_md5/packed_tokens carry the
+        # segment md5 + token count (mirrors the oracle's repurposing)
+        return df.select(
+            F.lit(kind).alias("kind"),
+            F.col("doc_id"),
+            F.col("seg_idx").cast(null_of["ws_tokens"]).alias("ws_tokens"),
+            *[
+                F.lit(None).cast(null_of[c]).alias(c)
+                for c in doc_cols
+                if c not in ("doc_id", "ws_tokens", "packed_md5",
+                             "packed_tokens")
+            ],
+            F.md5("seg_text").alias("packed_md5"),
+            F.col("seg_tokens").cast("int").alias("packed_tokens"),
+        )
+
+    return (
+        docs.unionByName(chunks)
+        .unionByName(seg_leg(r.df("ps"), "seg_para"))
+        .unionByName(seg_leg(r.df("fs"), "seg_fixed"))
+    )
 
 
 # -- similarity search ------------------------------------------------------
@@ -1442,9 +1518,7 @@ _QCOS_SQL = """
 """
 
 
-@query(
-    "q37_ann_bruteforce_topk",
-    oracle=f"""
+_Q37_BRUTE_SQL = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS a FROM embeddings
                WHERE vec_id IN (0, 7, 21)),
          c AS (SELECT vec_id AS corpus_id, embedding AS b FROM embeddings)
@@ -1453,19 +1527,7 @@ _QCOS_SQL = """
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY {_QCOS_SQL} DESC, corpus_id) AS rank
       FROM c, q) WHERE rank <= 5
-    """,
-)
-def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q37", sf_dir, "embeddings")
-        .step("qs", "filter", "embeddings", predicate="[vec_id] == 0 || [vec_id] == 7 || [vec_id] == 21")
-        .step("topk", "similarity.topk_bruteforce", ["embeddings", "qs"],
-              id_col="vec_id", vec_col="embedding",
-              query_id_col="vec_id", query_vec_col="embedding",
-              k=5, quantize=10000)
-    )
-    df = run_pipeline(spark, p).df("topk")
-    return df.withColumn("rank", F.col("rank").cast("long"))
+    """
 
 
 _Q38_LSH_SQL = f"""
@@ -1550,21 +1612,33 @@ _Q38_IVF_SQL = f"""
 
 
 @query(
-    "q38_ann_indexed_topk",
-    # Merged q38+q39: both index-accelerated ANN paths (hyperplane LSH and
-    # IVF coarse quantization) as one tagged union. Each side keeps its
-    # full-algorithm oracle: md5-derived integer hyperplanes / md5-ordered
-    # centroids + quantized cosine make the approximate candidate sets
-    # bit-reproducible in SQL.
+    "q37_ann_topk",
+    # Merged q37+q38+q39 (round-6 consolidation — the catalog must sit
+    # inside the driver's 50-query window): ALL THREE similarity-search
+    # paths as one tagged union — exact brute-force cosine top-k
+    # (the baseline), hyperplane-LSH, and IVF coarse quantization.
+    # Each leg keeps its full pre-merge oracle: md5-derived integer
+    # hyperplanes / md5-ordered centroids + quantized cosine make even
+    # the approximate candidate sets bit-reproducible in SQL.
     oracle=f"""
-    SELECT 'lsh' AS method, * FROM ({_Q38_LSH_SQL})
+    SELECT 'brute' AS method, * FROM ({_Q37_BRUTE_SQL})
+    UNION ALL
+    SELECT 'lsh', * FROM ({_Q38_LSH_SQL})
     UNION ALL
     SELECT 'ivf', * FROM ({_Q38_IVF_SQL})
     """,
 )
-def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
-        _p("q38", sf_dir, "embeddings")
+        _p("q37", sf_dir, "embeddings")
+        .step("qb", "filter", "embeddings",
+              predicate="[vec_id] == 0 || [vec_id] == 7 || [vec_id] == 21")
+        .step("brute", "similarity.topk_bruteforce", ["embeddings", "qb"],
+              id_col="vec_id", vec_col="embedding",
+              query_id_col="vec_id", query_vec_col="embedding",
+              k=5, quantize=10000)
+        .step("brute_t", "derived_column", "brute",
+              columns={"method": '"brute"'})
         .step("qs", "filter", "embeddings", predicate="[vec_id] < 5")
         .step("lsh", "similarity.topk_lsh", ["embeddings", "qs"],
               id_col="vec_id", vec_col="embedding",
@@ -1578,7 +1652,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
               k=5, centroids=16, nprobe=4,
               centroid_order="md5", quantize=10000)
         .step("ivf_t", "derived_column", "ivf", columns={"method": '"ivf"'})
-        .step("u", "union_all", ["lsh_t", "ivf_t"])
+        .step("u", "union_all", ["brute_t", "lsh_t", "ivf_t"])
         .step("prj", "select", "u",
               columns=["method", "query_id", "corpus_id", "cosine", "rank"])
     )
@@ -3808,20 +3882,73 @@ def _q80_oracle(k: int, n_iter: int, quantize: int, dims: int) -> str:
     )
 
 
+def _q80_full_oracle(k: int, n_iter: int, quantize: int, dims: int,
+                     frac: float) -> str:
+    """The q80 oracle: kmeans iterative CTE replay (assign + centroid
+    legs) EXTENDED with the cluster.prune rank replay as a third
+    ('prune') leg — round-6 consolidation folded the former q82 into
+    q80's slot (prune replays the same kmeans CTE chain, so one chained
+    query covers both operators inside the driver's 50-query window).
+    frac rides CAST(.. AS DOUBLE): a bare literal would be DuckDB
+    DECIMAL, whose exact floor(0.3 * 10) = 3 diverges from the
+    operator's double floor(2.999..) = 2 for non-dyadic fractions."""
+    ctes, last_a, last_c = _q80_ctes(k, n_iter, quantize, dims)
+    ctes.append(
+        f"""pd0 AS (SELECT v.vec_id, a.cluster,
+              SUM((v.q[c.dim + 1] - c.val) * (v.q[c.dim + 1] - c.val))
+                AS dist
+          FROM vq v JOIN {last_a} a USING (vec_id)
+          JOIN {last_c} c ON a.cluster = c.cluster
+          GROUP BY v.vec_id, a.cluster)"""
+    )
+    ctes.append(
+        "pn AS (SELECT cluster, COUNT(*) AS n FROM pd0 GROUP BY cluster)"
+    )
+    ctes.append(
+        """pr AS (SELECT vec_id, cluster, dist, ROW_NUMBER() OVER (
+              PARTITION BY cluster ORDER BY dist, vec_id) AS rn
+          FROM pd0)"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT 'assign' AS mode, vec_id AS a, CAST(cluster AS BIGINT) AS b,
+           CAST(0 AS BIGINT) AS v
+    FROM {last_a}
+    UNION ALL
+    SELECT 'centroid', CAST(cluster AS BIGINT), CAST(dim AS BIGINT),
+           CAST(val AS BIGINT)
+    FROM {last_c}
+    UNION ALL
+    SELECT 'prune', pr.vec_id, CAST(pr.cluster AS BIGINT),
+           CAST(pr.dist AS BIGINT)
+    FROM pr JOIN pn USING (cluster)
+    WHERE pr.rn > CAST(floor(CAST({frac!r} AS DOUBLE)
+                             * CAST(pn.n AS DOUBLE)) AS BIGINT)"""
+    )
+
+
 @query(
     "q80_embedding_kmeans",
     # Distributed Lloyd's over the 64-dim embedding corpus: md5-ordered
     # seeding, 2 full assign/update iterations, final labeling — checked
     # row-for-row (every assignment AND every centroid coordinate)
     # against the oracle's iterative CTE replay. Engine-exact because
-    # the operator does everything in quantized integers.
-    oracle=_q80_oracle(k=4, n_iter=2, quantize=10000, dims=64),
+    # the operator does everything in quantized integers. The 'prune'
+    # leg (merged former q82) composes cluster.prune (Sorscher et al.
+    # 2022) on the SAME kmeans ports: drop the 50% of each cluster
+    # closest to its centroid (keep='hard'); kept ids AND their exact
+    # integer distances hash-checked against the rank replay.
+    oracle=_q80_full_oracle(k=4, n_iter=2, quantize=10000, dims=64,
+                            frac=0.5),
 )
 def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         _p("q80", sf_dir, "embeddings")
         .step("km", "cluster.kmeans", "embeddings", id_col="vec_id",
               vec_col="embedding", k=4, n_iter=2, quantize=10000)
+        .step("pr", "cluster.prune", ["km.out", "km.centroids"],
+              id_col="vec_id", vec_col="embedding", prune_frac=0.5,
+              keep="hard", quantize=10000)
     )
     r = run_pipeline(spark, p)
     assign = r.df("km.out").select(
@@ -3836,7 +3963,13 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("long").alias("b"),
         F.col("val").alias("v"),
     )
-    return assign.unionByName(cents)
+    pruned = r.df("pr.out").select(
+        F.lit("prune").alias("mode"),
+        F.col("vec_id").alias("a"),
+        F.col("cluster").cast("long").alias("b"),
+        F.col("dist").alias("v"),
+    )
+    return assign.unionByName(cents).unionByName(pruned)
 
 # ---------------------------------------------------------------------------
 # End-to-end curation funnel (§2.12 — sequential composition)
@@ -4052,13 +4185,15 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q82_oracle(k: int, n_iter: int, quantize: int, dims: int,
                 frac: float) -> str:
-    """q80's kmeans CTE chain + the cluster.prune replay: exact integer
-    distance of every vector to ITS centroid, ROW_NUMBER over
-    (dist, vec_id) per cluster, drop the floor(frac*n) most prototypical
-    (keep='hard'). frac is emitted as CAST(.. AS DOUBLE) — a bare
-    literal would be DuckDB DECIMAL, whose exact floor(0.3 * 10) = 3
-    diverges from the operator's double floor(2.999..) = 2 for
-    non-dyadic fractions (review finding, round 5)."""
+    """Standalone prune-only replay (kept for the frac=0.3 DECIMAL-vs-
+    DOUBLE unit test in tests/test_operators.py; the catalog query now
+    runs the merged _q80_full_oracle): exact integer distance of every
+    vector to ITS centroid, ROW_NUMBER over (dist, vec_id) per cluster,
+    drop the floor(frac*n) most prototypical (keep='hard'). frac is
+    emitted as CAST(.. AS DOUBLE) — a bare literal would be DuckDB
+    DECIMAL, whose exact floor(0.3 * 10) = 3 diverges from the
+    operator's double floor(2.999..) = 2 for non-dyadic fractions
+    (review finding, round 5)."""
     ctes, last_a, last_c = _q80_ctes(k, n_iter, quantize, dims)
     ctes.append(
         f"""pd0 AS (SELECT v.vec_id, a.cluster,
@@ -4086,92 +4221,3 @@ def _q82_oracle(k: int, n_iter: int, quantize: int, dims: int,
     )
 
 
-@query(
-    "q82_cluster_prune",
-    # Sorscher et al. 2022 prototypicality pruning composed on the q80
-    # kmeans: drop the 50% of each cluster closest to its centroid
-    # (keep the hard examples). The oracle extends the kmeans replay
-    # with the exact integer distance rank — kept ids AND their
-    # distances hash-checked.
-    oracle=_q82_oracle(k=4, n_iter=2, quantize=10000, dims=64, frac=0.5),
-)
-def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q82", sf_dir, "embeddings")
-        .step("km", "cluster.kmeans", "embeddings", id_col="vec_id",
-              vec_col="embedding", k=4, n_iter=2, quantize=10000)
-        .step("pr", "cluster.prune", ["km.out", "km.centroids"],
-              id_col="vec_id", vec_col="embedding", prune_frac=0.5,
-              keep="hard", quantize=10000)
-    )
-    r = run_pipeline(spark, p)
-    return r.df("pr.out").select(
-        "vec_id", F.col("cluster").cast("long").alias("cluster"), "dist"
-    )
-
-
-@query(
-    "q83_segmentation",
-    # text.segment — the pre-embedding chunking primitive. Paragraph
-    # mode runs over text with injected blank-line breaks (the corpus
-    # has none natively: every 'table ' occurrence becomes a paragraph
-    # boundary, a deterministic replace both engines share); fixed_words
-    # mode windows the raw whitespace tokens 16 at a time. Segment
-    # indices are dense post-filter; md5 + token count of every segment
-    # hash-checked.
-    oracle="""
-    WITH aug AS (
-      SELECT doc_id,
-             replace(text, 'table ', 'table.' || chr(10) || chr(10)) AS t
-      FROM documents),
-    pl AS (
-      SELECT doc_id,
-             list_filter(list_transform(string_split_regex(t, '\\n\\s*\\n+'),
-                                        x -> trim(x)), x -> x <> '') AS l
-      FROM aug),
-    para AS (
-      SELECT doc_id, unnest(l) AS seg, generate_subscripts(l, 1) AS i
-      FROM pl),
-    w AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
-      FROM documents),
-    fseg AS (
-      SELECT doc_id, j,
-             array_to_string(w[j*16+1 : least((j+1)*16, len(w))], ' ') AS seg
-      FROM (SELECT doc_id, w,
-                   unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS j
-            FROM w WHERE len(w) > 0))
-    SELECT doc_id, 'para' AS mode, CAST(i - 1 AS INT) AS seg_idx,
-           md5(seg) AS seg_md5,
-           CAST(len(regexp_extract_all(seg, '\\S+')) AS INT) AS seg_tokens
-    FROM para
-    UNION ALL
-    SELECT doc_id, 'fixed', CAST(j AS INT), md5(seg),
-           CAST(len(regexp_extract_all(seg, '\\S+')) AS INT)
-    FROM fseg
-    """,
-)
-def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q83", sf_dir, "documents")
-        .step("aug", "derived_column", "documents", columns={
-            "t": F.replace(F.col("text"), F.lit("table "),
-                           F.lit("table.\n\n"))
-        })
-        .step("ps", "text.segment", "aug", text_col="t", mode="paragraph")
-        .step("fs", "text.segment", "documents", text_col="text",
-              mode="fixed_words", n=16)
-    )
-    r = run_pipeline(spark, p)
-
-    def leg(df: DataFrame, mode: str) -> DataFrame:
-        return df.select(
-            "doc_id",
-            F.lit(mode).alias("mode"),
-            F.col("seg_idx").cast("int").alias("seg_idx"),
-            F.md5("seg_text").alias("seg_md5"),
-            F.col("seg_tokens").cast("int").alias("seg_tokens"),
-        )
-
-    return leg(r.df("ps"), "para").unionByName(leg(r.df("fs"), "fixed"))
