@@ -29,7 +29,7 @@ HEADLINE = [
     "q30_dedup_exact_digest",       # digest dedup shuffle
     "q32_dedup_minhash_lsh",        # signature + band self-join
     "q34_text_features",            # regex/array narrow pass
-    "q37_ann_bruteforce_topk",      # vector math
+    "q37_ann_topk",                 # vector math (brute/lsh/ivf legs)
     "q41_events_windows_json",      # time windows + json props
     "q42_sessionization",           # window lag + agg
     "q50_medium_package_flow",      # flagship: full SSIS change-detection DAG
@@ -39,9 +39,9 @@ HEADLINE = [
     "q31_dedup_ngram_cluster",      # exact ngram block-join + closure
     "q40_dedup_embedding_pairs",    # vectorized quantized matmul
     "q78_stream_stream_join",       # micro-batch stream-stream join
-    # round-5 additions: the clustering + composed-pipeline flagships
-    "q80_embedding_kmeans",         # distributed Lloyd's (iterative jobs)
-    "q81_curation_funnel",          # sequential five-stage curation cascade
+    # round-5/6 additions: the clustering + composed-pipeline flagships
+    "q80_embedding_kmeans",         # distributed Lloyd's + prune (iterative)
+    "q44_data_hygiene",             # hygiene legs + single-pass curation funnel
 ]
 
 

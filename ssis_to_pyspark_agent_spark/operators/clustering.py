@@ -48,6 +48,31 @@ def cents_from_frame(rows, who: str) -> list[list[int]]:
     return cents
 
 
+def _exactness_guard(vq, cm, who: str) -> float:
+    """The bit-exactness contract, enforced instead of assumed (ADVICE
+    round 5): every squared-distance term must stay an EXACT float64
+    integer, i.e. max d2 = dim * (2m)^2 < 2^53 with m the largest
+    |quantized coordinate| across data and centroids. Beyond it the
+    float64 argmin can silently diverge from the integer oracle — fail
+    loudly with the knob to turn. Returns m for callers with further
+    batch-sum checks. One numpy abs-max per Arrow batch: negligible
+    next to the matmul it protects."""
+    import numpy as np
+
+    m = max(
+        float(np.abs(vq).max(initial=0.0)),
+        float(np.abs(cm).max(initial=0.0)),
+    )
+    if 4.0 * m * m * cm.shape[1] >= 2.0**53:
+        raise ValueError(
+            f"{who}: quantized coordinates too large for the exact "
+            f"float64 distance contract (max |coord| {m:.6g} at dim "
+            f"{cm.shape[1]}: 4*m^2*dim >= 2^53) — lower `quantize` or "
+            "rescale the embeddings"
+        )
+    return m
+
+
 def _assign_kernel(cents, quantize: int, out_fields: list[str], vec_col: str,
                    cluster_col: str = "cluster"):
     """mapInPandas generator: rows -> rows + `cluster` (argmin of exact
@@ -80,6 +105,7 @@ def _assign_kernel(cents, quantize: int, out_fields: list[str], vec_col: str,
                     "filter NULL vectors out upstream"
                 )
             vq = _half_up(_vecmat(pdf[vec_col]), quantize)
+            _exactness_guard(vq, cm, "cluster.kmeans")
             d2 = (vq * vq).sum(axis=1)[:, None] - 2.0 * (vq @ cm.T) + c2[None, :]
             pdf = pdf.copy()
             pdf[cluster_col] = np.argmin(d2, axis=1).astype("int32")
@@ -118,6 +144,17 @@ def _update_kernel(cents):
                     "filter NULL vectors out upstream"
                 )
             vq = _vecmat(pdf["_vq"])  # already integer-valued
+            m = _exactness_guard(vq, cm, "cluster.kmeans")
+            if len(pdf) * m >= 2.0**53:
+                # per-batch float64 partial sums must stay exact too:
+                # |s| <= batch_rows * m (the docstring's 10k-Arrow-batch
+                # assumption, now enforced)
+                raise ValueError(
+                    "cluster.kmeans: Arrow batch too large for exact "
+                    f"float64 partial sums ({len(pdf)} rows x max "
+                    f"|coord| {m:.6g} >= 2^53) — lower `quantize` or "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             d2 = (vq * vq).sum(axis=1)[:, None] - 2.0 * (vq @ cm.T) + c2[None, :]
             lab = np.argmin(d2, axis=1)
             n = np.bincount(lab, minlength=k)
@@ -197,11 +234,10 @@ def cluster_kmeans(spark: SparkSession, inputs, config, context):
         .limit(k)
         .collect()
     )
-    if not seeds:
-        out = df.withColumn(cluster_col, F.lit(None).cast("int"))
-        cents_df = spark.createDataFrame([], "cluster int, dim int, val long")
-        return {"out": out, "centroids": cents_df}
     if len(seeds) < k:
+        # the EMPTY corpus raises through the same branch (ADVICE round
+        # 5: it used to return a NULL-cluster pass-through, inconsistent
+        # with the n<k raise and a footgun for downstream cluster.prune)
         raise ValueError(
             f"cluster.kmeans: k={k} exceeds the {len(seeds)}-row corpus"
         )
@@ -356,6 +392,7 @@ def cluster_prune(spark: SparkSession, inputs, config, context):
                     "and centroids come from different clusterings"
                 )
             vq = _half_up(_vecmat(pdf[vec_col]), quantize)
+            _exactness_guard(vq, cm, "cluster.prune")
             diff = vq - cm[li]
             pdf = pdf.copy()
             pdf["dist"] = (diff * diff).sum(axis=1).astype("int64")

@@ -180,6 +180,14 @@ def _spread(spark, df: DataFrame) -> DataFrame:
     return df
 
 
+#: hard bound on the hot-bucket keys collected to the driver — above it
+#: (a degenerate corpus where most buckets exceed bucket_cap) the whole
+#: input routes through the distributed self-join instead of a broadcast
+#: hot-key table (ADVICE round 5: the unbounded collect risked driver
+#: OOM at up to rows/cap keys).
+_MAX_HOT_KEYS = 4096
+
+
 def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
     """Distinct (a, b) id pairs co-occurring in a bucket.
 
@@ -205,11 +213,22 @@ def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFr
     GUARDS against probe/action drift (a bucket crossing the cap
     between the two because the caller's lineage is non-deterministic)
     with an in-plan raise_error — such a bucket fails loudly instead of
-    losing its pairs. When hot buckets exist, their actions recompute
-    the aggregation and the semi-filtered scans from the caller's
-    lineage — persist the upstream signature stage (cache_base=True on
-    the dedup ops) if hot buckets are expected on an expensive input.
+    losing its pairs.
+
+    Cache discipline (round-6): when the caller did NOT persist
+    ``tagged``, it is auto-persisted for the probe+action lifetime —
+    the probe fills the cache, the hot branches (which scan the input
+    three more times) ride it, and the candidate-pair result is
+    materialized eagerly (bounded, invariant 13a) so the input cache
+    can be RELEASED before returning. On the common no-hot path the
+    lazy single-aggregation plan returns unchanged (the transient
+    cache is dropped first; the action recomputes one pass exactly as
+    before — measured costs in PLANS.md). The driver only ever holds
+    <= _MAX_HOT_KEYS hot keys; a degenerate corpus beyond that routes
+    WHOLESALE through the distributed self-join (correct at any bucket
+    size, no broadcast table at all).
     """
+    from pyspark import StorageLevel
     # ONE aggregation carries both the EXACT bucket count and the
     # (cap-sliced) sorted id list; an eager bounded probe collects the
     # hot keys off that same plan. No hot buckets (the overwhelmingly
@@ -230,8 +249,37 @@ def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFr
         )
         .filter(F.col("_n") > 1)
     )
-    hot = agg.filter(F.col("_n") > cap).select(*bucket_cols).collect()
 
+    def _self_join(src: DataFrame) -> DataFrame:
+        return (
+            src.alias("l")
+            .join(
+                src.alias("r"),
+                [F.col(f"l.{c}") == F.col(f"r.{c}") for c in bucket_cols]
+                + [F.col("l._id") < F.col("r._id")],
+            )
+            .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        )
+
+    auto_persist = tagged.storageLevel == StorageLevel.NONE
+    if auto_persist:
+        tagged.persist()
+    try:
+        hot = (
+            agg.filter(F.col("_n") > cap)
+            .select(*bucket_cols)
+            .limit(_MAX_HOT_KEYS + 1)
+            .collect()
+        )
+        return _bucket_pairs_plan(tagged, agg, bucket_cols, cap, hot,
+                                  _self_join, auto_persist)
+    finally:
+        if auto_persist:
+            tagged.unpersist()
+
+
+def _bucket_pairs_plan(tagged, agg, bucket_cols, cap, hot, _self_join,
+                       auto_persist) -> DataFrame:
     def _combos(src: DataFrame) -> DataFrame:
         # drift guard: a bucket the probe classified cold but whose
         # count exceeds `cap` at action time (non-deterministic caller
@@ -261,7 +309,19 @@ def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFr
         )
 
     if not hot:
+        # the transient auto-persist is released by the caller's
+        # finally before any action — the lazy plan recomputes exactly
+        # the one pass the pre-fix code paid
         return _combos(agg).dropDuplicates(["a", "b"])
+    if len(hot) > _MAX_HOT_KEYS:
+        # degenerate corpus: more hot buckets than the driver should
+        # ever hold — no broadcast table, route EVERY bucket through
+        # the distributed self-join (correct at any bucket size; the
+        # |B|^2 work is exactly what the blocking scheme demands and
+        # AQE skew-split spreads it). Restricting to _n > 1 buckets
+        # first would need another corpus-wide join — not worth it on
+        # a path whose cost is the self-join itself.
+        return _self_join(tagged).dropDuplicates(["a", "b"])
     # hot buckets: distributed self-join (see docstring)
     hot_df = F.broadcast(
         tagged.sparkSession.createDataFrame(
@@ -274,12 +334,19 @@ def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFr
     # guard instead of being silently dropped from both branches
     cold_pairs = _combos(agg.join(hot_df, bucket_cols, "left_anti"))
     hot_rows = tagged.join(hot_df, bucket_cols, "left_semi")
-    hot_pairs = hot_rows.alias("l").join(
-        hot_rows.alias("r"),
-        [F.col(f"l.{c}") == F.col(f"r.{c}") for c in bucket_cols]
-        + [F.col("l._id") < F.col("r._id")],
-    ).select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
-    return cold_pairs.unionByName(hot_pairs).dropDuplicates(["a", "b"])
+    hot_pairs = _self_join(hot_rows)
+    result = cold_pairs.unionByName(hot_pairs).dropDuplicates(["a", "b"])
+    if auto_persist:
+        # materialize the bounded candidate set NOW, while the input
+        # cache (filled by the probe) is still alive: the agg recompute
+        # and both self-join scans ride it instead of re-deriving the
+        # caller's (possibly expensive, e.g. minhash-signature) lineage
+        # 3 more times — 510k-doc uncached hot-bucket probe 100.3s ->
+        # see PLANS.md. The result is candidate pairs (bounded,
+        # invariant 13a); callers already persist/release it.
+        result = result.persist()
+        result.count()
+    return result
 
 
 def _signature_bands(
@@ -656,9 +723,13 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
       lowercase scheme://authority; strip the scheme-default port
       (:80/:443); strip a leading ``www.``; drop the ``#fragment``;
       drop tracking query params (names in ``strip_params``, prefixes
-      in ``strip_param_prefixes`` — defaults above); sort the surviving
-      params. Path + param VALUES are untouched (case-significant per
-      RFC 3986). Strings without a ``scheme://authority`` head pass
+      in ``strip_param_prefixes`` — defaults above; the NAME match is
+      case-insensitive, so 'UTM_SOURCE='/'Fbclid=' are stripped too);
+      sort the surviving params. Path + param VALUES are untouched
+      (case-significant per RFC 3986). NOTE the default strip list is
+      deliberately aggressive: it includes the generic name ``ref``,
+      which on a few sites is a meaningful routing param — pass
+      ``strip_params=('fbclid', 'gclid', 'msclkid')`` to keep it. Strings without a ``scheme://authority`` head pass
       through these rules as bare path?query; NULL urls canonicalize to
       NULL and form a single group (SQL GROUP BY semantics).
 
@@ -685,10 +756,11 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
     canon_col = config.get("canon_col", "url_canon")
     keep_col = config.get("keep_col", "url_keep")
     strip_names = tuple(
-        config.get("strip_params", _URL_TRACKING_NAMES)
+        str(n).lower() for n in config.get("strip_params", _URL_TRACKING_NAMES)
     )
     strip_prefixes = tuple(
-        config.get("strip_param_prefixes", _URL_TRACKING_PREFIXES)
+        str(n).lower()
+        for n in config.get("strip_param_prefixes", _URL_TRACKING_PREFIXES)
     )
 
     u = F.trim(F.col(url_col))
@@ -712,7 +784,11 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
     )
 
     def _is_tracking(p: Column) -> Column:
-        name = F.regexp_extract(p, r"^([^=]*)", 1)
+        # case-insensitive name match: 'UTM_SOURCE=' / 'Fbclid=' must not
+        # survive canonicalization (ADVICE round 5) — the param name is
+        # lowercased before the strip test, and configured names/prefixes
+        # are lowercased too so a mixed-case config still matches
+        name = F.lower(F.regexp_extract(p, r"^([^=]*)", 1))
         cond = name.isin(*strip_names) if strip_names else F.lit(False)
         for pfx in strip_prefixes:
             cond = cond | name.startswith(pfx)

@@ -1392,6 +1392,13 @@ def segment(spark: SparkSession, inputs, config, context) -> DataFrame:
     token count). Pure JVM array expressions + one posexplode — zero
     shuffle at any scale; the corpus streams through once.
 
+    A document whose text is NULL, empty, or all-whitespace produces
+    ZERO segments and by default VANISHES from the output (inner
+    posexplode) — funnel-style doc counts over segment output must
+    count upstream, or pass ``keep_empty=True`` (posexplode_outer) to
+    keep one row per empty doc with NULL seg_idx/seg_text and
+    seg_tokens 0 (ADVICE round 5).
+
     Reference has no counterpart (nearest: Term Extraction,
     data_engineering_parser.py:1131) — NEW per SURVEY §2.12.
     """
@@ -1421,11 +1428,17 @@ def segment(spark: SparkSession, inputs, config, context) -> DataFrame:
     segs = F.filter(
         F.transform(parts, lambda x: F.trim(x)), lambda x: x != ""
     )
-    out = df.select(
-        "*", F.posexplode(segs).alias("seg_idx", "seg_text")
+    explode = (
+        F.posexplode_outer if config.get("keep_empty", False)
+        else F.posexplode
     )
+    out = df.select("*", explode(segs).alias("seg_idx", "seg_text"))
     return out.withColumn(
         "seg_tokens",
-        F.size(F.filter(F.split(F.col("seg_text"), r"\s+"),
-                        lambda x: x != "")).cast("int"),
+        F.when(F.col("seg_text").isNull(), F.lit(0))
+        .otherwise(
+            F.size(F.filter(F.split(F.col("seg_text"), r"\s+"),
+                            lambda x: x != ""))
+        )
+        .cast("int"),
     )

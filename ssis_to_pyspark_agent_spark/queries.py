@@ -2026,6 +2026,221 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- fuzzy lookup, merge-sorted, multicast/rowcount, variables, functions ---
 
 
+# --- q44's curation-funnel legs (merged former q81, round-6) --------------
+
+_Q44_FUNNEL_TOK = "len(regexp_extract_all(trim(text), '\\S+'))"
+
+#: the 20 per-doc q44 columns a funnel row NULLs out (doc_id..url_keep)
+_Q44_NULLS20 = ", ".join(["NULL"] * 20)
+
+_Q44_FUNNEL_CTES = f""",
+    fd0 AS (SELECT doc_id, text, source, {_Q44_FUNNEL_TOK} AS tok FROM (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 10007, text, source FROM documents
+              WHERE doc_id % 40 = 3) u),
+    furw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+             (CASE WHEN doc_id % 2 = 0 THEN 'Example.COM'
+                   ELSE 'example.com' END) ||
+             (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+             '/' || source || '/p' || CAST(doc_id % 50 AS VARCHAR) ||
+             (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=feed'
+                   ELSE '?a=1&b=2&fbclid=abc' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END) AS url
+      FROM fd0),
+    furh AS (
+      SELECT doc_id, trim(url) AS u,
+             regexp_extract(trim(url), '^([^:/?#]+://[^/?#]*)', 1) AS head
+      FROM furw),
+    furh2 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(lower(head),
+               '^(http://.*):80$', '\\1'), '^(https://.*):443$', '\\1'),
+               '^(https?://)www\\.', '\\1') AS head,
+             regexp_replace(substr(u, length(head) + 1), '#.*$', '') AS tail
+      FROM furh),
+    furp AS (
+      SELECT doc_id, head, tail,
+             list_sort(list_filter(
+               string_split(regexp_extract(tail, '^[^?#]*\\?([^#]*)', 1), '&'),
+               p -> p <> '' AND NOT (
+                 lower(regexp_extract(p, '^([^=]*)', 1))
+                   IN ('fbclid', 'gclid', 'msclkid', 'ref')
+                 OR starts_with(lower(regexp_extract(p, '^([^=]*)', 1)),
+                                'utm_'))))
+               AS prm
+      FROM furh2),
+    furc AS (
+      SELECT doc_id,
+             head || regexp_extract(tail, '^([^?#]*)', 1) ||
+             (CASE WHEN len(prm) > 0 THEN '?' || array_to_string(prm, '&')
+                   ELSE '' END) AS url_canon
+      FROM furp),
+    fs1 AS (
+      SELECT fd0.* FROM fd0 JOIN (
+        SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY url_canon)
+                 AS keepf
+        FROM furc) k USING (doc_id)
+      WHERE k.keepf),
+    flb AS (SELECT doc_id, {_WORDS_SQL} AS words FROM fs1),
+    flsc AS (
+      SELECT doc_id, lang,
+             CAST(hits AS DOUBLE) / GREATEST(len(words), 1) AS score
+      FROM flb, LATERAL (VALUES
+        {", ".join(f"('{lg}', len(list_filter(words, w -> list_contains({sw}, w))))" for lg, sw in _LANGS_SQL.items())}
+      ) t(lang, hits)),
+    flbst AS (
+      SELECT doc_id, lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+      FROM flsc),
+    fs2 AS (
+      SELECT fs1.* FROM fs1 JOIN flbst b USING (doc_id)
+      WHERE b.rn = 1 AND b.score > 0 AND b.lang = 'en'),
+    fqual AS (
+      SELECT doc_id, {_WORDS_SQL} AS words FROM fs2),
+    fs3 AS (
+      SELECT fs2.* FROM fs2 JOIN (
+        SELECT doc_id,
+               len(words) AS n_words,
+               CAST(len(list_filter(words, w -> list_contains({_EN_SW}, w)))
+                    AS DOUBLE) / GREATEST(len(words), 1) AS stopword_ratio
+        FROM fqual) q USING (doc_id)
+      WHERE q.stopword_ratio > 0.04 AND q.n_words >= 25),
+    fs4 AS (
+      SELECT * FROM (
+        SELECT fs3.*, ROW_NUMBER() OVER (PARTITION BY text
+                                         ORDER BY doc_id) AS rk
+        FROM fs3) WHERE rk = 1),
+    ftcnt AS (SELECT source AS _g, COUNT(*) AS n FROM fs4 GROUP BY source),
+    ftq AS (SELECT _g, n,
+                   CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1024 + 0.5) AS BIGINT)
+                     AS qi
+            FROM ftcnt),
+    ftr AS (SELECT _g, least(1.0,
+                (CAST(floor(0.6 * CAST(ntot AS DOUBLE)) AS DOUBLE)
+                 * CAST(qi AS DOUBLE))
+                / (CAST(s AS DOUBLE) * CAST(n AS DOUBLE))) AS thr
+            FROM (SELECT _g, n, qi, SUM(qi) OVER () AS s,
+                         SUM(n) OVER () AS ntot FROM ftq)),
+    fs5 AS (
+      SELECT fs4.* FROM fs4 JOIN ftr ON fs4.source = ftr._g
+      WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) AS DOUBLE) < ftr.thr * 1152921504606846976.0)"""
+
+_Q44_FUNNEL_LEGS = "".join(
+    f"""
+    UNION ALL
+    SELECT 'stage', {_Q44_NULLS20}, '{key}', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(tok), 0) AS BIGINT)
+    FROM {cte}"""
+    for cte, key in (
+        ("fd0", "s0_raw"), ("fs1", "s1_url"), ("fs2", "s2_lang"),
+        ("fs3", "s3_quality"), ("fs4", "s4_exact"),
+        ("fs5", "s5_temperature"),
+    )
+) + f"""
+    UNION ALL
+    SELECT 'by_source', {_Q44_NULLS20}, source, CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(tok), 0) AS BIGINT)
+    FROM fs5 GROUP BY source
+    """
+
+
+def _q44_url(mod: int) -> Column:
+    """The messy-but-deterministic synthetic URL both q44 legs share
+    (case drift, www, default port, tracking params, unsorted params,
+    fragment); ``mod`` sets the path collision group size."""
+    return F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://"))
+         .otherwise(F.lit("HTTPS://")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Example.COM"))
+         .otherwise(F.lit("example.com")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443"))
+         .otherwise(F.lit("")),
+        F.lit("/"), F.col("source"), F.lit("/p"),
+        (F.col("doc_id") % mod).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("?b=2&a=1&utm_source=feed"))
+         .otherwise(F.lit("?a=1&b=2&fbclid=abc")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec2"))
+         .otherwise(F.lit("")),
+    )
+
+
+def _q44_funnel(spark: SparkSession, d0: DataFrame) -> list[tuple]:
+    """Run the curation cascade over ``d0`` (doc_id, text, source,
+    ws_tokens) and return the funnel-report rows
+    [(kind, key, n_docs, n_toks), ...] — SINGLE-PASS per stage.
+
+    Every stage frame is persisted and the per-stage count/token
+    aggregates read the caches in chain order (Spark's cache manager
+    substitutes a persisted plan subtree into every downstream stage),
+    so the corpus flows through each stage exactly once. The former
+    standalone q81 re-derived each stage's full prefix per report leg —
+    ~6 corpus passes; at 100 TB a funnel must cost one pass per stage
+    (round-5 verdict item 2). The report rows are tiny (6 stages +
+    |sources|), so they are collected eagerly and EVERY persist is
+    released before returning (NOTES invariant 13). The single-pass
+    contract is pinned by an instrumented-input test that counts rows
+    flowing out of the raw source (tests/test_operators.py).
+    """
+    p = (
+        Pipeline("q44_funnel")
+        .step("d0", "source.dataframe", df=d0)
+        .step("uw", "derived_column", "d0", columns={"url": _q44_url(50)})
+        .step("ud", "dedup.url", "uw", url_col="url", id_col="doc_id",
+              emit="flag")
+        .step("s1", "filter", "ud", predicate="[url_keep]")
+        .step("lid", "text.lang_id", "s1", text_col="text")
+        .step("s2", "filter", "lid", predicate='[lang_pred] == "en"')
+        .step("ql", "text.quality", "s2", text_col="text")
+        .step("s3", "filter", "ql",
+              predicate="[stopword_ratio] > 0.04 && [n_words] >= 25")
+        .step("s4", "dedup.exact", "s3", columns=["text"],
+              keep_by=["doc_id"])
+        .step("s5", "sample.temperature", "s4", id_col="doc_id",
+              group_col="source", alpha=0.5, budget_frac=0.6)
+    )
+    r = run_pipeline(spark, p)
+    stages = [("d0", "s0_raw"), ("s1", "s1_url"), ("s2", "s2_lang"),
+              ("s3", "s3_quality"), ("s4", "s4_exact"),
+              ("s5", "s5_temperature")]
+    frames = [r.df(s) for s, _ in stages]
+    for f in frames:
+        f.persist()
+    rows: list[tuple] = []
+
+    def report(f: DataFrame):
+        return f.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("ws_tokens"), F.lit(0)).cast("long")
+             .alias("tok"),
+        )
+
+    try:
+        for (_, key), f in zip(stages, frames):
+            agg = report(f).collect()[0]
+            rows.append(("stage", key, agg["n"], agg["tok"]))
+        for src in (
+            frames[-1].groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.coalesce(F.sum("ws_tokens"), F.lit(0)).cast("long")
+                 .alias("tok"),
+            ).collect()
+        ):
+            rows.append(("by_source", src["source"], src["n"], src["tok"]))
+    finally:
+        for f in frames:
+            f.unpersist()
+    return rows
+
+
 @query(
     "q44_data_hygiene",
     # Training-data hygiene pair: PII redaction (emails/IPv4/phones ->
@@ -2034,6 +2249,20 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here every 100th doc). PII is INJECTED deterministically so the
     # patterns actually fire on the synthetic corpus; regexes are
     # lookaround-free so Java (Spark) and RE2 (DuckDB) agree.
+    # PLUS (merged former q81, round-6 consolidation) the RefinedWeb/
+    # FineWeb-shaped curation CASCADE as 'stage'/'by_source' rows —
+    # unlike the parallel per-doc hygiene legs, each funnel stage
+    # consumes the PREVIOUS stage's survivors:
+    #   s0 raw(+planted exact-dup clones) -> s1 URL-canonicalize+dedup
+    #   -> s2 language gate (lang_pred = 'en') -> s3 quality gate
+    #   (stopword_ratio > 0.04 AND n_words >= 25) -> s4 exact-text
+    #   dedup (keep-first by id) -> s5 temperature resample (n^0.5
+    #   source shares, 60% budget).
+    # The oracle replays the whole funnel in nested CTEs and checks
+    # per-stage doc+token counts plus the final source mix; any stage
+    # computing the wrong survivor set corrupts every later count.
+    # The Spark side runs the funnel SINGLE-PASS (each stage persisted
+    # and scanned once — see _q44_funnel).
     oracle="""
     WITH aug AS (
       SELECT doc_id,
@@ -2208,9 +2437,10 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sort(list_filter(
                string_split(regexp_extract(tail, '^[^?#]*\\?([^#]*)', 1), '&'),
                p -> p <> '' AND NOT (
-                 regexp_extract(p, '^([^=]*)', 1)
+                 lower(regexp_extract(p, '^([^=]*)', 1))
                    IN ('fbclid', 'gclid', 'msclkid', 'ref')
-                 OR starts_with(regexp_extract(p, '^([^=]*)', 1), 'utm_'))))
+                 OR starts_with(lower(regexp_extract(p, '^([^=]*)', 1)),
+                                'utm_'))))
                AS prm
       FROM urh2),
     urc AS (
@@ -2222,8 +2452,9 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     urk AS (
       SELECT doc_id, url_canon,
              doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS url_keep
-      FROM urc)
-    SELECT r.doc_id, r.n_email, r.n_ipv4, r.n_phone, r.red_len,
+      FROM urc)""" + _Q44_FUNNEL_CTES + """
+    SELECT 'doc' AS kind,
+           r.doc_id, r.n_email, r.n_ipv4, r.n_phone, r.red_len,
            CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
            COALESCE(o.n_overlap, 0) >= 1 AS contaminated,
            ls.dup_line_frac, ls.dup_line_char_frac,
@@ -2235,7 +2466,9 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(cb.lab, 'negative') AS cls_label,
            CAST(COALESCE(cb.logit, 0) AS DOUBLE) AS cls_score,
            hf.html_len, hf.html_md5, hf.html_title,
-           uk.url_canon, uk.url_keep
+           uk.url_canon, uk.url_keep,
+           CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS n_toks
     FROM red r LEFT JOIN overlap o ON o.doc_id = r.doc_id
     JOIN lstat ls ON ls.doc_id = r.doc_id
     JOIN rstat rs ON rs.doc_id = r.doc_id
@@ -2243,8 +2476,8 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN bp ON bp.doc_id = r.doc_id
     JOIN hfin hf ON hf.doc_id = r.doc_id
     JOIN urk uk ON uk.doc_id = r.doc_id
-    LEFT JOIN (SELECT * FROM cbest WHERE rn = 1) cb ON cb.doc_id = r.doc_id
-    """,
+    LEFT JOIN (SELECT * FROM cbest WHERE rn = 1) cb ON cb.doc_id = r.doc_id"""
+    + _Q44_FUNNEL_LEGS,
 )
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
@@ -2326,25 +2559,7 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unsorted params, fragment) and run the canonicalize+dedup the
         # raw-web pipelines do FIRST — docs sharing (source, doc_id%211)
         # collide post-canonicalization and only the min doc_id keeps
-        .step("uw", "derived_column", "hm", columns={
-            "url": F.concat(
-                F.when(F.col("doc_id") % 2 == 0, F.lit("https://"))
-                 .otherwise(F.lit("HTTPS://")),
-                F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
-                 .otherwise(F.lit("")),
-                F.when(F.col("doc_id") % 2 == 0, F.lit("Example.COM"))
-                 .otherwise(F.lit("example.com")),
-                F.when(F.col("doc_id") % 4 == 0, F.lit(":443"))
-                 .otherwise(F.lit("")),
-                F.lit("/"), F.col("source"), F.lit("/p"),
-                (F.col("doc_id") % 211).cast("string"),
-                F.when(F.col("doc_id") % 2 == 0,
-                       F.lit("?b=2&a=1&utm_source=feed"))
-                 .otherwise(F.lit("?a=1&b=2&fbclid=abc")),
-                F.when(F.col("doc_id") % 5 == 0, F.lit("#sec2"))
-                 .otherwise(F.lit("")),
-            )
-        })
+        .step("uw", "derived_column", "hm", columns={"url": _q44_url(211)})
         .step("ud", "dedup.url", "uw", url_col="url", id_col="doc_id",
               emit="flag")
         .step("prj", "select", "ud",
@@ -2356,8 +2571,43 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "cls_label", "cls_score",
                        "html_len", "html_md5", "html_title",
                        "url_canon", "url_keep"])
+        # funnel input (merged former q81): plant exact-dup clones with
+        # FRESH ids (+10007 keeps them off every url residue class, so
+        # they reach s4 and must be caught by the exact-text stage —
+        # without them the synthetic corpus has zero exact dups and s4
+        # would be an unexercised pass)
+        .step("fbase", "select", "documents",
+              columns=["doc_id", "text", "source"])
+        .step("fcl0", "filter", "fbase", predicate="[doc_id] % 40 == 3")
+        .step("fcl1", "derived_column", "fcl0",
+              columns={"doc_id2": "[doc_id] + 10007"})
+        .step("fcl2", "select", "fcl1",
+              columns={"doc_id": "doc_id2", "text": "text",
+                       "source": "source"})
+        .step("fd0", "union_all", ["fbase", "fcl2"])
+        .step("ftok", "text.token_count", "fd0", text_col="text")
     )
-    return run_pipeline(spark, p).df("prj")
+    r = run_pipeline(spark, p)
+    doc = r.df("prj")
+    doc_cols = doc.columns
+    null_of = {c: doc.schema[c].dataType for c in doc_cols}
+    doc = doc.select(
+        F.lit("doc").alias("kind"), *doc_cols,
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("n_toks"),
+    )
+    fun_rows = _q44_funnel(
+        spark, r.df("ftok").select("doc_id", "text", "source", "ws_tokens")
+    )
+    fun = spark.createDataFrame(
+        fun_rows, "kind string, key string, n_docs long, n_toks long"
+    ).select(
+        "kind",
+        *[F.lit(None).cast(null_of[c]).alias(c) for c in doc_cols],
+        "key", "n_docs", "n_toks",
+    )
+    return doc.unionByName(fun)
 
 
 @query(
@@ -3970,218 +4220,6 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").alias("v"),
     )
     return assign.unionByName(cents).unionByName(pruned)
-
-# ---------------------------------------------------------------------------
-# End-to-end curation funnel (§2.12 — sequential composition)
-# ---------------------------------------------------------------------------
-
-_Q81_TOK = "len(regexp_extract_all(trim(text), '\\S+'))"
-
-
-@query(
-    "q81_curation_funnel",
-    # A RefinedWeb/FineWeb-shaped curation CASCADE — unlike q44's
-    # parallel hygiene legs, each stage here consumes the PREVIOUS
-    # stage's survivors, so the oracle must replay the whole funnel:
-    #   s0 raw -> s1 URL-canonicalize+dedup -> s2 language gate
-    #   (lang_pred = 'en') -> s3 quality gate (stopword_ratio > 0.04
-    #   AND n_words >= 25) -> s4 exact-text dedup (keep-first by id)
-    #   -> s5 temperature resample (n^0.5 source shares, 60% budget).
-    # Output = the funnel report every curation run ships: per-stage
-    # surviving docs + whitespace tokens, then the final per-source mix.
-    # Any stage computing the wrong survivor set corrupts every later
-    # count — the composition itself is what's under test.
-    oracle=f"""
-    WITH d0 AS (SELECT doc_id, text, source, {_Q81_TOK} AS tok FROM (
-                  SELECT doc_id, text, source FROM documents
-                  UNION ALL
-                  SELECT doc_id + 10007, text, source FROM documents
-                  WHERE doc_id % 40 = 3) u),
-    urw AS (
-      SELECT doc_id,
-             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) ||
-             (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
-             (CASE WHEN doc_id % 2 = 0 THEN 'Example.COM'
-                   ELSE 'example.com' END) ||
-             (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
-             '/' || source || '/p' || CAST(doc_id % 50 AS VARCHAR) ||
-             (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=feed'
-                   ELSE '?a=1&b=2&fbclid=abc' END) ||
-             (CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END) AS url
-      FROM d0),
-    urh AS (
-      SELECT doc_id, trim(url) AS u,
-             regexp_extract(trim(url), '^([^:/?#]+://[^/?#]*)', 1) AS head
-      FROM urw),
-    urh2 AS (
-      SELECT doc_id,
-             regexp_replace(regexp_replace(regexp_replace(lower(head),
-               '^(http://.*):80$', '\\1'), '^(https://.*):443$', '\\1'),
-               '^(https?://)www\\.', '\\1') AS head,
-             regexp_replace(substr(u, length(head) + 1), '#.*$', '') AS tail
-      FROM urh),
-    urp AS (
-      SELECT doc_id, head, tail,
-             list_sort(list_filter(
-               string_split(regexp_extract(tail, '^[^?#]*\\?([^#]*)', 1), '&'),
-               p -> p <> '' AND NOT (
-                 regexp_extract(p, '^([^=]*)', 1)
-                   IN ('fbclid', 'gclid', 'msclkid', 'ref')
-                 OR starts_with(regexp_extract(p, '^([^=]*)', 1), 'utm_'))))
-               AS prm
-      FROM urh2),
-    urc AS (
-      SELECT doc_id,
-             head || regexp_extract(tail, '^([^?#]*)', 1) ||
-             (CASE WHEN len(prm) > 0 THEN '?' || array_to_string(prm, '&')
-                   ELSE '' END) AS url_canon
-      FROM urp),
-    s1 AS (
-      SELECT d0.* FROM d0 JOIN (
-        SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY url_canon)
-                 AS keepf
-        FROM urc) k USING (doc_id)
-      WHERE k.keepf),
-    lbase AS (SELECT doc_id, {_WORDS_SQL} AS words FROM s1),
-    lscored AS (
-      SELECT doc_id, lang,
-             CAST(hits AS DOUBLE) / GREATEST(len(words), 1) AS score
-      FROM lbase, LATERAL (VALUES
-        {", ".join(f"('{lg}', len(list_filter(words, w -> list_contains({sw}, w))))" for lg, sw in _LANGS_SQL.items())}
-      ) t(lang, hits)),
-    lbest AS (
-      SELECT doc_id, lang, score,
-             ROW_NUMBER() OVER (PARTITION BY doc_id
-                                ORDER BY score DESC, lang DESC) AS rn
-      FROM lscored),
-    s2 AS (
-      SELECT s1.* FROM s1 JOIN lbest b USING (doc_id)
-      WHERE b.rn = 1 AND b.score > 0 AND b.lang = 'en'),
-    qual AS (
-      SELECT doc_id, {_WORDS_SQL} AS words FROM s2),
-    s3 AS (
-      SELECT s2.* FROM s2 JOIN (
-        SELECT doc_id,
-               len(words) AS n_words,
-               CAST(len(list_filter(words, w -> list_contains({_EN_SW}, w)))
-                    AS DOUBLE) / GREATEST(len(words), 1) AS stopword_ratio
-        FROM qual) q USING (doc_id)
-      WHERE q.stopword_ratio > 0.04 AND q.n_words >= 25),
-    s4 AS (
-      SELECT * FROM (
-        SELECT s3.*, ROW_NUMBER() OVER (PARTITION BY text
-                                        ORDER BY doc_id) AS rk
-        FROM s3) WHERE rk = 1),
-    tcnt AS (SELECT source AS _g, COUNT(*) AS n FROM s4 GROUP BY source),
-    tq AS (SELECT _g, n,
-                  CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1024 + 0.5) AS BIGINT)
-                    AS qi
-           FROM tcnt),
-    tr AS (SELECT _g, least(1.0,
-               (CAST(floor(0.6 * CAST(ntot AS DOUBLE)) AS DOUBLE)
-                * CAST(qi AS DOUBLE))
-               / (CAST(s AS DOUBLE) * CAST(n AS DOUBLE))) AS thr
-           FROM (SELECT _g, n, qi, SUM(qi) OVER () AS s,
-                        SUM(n) OVER () AS ntot FROM tq)),
-    s5 AS (
-      SELECT s4.* FROM s4 JOIN tr ON s4.source = tr._g
-      WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-                 AS BIGINT) AS DOUBLE) < tr.thr * 1152921504606846976.0)
-    SELECT 'stage' AS kind, 's0_raw' AS key,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(COALESCE(SUM(tok), 0) AS BIGINT) AS tok FROM d0
-    UNION ALL SELECT 'stage', 's1_url', CAST(COUNT(*) AS BIGINT),
-           CAST(COALESCE(SUM(tok), 0) AS BIGINT) FROM s1
-    UNION ALL SELECT 'stage', 's2_lang', CAST(COUNT(*) AS BIGINT),
-           CAST(COALESCE(SUM(tok), 0) AS BIGINT) FROM s2
-    UNION ALL SELECT 'stage', 's3_quality', CAST(COUNT(*) AS BIGINT),
-           CAST(COALESCE(SUM(tok), 0) AS BIGINT) FROM s3
-    UNION ALL SELECT 'stage', 's4_exact', CAST(COUNT(*) AS BIGINT),
-           CAST(COALESCE(SUM(tok), 0) AS BIGINT) FROM s4
-    UNION ALL SELECT 'stage', 's5_temperature', CAST(COUNT(*) AS BIGINT),
-           CAST(COALESCE(SUM(tok), 0) AS BIGINT) FROM s5
-    UNION ALL
-    SELECT 'by_source', source, CAST(COUNT(*) AS BIGINT),
-           CAST(COALESCE(SUM(tok), 0) AS BIGINT)
-    FROM s5 GROUP BY source
-    """,
-)
-def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _p("q81", sf_dir, "documents")
-        # plant exact-dup clones with FRESH ids (+10007 keeps them off
-        # every url residue class, so they reach s4 and must be caught
-        # by the exact-text stage — without them the synthetic corpus
-        # has zero exact dups and s4 would be an unexercised pass)
-        .step("base", "select", "documents",
-              columns=["doc_id", "text", "source"])
-        .step("cl0", "filter", "base", predicate="[doc_id] % 40 == 3")
-        .step("cl1", "derived_column", "cl0",
-              columns={"doc_id2": "[doc_id] + 10007"})
-        .step("cl2", "select", "cl1",
-              columns={"doc_id": "doc_id2", "text": "text",
-                       "source": "source"})
-        .step("d0", "union_all", ["base", "cl2"])
-        .step("tok", "text.token_count", "d0", text_col="text")
-        .step("uw", "derived_column", "tok", columns={
-            "url": F.concat(
-                F.when(F.col("doc_id") % 2 == 0, F.lit("https://"))
-                 .otherwise(F.lit("HTTPS://")),
-                F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
-                 .otherwise(F.lit("")),
-                F.when(F.col("doc_id") % 2 == 0, F.lit("Example.COM"))
-                 .otherwise(F.lit("example.com")),
-                F.when(F.col("doc_id") % 4 == 0, F.lit(":443"))
-                 .otherwise(F.lit("")),
-                F.lit("/"), F.col("source"), F.lit("/p"),
-                (F.col("doc_id") % 50).cast("string"),
-                F.when(F.col("doc_id") % 2 == 0,
-                       F.lit("?b=2&a=1&utm_source=feed"))
-                 .otherwise(F.lit("?a=1&b=2&fbclid=abc")),
-                F.when(F.col("doc_id") % 5 == 0, F.lit("#sec2"))
-                 .otherwise(F.lit("")),
-            )
-        })
-        .step("ud", "dedup.url", "uw", url_col="url", id_col="doc_id",
-              emit="flag")
-        .step("s1", "filter", "ud", predicate="[url_keep]")
-        .step("lid", "text.lang_id", "s1", text_col="text")
-        .step("s2", "filter", "lid", predicate='[lang_pred] == "en"')
-        .step("ql", "text.quality", "s2", text_col="text")
-        .step("s3", "filter", "ql",
-              predicate="[stopword_ratio] > 0.04 && [n_words] >= 25")
-        .step("s4", "dedup.exact", "s3", columns=["text"],
-              keep_by=["doc_id"])
-        .step("s5", "sample.temperature", "s4", id_col="doc_id",
-              group_col="source", alpha=0.5, budget_frac=0.6)
-    )
-    r = run_pipeline(spark, p)
-
-    def stage(step: str, key: str) -> DataFrame:
-        return r.df(step).agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.coalesce(F.sum("ws_tokens"), F.lit(0)).cast("long").alias("tok"),
-        ).select(F.lit("stage").alias("kind"), F.lit(key).alias("key"),
-                 "n", "tok")
-
-    out = (
-        stage("tok", "s0_raw")
-        .unionByName(stage("s1", "s1_url"))
-        .unionByName(stage("s2", "s2_lang"))
-        .unionByName(stage("s3", "s3_quality"))
-        .unionByName(stage("s4", "s4_exact"))
-        .unionByName(stage("s5", "s5_temperature"))
-        .unionByName(
-            r.df("s5").groupBy("source").agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.coalesce(F.sum("ws_tokens"), F.lit(0)).cast("long")
-                 .alias("tok"),
-            ).select(F.lit("by_source").alias("kind"),
-                     F.col("source").alias("key"), "n", "tok")
-        )
-    )
-    return out
-
 
 def _q82_oracle(k: int, n_iter: int, quantize: int, dims: int,
                 frac: float) -> str:

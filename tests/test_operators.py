@@ -1055,6 +1055,32 @@ class TestTextOps:
         assert out[6] is None
         assert out[7] == "https://example.com/A/b?a=1&b=2"
 
+    def test_dedup_url_tracking_params_case_insensitive(self, spark):
+        # 'UTM_SOURCE=' / 'Fbclid=' must not survive canonicalization
+        # (ADVICE round 5): the param NAME is lowercased before the
+        # strip test; param VALUES and path stay case-significant.
+        # Mixed-case configured names must match too.
+        df = spark.createDataFrame(
+            [
+                (1, "https://x.com/p?UTM_SOURCE=feed&a=1"),
+                (2, "https://x.com/p?Fbclid=abc&a=1"),
+                (3, "https://x.com/p?a=1"),
+                (4, "https://x.com/p?A=1"),  # name 'A' is NOT stripped
+            ],
+            "id long, url string",
+        )
+        out = {r.id: r.url_canon for r in run(
+            "dedup.url", spark, [df], url_col="url", emit="canon").collect()}
+        assert out[1] == "https://x.com/p?a=1"
+        assert out[2] == "https://x.com/p?a=1"
+        assert out[3] == "https://x.com/p?a=1"
+        assert out[4] == "https://x.com/p?A=1"
+        custom = {r.id: r.url_canon for r in run(
+            "dedup.url", spark, [df], url_col="url", emit="canon",
+            strip_params=("UTM_SOURCE", "FBCLID")).collect()}
+        assert custom[1] == "https://x.com/p?a=1"
+        assert custom[2] == "https://x.com/p?a=1"
+
     def test_dedup_url_keep_fragment(self, spark):
         # strip_fragment=False must genuinely PRESERVE the fragment —
         # the first cut dropped it in both modes because path/query
@@ -2694,10 +2720,31 @@ class TestClusterKmeans:
         with pytest.raises(ValueError, match="already exists"):
             run("cluster.kmeans", spark, [df], id_col="vec_id",
                 vec_col="embedding", k=1, cluster_col="embedding")
+        # the EMPTY corpus raises through the same n<k branch (ADVICE
+        # round 5: the old NULL-cluster pass-through was inconsistent
+        # and fed cluster.prune's NULL-cluster raise downstream)
         empty = df.filter(F.lit(False))
-        res = run("cluster.kmeans", spark, [empty], id_col="vec_id",
-                  vec_col="embedding", k=2)
-        assert res["out"].count() == 0 and res["centroids"].count() == 0
+        with pytest.raises(ValueError, match="exceeds the 0-row"):
+            run("cluster.kmeans", spark, [empty], id_col="vec_id",
+                vec_col="embedding", k=2)
+
+    def test_kmeans_exactness_guard_fires(self, spark):
+        # quantize so large that 4*m^2*dim crosses 2^53: the bit-exact
+        # distance contract must FAIL LOUDLY instead of silently
+        # drifting off the integer oracle (ADVICE round 5)
+        df = spark.createDataFrame(
+            [(i, [1.0, 1.0]) for i in range(4)],
+            "vec_id long, embedding array<float>",
+        )
+        # n_iter=1 runs the update kernel eagerly inside the operator,
+        # so the guard surfaces at invocation (wrapped by Py4J)
+        with pytest.raises(Exception, match="exact float64 distance"):
+            run("cluster.kmeans", spark, [df], id_col="vec_id",
+                vec_col="embedding", k=2, n_iter=1, quantize=10**15)
+        # well inside the bound: same data passes
+        ok = run("cluster.kmeans", spark, [df], id_col="vec_id",
+                 vec_col="embedding", k=2, n_iter=1, quantize=10**6)
+        assert ok["out"].count() == 4
 
     def test_kmeans_releases_its_cache(self, spark):
         # the iteration-loop persist must NOT outlive the operator
@@ -2784,6 +2831,29 @@ class TestTextSegment:
             (1, 0, "first para", 2), (1, 1, "second para", 2),
             (2, 0, "only one", 2),
         ]
+
+    def test_keep_empty_rows_survive(self, spark):
+        # keep_empty=True (ADVICE round 5): NULL/empty/whitespace-only
+        # docs keep one row with NULL seg fields and seg_tokens 0, so
+        # funnel-style doc counts over segment output stay exact
+        df = spark.createDataFrame(
+            [(1, "one para"), (2, "   "), (3, None), (4, "")],
+            "doc_id long, text string",
+        )
+        out = run("text.segment", spark, [df], text_col="text",
+                  mode="paragraph", keep_empty=True)
+        rows = sorted(
+            (r.doc_id, r.seg_idx, r.seg_text, r.seg_tokens)
+            for r in out.collect()
+        )
+        assert rows == [
+            (1, 0, "one para", 2),
+            (2, None, None, 0), (3, None, None, 0), (4, None, None, 0),
+        ]
+        # default (inner) drops them — the documented behavior
+        inner = run("text.segment", spark, [df], text_col="text",
+                    mode="paragraph")
+        assert sorted(r.doc_id for r in inner.collect()) == [1]
 
     def test_sentence_mode(self, spark):
         df = spark.createDataFrame(
@@ -2902,3 +2972,75 @@ class TestBucketPairsHotBucket:
         key = lambda r: (r.a, r.b)
         assert sorted(map(key, res["pairs"].collect())) == \
             sorted(map(key, big["pairs"].collect()))
+
+    def test_bucket_pairs_degenerate_all_hot_path(self, spark, monkeypatch):
+        # when more buckets exceed bucket_cap than the driver should
+        # ever broadcast (_MAX_HOT_KEYS), EVERYTHING routes through the
+        # distributed self-join — pairs identical, no hot-key collect
+        # beyond the bound (ADVICE round 5: the unbounded collect
+        # risked driver OOM on a degenerate corpus)
+        from ssis_to_pyspark_agent_spark.operators import dedup as dd
+
+        tagged = spark.createDataFrame(
+            [(i, i % 3) for i in range(24)], "_id long, _bk int"
+        )
+        expect = sorted(
+            (a, b)
+            for a in range(24) for b in range(24)
+            if a < b and a % 3 == b % 3
+        )
+        got_cold = sorted((r.a, r.b) for r in dd._bucket_pairs(
+            tagged, ["_bk"], cap=100).collect())
+        assert got_cold == expect
+        monkeypatch.setattr(dd, "_MAX_HOT_KEYS", 1)  # 3 hot keys > 1
+        got_degen = sorted((r.a, r.b) for r in dd._bucket_pairs(
+            tagged, ["_bk"], cap=4).collect())
+        assert got_degen == expect
+
+
+class TestQ44FunnelSinglePass:
+    def test_funnel_single_pass_over_raw(self, spark):
+        # the round-5 q81 funnel re-derived each stage's full prefix per
+        # report leg (~6 corpus passes); the merged q44 funnel must scan
+        # the raw input EXACTLY once — every later stage reads its
+        # persisted parent (round-5 verdict item 2). Pinned by counting
+        # rows that leave an instrumented raw source.
+        from ssis_to_pyspark_agent_spark.queries import _q44_funnel
+
+        acc = spark.sparkContext.accumulator(0)
+
+        def count_rows(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        text = ("the quick brown fox and the lazy dog walk to a park "
+                "in this fine town with some friends and we all like "
+                "to read the long document about many things ")
+        base = spark.createDataFrame(
+            [(i, text + str(i), f"src{i % 3}") for i in range(300)],
+            "doc_id long, text string, source string",
+        )
+        persisted_before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        counted = base.mapInPandas(
+            count_rows, schema="doc_id long, text string, source string"
+        ).withColumn(
+            "ws_tokens",
+            F.size(F.filter(F.split(F.trim("text"), r"\s+"),
+                            lambda x: x != "")).cast("bigint"),
+        )
+        rows = _q44_funnel(spark, counted)
+        stage = {k: (n, t) for kind, k, n, t in rows if kind == "stage"}
+        # 300 docs -> 150 canon-URL groups (id mod lcm(3,50)); all 'en',
+        # all pass quality, no exact dups among survivors
+        assert stage["s0_raw"][0] == 300
+        assert stage["s1_url"][0] == 150
+        assert stage["s4_exact"][0] == 150
+        assert 0 < stage["s5_temperature"][0] <= 150
+        srcs = {k for kind, k, _, _ in rows if kind == "by_source"}
+        assert srcs <= {"src0", "src1", "src2"}
+        # THE contract: the raw input flowed through exactly once
+        assert acc.value == 300
+        # and no persist leaked past the helper (NOTES invariant 13)
+        persisted_after = len(spark.sparkContext._jsc.getPersistentRDDs())
+        assert persisted_after == persisted_before
