@@ -3,9 +3,12 @@
 ``entry(spark)`` runs the flagship pipeline on sf0.001; ``queries()`` /
 ``oracle_sql()`` expose the full catalog from
 :mod:`ssis_to_pyspark_agent_spark.queries` — every operator family from
-SURVEY.md §2 plus the NEW scale operators. All 50 queries carry an exact
-DuckDB oracle (approximate operators run in engine-neutral md5/quantized
-modes so even LSH/IVF/simhash/sketch results are re-derivable in SQL).
+SURVEY.md §2 plus the NEW scale operators. The catalog is EXACTLY 50
+queries (round-6 consolidation folded q38 into q37, q82 into q80, q83
+into q34 and the q81 funnel into q44, so every operator sits inside the
+driver's 50-query correctness window); all 50 carry an exact DuckDB
+oracle (approximate operators run in engine-neutral md5/quantized modes
+so even LSH/IVF/simhash/sketch results are re-derivable in SQL).
 """
 
 from __future__ import annotations

@@ -196,13 +196,25 @@ def cluster_kmeans(spark: SparkSession, inputs, config, context):
     returning (NOTES invariant 13) — the lazy output recomputes the
     cheap narrow quantization.
 
+    **Iteration scaling**: full-pass Lloyd's is the default contract —
+    one corpus pass per iteration is the cost driver at 100 TB, and
+    n_iter is small (default 5). ``batch_frac`` opts into MINI-BATCH
+    updates (Sculley 2010, "Web-scale k-means clustering", public):
+    each iteration updates centroids from a deterministic md5-sampled
+    fraction of the corpus (sample varies per iteration via an
+    iteration-salted hash — engine-neutral, NOTES invariant 5), cutting
+    the per-iteration pass to batch_frac of the corpus at a measured
+    small inertia cost (A/B at 2M x 64 / k=256 in PLANS.md). The final
+    labeling pass is always full-corpus.
+
     Driver state is k x d integers per iteration — the same bounded
     collect contract as similarity's centroid helpers; at 100 TB the
     corpus only ever streams through narrow passes and one tiny
     partial-aggregated shuffle per iteration.
 
     config: id_col, vec_col, k, n_iter (default 5), quantize (default
-    10000), cluster_col (default 'cluster').
+    10000), cluster_col (default 'cluster'), batch_frac (None = full
+    Lloyd's; in (0, 1] = mini-batch fraction per update iteration).
     Ports: 'out' (input columns + cluster), 'centroids'
     (cluster int, dim int, val long).
     """
@@ -214,6 +226,14 @@ def cluster_kmeans(spark: SparkSession, inputs, config, context):
     n_iter = int(config.get("n_iter", 5))
     quantize = int(config.get("quantize", 10_000))
     cluster_col = config.get("cluster_col", "cluster")
+    batch_frac = config.get("batch_frac")
+    if batch_frac is not None:
+        batch_frac = float(batch_frac)
+        if not 0.0 < batch_frac <= 1.0:
+            raise ValueError(
+                f"cluster.kmeans: batch_frac must be in (0, 1], got "
+                f"{batch_frac}"
+            )
     if k <= 0 or n_iter < 0 or quantize <= 0:
         raise ValueError("cluster.kmeans: k, quantize must be > 0; n_iter >= 0")
     if cluster_col in df.columns:
@@ -251,11 +271,30 @@ def cluster_kmeans(spark: SparkSession, inputs, config, context):
 
     # cache only the quantized vectors — ids are needed by the seeding
     # pass (above, pre-persist) and the final labeling (original df),
-    # never by the iteration loop (NOTES invariant 10: pre-project
-    # before a persist so the cached relation is narrow)
-    cached = base.select("_vq").persist()
+    # never by the FULL-pass iteration loop (NOTES invariant 10:
+    # pre-project before a persist so the cached relation is narrow);
+    # mini-batch iterations additionally need the id for the
+    # iteration-salted sample hash
+    cached = base.select(
+        *(["_id", "_vq"] if batch_frac is not None else ["_vq"])
+    ).persist()
     try:
-        for _ in range(n_iter):
+        for it in range(n_iter):
+            src = cached
+            if batch_frac is not None:
+                # deterministic per-iteration sample: engine-neutral
+                # md5 hash salted with the iteration index, so every
+                # run (and any SQL replay) draws the same batches
+                thr = int(batch_frac * float(1 << 60))
+                src = cached.filter(
+                    _md5_60bit(
+                        F.concat(
+                            F.col("_id").cast("string"),
+                            F.lit(f":mb{it}"),
+                        )
+                    )
+                    < F.lit(thr)
+                ).select("_vq")
             # the kernel assigns AND partial-aggregates per batch: it
             # emits (cluster, dim, s, n) sums — k*d rows per batch, not
             # the corpus — so neither the vectors nor a posexploded
@@ -266,7 +305,7 @@ def cluster_kmeans(spark: SparkSession, inputs, config, context):
             # bit-identical to the naive formulation.
             gen = _update_kernel(cents)
             upd = (
-                cached.mapInPandas(
+                src.mapInPandas(
                     gen, schema="cluster int, dim int, s long, n long"
                 )
                 .groupBy("cluster", "dim")

@@ -2746,6 +2746,32 @@ class TestClusterKmeans:
                  vec_col="embedding", k=2, n_iter=1, quantize=10**6)
         assert ok["out"].count() == 4
 
+    def test_kmeans_minibatch_deterministic(self, spark):
+        # batch_frac: md5-sampled update batches must be deterministic
+        # across runs (engine-neutral hash, iteration-salted), and the
+        # final labeling stays full-corpus
+        df = spark.createDataFrame(
+            [(i, [float(i % 13), float(i % 7)]) for i in range(200)],
+            "vec_id long, embedding array<float>",
+        )
+        r1 = run("cluster.kmeans", spark, [df], id_col="vec_id",
+                 vec_col="embedding", k=4, n_iter=3, batch_frac=0.5)
+        r2 = run("cluster.kmeans", spark, [df], id_col="vec_id",
+                 vec_col="embedding", k=4, n_iter=3, batch_frac=0.5)
+        a1 = sorted((r.vec_id, r.cluster) for r in r1["out"].collect())
+        a2 = sorted((r.vec_id, r.cluster) for r in r2["out"].collect())
+        assert a1 == a2
+        assert len(a1) == 200  # labeling is full-corpus
+        c1 = sorted(map(tuple, r1["centroids"].collect()))
+        c2 = sorted(map(tuple, r2["centroids"].collect()))
+        assert c1 == c2
+        with pytest.raises(ValueError, match="batch_frac"):
+            run("cluster.kmeans", spark, [df], id_col="vec_id",
+                vec_col="embedding", k=2, batch_frac=0.0)
+        with pytest.raises(ValueError, match="batch_frac"):
+            run("cluster.kmeans", spark, [df], id_col="vec_id",
+                vec_col="embedding", k=2, batch_frac=1.5)
+
     def test_kmeans_releases_its_cache(self, spark):
         # the iteration-loop persist must NOT outlive the operator
         # (NOTES invariant 13)

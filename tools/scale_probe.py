@@ -1501,6 +1501,257 @@ def probe_kmeans(spark, n_vec=500_000, dim=64, k=64, n_iter=3):
     docs.unpersist()
 
 
+def probe_kmeans_minibatch(spark, n_vec=2_000_000, dim=64, k=256,
+                           n_iter=3):
+    """Full-pass Lloyd's vs mini-batch (batch_frac=0.1, Sculley 2010)
+    at 2M x 64 / k=256: fit wall-time and centroid QUALITY (mean
+    squared distance of every vector to its centroid, computed via
+    cluster.prune's scores port — exact integers). The round-5 verdict
+    asked for this A/B to decide kmeans' iteration-scaling story."""
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 1000) / 500.0 - 1.0)
+        .cast("float"),
+    )
+    docs = spark.range(n_vec).repartition(64).select(
+        F.col("id").alias("vid"), vec.alias("v")
+    ).persist()
+    docs.count()
+
+    def fit(tag, extra):
+        t0 = time.perf_counter()
+        res = get_operator("cluster.kmeans")(
+            spark, [docs],
+            {"id_col": "vid", "vec_col": "v", "k": k, "n_iter": n_iter,
+             "quantize": 10000, **extra},
+            {},
+        )
+        out = res["out"].persist()
+        out.count()
+        fit_t = time.perf_counter() - t0
+        sc = get_operator("cluster.prune")(
+            spark, [out, res["centroids"]],
+            {"id_col": "vid", "vec_col": "v", "prune_frac": 0.0,
+             "keep": "hard", "quantize": 10000},
+            {},
+        )
+        inertia = sc["scores"].agg(F.avg("dist")).collect()[0][0]
+        out.unpersist()
+        print(
+            f"PROBE kmeans_mb[{tag}]: n={n_vec} k={k} iters={n_iter} "
+            f"fit={fit_t:.1f}s mean_sq_dist={inertia:,.0f}"
+        )
+        return fit_t, inertia
+
+    t_full, q_full = fit("full", {})
+    t_mb, q_mb = fit("mb0.1", {"batch_frac": 0.1})
+    print(
+        f"PROBE kmeans_mb: speedup={t_full/t_mb:.2f}x "
+        f"inertia_ratio={q_mb/q_full:.4f} (1.0 = equal quality)"
+    )
+    docs.unpersist()
+
+
+def probe_url(spark, n=20_000_000, viral_pct=30):
+    """dedup.url under viral-URL skew: ONE url carries `viral_pct`% of
+    all rows (the front-page-link shape a raw-web crawl actually has).
+    The survivor rule is groupBy(md5(canon)) + min-id join-back — NO
+    window over the hot key (invariant 17), so the viral group is a
+    partial-aggregated count, not a single-task sort. Exactness: the
+    survivor count must equal the distinct-canon count and the viral
+    group must keep its min id."""
+    urls = (
+        spark.range(n)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.pmod(F.col("id"), 100) < viral_pct,
+                F.lit("HTTPS://WWW.Viral.COM:443/front?utm_source=x&b=2&a=1"),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("https://site"),
+                    F.pmod(F.col("id"), 1000).cast("string"),
+                    F.lit(".com/p/"),
+                    F.pmod(F.col("id"), 10000).cast("string"),
+                    F.lit("?a=1&Fbclid=x"),
+                )
+            )
+            .alias("url"),
+        )
+        .persist()
+    )
+    total = urls.count()
+    t0 = time.perf_counter()
+    out = get_operator("dedup.url")(
+        spark, [urls], {"url_col": "url", "id_col": "doc_id"}, {}
+    )
+    survivors = out.count()
+    dt = time.perf_counter() - t0
+    # 1 viral canon + 10000 cold canons (path is id%10000; id%1000 is a
+    # function of it only when 1000 | 10000 — it is, so 10000 groups)
+    viral_min = out.filter(
+        F.col("url_canon") == "https://viral.com/front?a=1&b=2"
+    ).agg(F.min("doc_id")).collect()[0][0]
+    exact = survivors == 10_001 and viral_min == 0
+    print(
+        f"PROBE url: n={total} viral={viral_pct}% dedup={dt:.1f}s "
+        f"survivors={survivors} viral_min={viral_min} exact={exact} "
+        f"({total/dt:,.0f} rows/s)"
+    )
+    urls.unpersist()
+
+
+def probe_holdout(spark, n_docs=2_000_000, clique=500_000):
+    """sample.holdout with a 500k-member connected component (star
+    edges through the shared cc pass) + 100k independent 2-cliques:
+    the component label must stamp the corpus via ONE broadcast join
+    and NO component may straddle the train/test boundary."""
+    docs = (
+        spark.range(n_docs)
+        .repartition(64)
+        .select(F.col("id").alias("doc_id"))
+        .persist()
+    )
+    docs.count()
+    star = spark.range(1, clique).select(
+        F.lit(0).cast("long").alias("a"), F.col("id").alias("b")
+    )
+    pairs2 = (
+        spark.range(clique, clique + 200_000)
+        .filter(F.pmod(F.col("id"), 2) == 0)
+        .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    )
+    pairs = star.unionByName(pairs2)
+    t0 = time.perf_counter()
+    res = get_operator("sample.holdout")(
+        spark, [docs, pairs], {"id_col": "doc_id", "test_frac": 0.1}, {}
+    )
+    out = res["out"].persist()
+    n_train = res["train"].count()
+    n_test = res["test"].count()
+    dt = time.perf_counter() - t0
+    big_sides = out.filter(F.col("doc_id") < clique).select(
+        "side"
+    ).distinct().count()
+    straddle = (
+        out.groupBy("comp")
+        .agg(F.count_distinct("side").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    print(
+        f"PROBE holdout: n={n_docs} clique={clique} split={dt:.1f}s "
+        f"train={n_train} test={n_test} big_comp_sides={big_sides} "
+        f"straddling_components={straddle} ({n_docs/dt:,.0f} docs/s)"
+    )
+    out.unpersist()
+    docs.unpersist()
+
+
+def probe_prune(spark, n_vec=2_000_000, dim=64, k=1024, frac=0.5):
+    """cluster.prune at k=1024 over 2M x 64-dim — the per-cluster rank
+    window carries ~2k rows (occupancy = corpus/k, the operator's
+    documented scale contract). Assignments and centroids are synthetic
+    (pmod-hash balanced) to isolate PRUNE's cost from a kmeans fit.
+    Exactness: kept == sum_c (n_c - floor(frac * n_c))."""
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 1000) / 500.0 - 1.0)
+        .cast("float"),
+    )
+    assigned = (
+        spark.range(n_vec)
+        .repartition(64)
+        .select(
+            F.col("id").alias("vid"),
+            vec.alias("v"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(99)), k)
+            .cast("int")
+            .alias("cluster"),
+        )
+        .persist()
+    )
+    assigned.count()
+    cents = spark.range(k).select(
+        F.col("id").cast("int").alias("cluster"),
+        F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("dim"),
+    ).select(
+        "cluster",
+        F.col("dim").cast("int").alias("dim"),
+        (F.pmod(F.xxhash64("cluster", "dim"), 20001) - 10000)
+        .cast("long")
+        .alias("val"),
+    )
+    t0 = time.perf_counter()
+    res = get_operator("cluster.prune")(
+        spark,
+        [assigned, cents],
+        {"id_col": "vid", "vec_col": "v", "prune_frac": frac,
+         "keep": "hard", "quantize": 10000},
+        {},
+    )
+    kept = res["out"].count()
+    dt = time.perf_counter() - t0
+    sizes = assigned.groupBy("cluster").count().collect()
+    import math
+
+    expect = sum(r["count"] - math.floor(frac * r["count"]) for r in sizes)
+    occ = sorted(r["count"] for r in sizes)
+    print(
+        f"PROBE prune: n={n_vec} dim={dim} k={k} frac={frac} "
+        f"prune={dt:.1f}s kept={kept} expect={expect} "
+        f"exact={kept == expect} occupancy med/max="
+        f"{occ[len(occ)//2]}/{occ[-1]} ({n_vec/dt:,.0f} vec/s)"
+    )
+    assigned.unpersist()
+
+
+def probe_hotbucket(spark, n_docs=510_000, hot=300):
+    """The uncached-caller hot-bucket cost (round-5 NOTES: 100.3s vs
+    the 53s pre-fix floor): dedup.minhash with its DEFAULT uncached
+    signature stage on (a) a uniform corpus (no hot bucket) and (b) the
+    same corpus + `hot` identical docs (a hot bucket in EVERY band).
+    Round-6 _bucket_pairs auto-persists the banded frame when the
+    caller didn't and materializes the candidate set while the cache is
+    alive, so (b) must land near (a) plus the unavoidable |B|^2 verify
+    work — not at 2x from recomputed signature passes."""
+    base = _uniform_corpus(spark, n_docs).persist()
+    n_a = base.count()
+    cfg = {"id_col": "doc_id", "text_col": "text", "threshold": 0.8,
+           "num_hashes": 128, "bands": 16, "return_pairs": True}
+    t0 = time.perf_counter()
+    out_a = get_operator("dedup.minhash")(spark, [base], dict(cfg), {})
+    pairs_a = out_a["pairs"].count()
+    surv_a = out_a["out"].count()
+    t_a = time.perf_counter() - t0
+
+    hot_docs = spark.range(hot).select(
+        (F.col("id") + 10 * n_docs).alias("doc_id"),
+        F.lit(" ".join(f"hotword{i}" for i in range(40))).alias("text"),
+    )
+    corpus_b = base.unionByName(hot_docs).persist()
+    n_b = corpus_b.count()
+    t0 = time.perf_counter()
+    out_b = get_operator("dedup.minhash")(spark, [corpus_b], dict(cfg), {})
+    pairs_b = out_b["pairs"].count()
+    surv_b = out_b["out"].count()
+    t_b = time.perf_counter() - t0
+    hot_pairs = out_b["pairs"].filter(
+        (F.col("a") >= 10 * n_docs) & (F.col("b") >= 10 * n_docs)
+    ).count()
+    exact = hot_pairs == hot * (hot - 1) // 2
+    print(
+        f"PROBE hotbucket: n={n_a} uniform={t_a:.1f}s pairs={pairs_a} "
+        f"surv={surv_a} | +{hot} identical: n={n_b} hot={t_b:.1f}s "
+        f"pairs={pairs_b} surv={surv_b} hot_pairs={hot_pairs} "
+        f"exact={exact} ratio={t_b/t_a:.2f}x"
+    )
+    corpus_b.unpersist()
+    base.unpersist()
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(
@@ -1559,6 +1810,16 @@ def main():
         probe_importance(spark)
     if which in ("kmeans", "all"):
         probe_kmeans(spark)
+    if which in ("url", "all"):
+        probe_url(spark)
+    if which in ("holdout", "all"):
+        probe_holdout(spark)
+    if which in ("prune", "all"):
+        probe_prune(spark)
+    if which in ("hotbucket", "all"):
+        probe_hotbucket(spark)
+    if which in ("kmeans_mb", "all"):
+        probe_kmeans_minibatch(spark)
     if which in ("temperature", "all"):
         probe_temperature(spark)
     if which in ("funnel", "all"):
