@@ -767,11 +767,28 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
     head = F.regexp_extract(u, r"^([^:/?#]+://[^/?#]*)", 1)
     tail = u.substr(F.length(head) + 1, F.length(u))
     head = F.lower(head)
+
+    def _strip_suffix(col: Column, prefix: str, suffix: str) -> Column:
+        # startswith/endswith + substr instead of an anchored
+        # regexp_replace: same whole-string semantics, plain JVM string
+        # ops (the regex trio dominated the canonicalization profile)
+        return F.when(
+            col.startswith(prefix) & col.endswith(suffix),
+            col.substr(F.lit(1), F.length(col) - len(suffix)),
+        ).otherwise(col)
+
     if config.get("strip_default_port", True):
-        head = F.regexp_replace(head, r"^(http://.*):80$", "$1")
-        head = F.regexp_replace(head, r"^(https://.*):443$", "$1")
+        head = _strip_suffix(head, "http://", ":80")
+        head = _strip_suffix(head, "https://", ":443")
     if config.get("strip_www", True):
-        head = F.regexp_replace(head, r"^(https?://)www\.", "$1")
+        for scheme in ("http://", "https://"):
+            head = F.when(
+                head.startswith(scheme + "www."),
+                F.concat(
+                    F.lit(scheme),
+                    head.substr(F.lit(len(scheme) + 5), F.length(head)),
+                ),
+            ).otherwise(head)
     # path/query stop at '#' regardless — the fragment is carried as its
     # own piece so strip_fragment=False genuinely preserves it (a review
     # pass caught the first cut silently dropping it in both modes)
@@ -787,8 +804,10 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
         # case-insensitive name match: 'UTM_SOURCE=' / 'Fbclid=' must not
         # survive canonicalization (ADVICE round 5) — the param name is
         # lowercased before the strip test, and configured names/prefixes
-        # are lowercased too so a mixed-case config still matches
-        name = F.lower(F.regexp_extract(p, r"^([^=]*)", 1))
+        # are lowercased too so a mixed-case config still matches.
+        # substring_index == regexp_extract(p, '^([^=]*)', 1) for every
+        # input ('' -> '', no '=' -> whole string) without a regex walk.
+        name = F.lower(F.substring_index(p, "=", 1))
         cond = name.isin(*strip_names) if strip_names else F.lit(False)
         for pfx in strip_prefixes:
             cond = cond | name.startswith(pfx)
@@ -812,19 +831,37 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
     id_col = config.get("id_col")
     if not id_col:
         raise ValueError(f"dedup.url: emit={emit!r} requires id_col")
-    # NULL-safe 16-byte group key (md5(NULL) is NULL and would drop on
-    # the join; the sentinel keeps SQL GROUP-BY-NULL semantics)
-    gkey = F.coalesce(F.md5(F.col(canon_col)), F.lit("\x00null"))
-    keyed = out.withColumn("_ukey", gkey)
-    mins = keyed.groupBy("_ukey").agg(F.min(F.col(id_col)).alias("_umin"))
-    flagged = (
-        keyed.join(mins, "_ukey")
-        .withColumn(keep_col, F.col(id_col) == F.col("_umin"))
-        .drop("_ukey", "_umin")
+    # Survivor selection (round-6 plan rework): the canonicalization
+    # chain is the dominant cost, so it must run as FEW times as
+    # possible, and the join-back must not shuffle 20M rows on a viral
+    # URL's md5 string. ONE aggregation branch evaluates the chain and
+    # reduces to the min-id-per-canon SET (16-byte NULL-safe group key;
+    # partial agg collapses a viral URL map-side); the output side then
+    # joins on the UNIQUE bigint id — skew-free by construction, and
+    # for emit='dedup' Catalyst keeps the canon projection ABOVE the
+    # semi-join, so survivors are the only rows that pay the chain
+    # twice. id_col must be unique (the standing dedup contract:
+    # id ∈ min-set <=> id is the min of its own group). Measured at
+    # 20M rows/30% viral: PLANS.md round-6 probes table.
+    gkey = F.coalesce(F.md5(canon), F.lit("\x00null"))
+    mins = (
+        df.select(F.col(id_col).alias("_umin"), gkey.alias("_ukey"))
+        .groupBy("_ukey")
+        .agg(F.min("_umin").alias("_umin"))
+        .select("_umin")
     )
     if emit == "flag":
-        return flagged
-    return flagged.filter(F.col(keep_col)).drop(keep_col)
+        marks = mins.select(
+            F.col("_umin").alias(id_col), F.lit(True).alias(keep_col)
+        )
+        return (
+            out.join(marks, id_col, "left")
+            .withColumn(keep_col, F.coalesce(F.col(keep_col), F.lit(False)))
+            .select(*out.columns, keep_col)  # keep the input column order
+        )
+    return out.join(
+        mins.select(F.col("_umin").alias(id_col)), id_col, "left_semi"
+    ).select(*out.columns)
 
 
 def _auto_bands(num_hashes: int, threshold: float) -> int:

@@ -1589,12 +1589,13 @@ def probe_url(spark, n=20_000_000, viral_pct=30):
     )
     survivors = out.count()
     dt = time.perf_counter() - t0
-    # 1 viral canon + 10000 cold canons (path is id%10000; id%1000 is a
-    # function of it only when 1000 | 10000 — it is, so 10000 groups)
+    # 1 viral canon + 7000 cold canons: the cold URL is a function of
+    # id%10000 (id%1000 = (id%10000)%1000 since 1000 | 10000), and only
+    # residues with r%100 >= viral_pct are cold -> 10000 * 70% = 7000
     viral_min = out.filter(
         F.col("url_canon") == "https://viral.com/front?a=1&b=2"
     ).agg(F.min("doc_id")).collect()[0][0]
-    exact = survivors == 10_001 and viral_min == 0
+    exact = survivors == 7_001 and viral_min == 0
     print(
         f"PROBE url: n={total} viral={viral_pct}% dedup={dt:.1f}s "
         f"survivors={survivors} viral_min={viral_min} exact={exact} "
