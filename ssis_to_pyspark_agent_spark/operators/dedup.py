@@ -763,94 +763,131 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
         for n in config.get("strip_param_prefixes", _URL_TRACKING_PREFIXES)
     )
 
-    u = F.trim(F.col(url_col))
-    head = F.regexp_extract(u, r"^([^:/?#]+://[^/?#]*)", 1)
-    tail = u.substr(F.length(head) + 1, F.length(u))
-    head = F.lower(head)
+    def _canonize(src: DataFrame) -> DataFrame:
+        """Append ``canon_col`` via STEPWISE temp columns: every
+        expensive piece (the head regex, the tail substring, the param
+        array) lands in its own projection exactly once and later
+        references are cheap attributes. A single nested expression
+        tree re-evaluates shared pieces per reference — the when()
+        port/www strips reference their input 3-4x each and NEST, so
+        the inline form re-ran the head regex dozens of times per row
+        (profiled at 2M rows; SPARK-36718 keeps stepwise projections
+        from being collapsed back when that would duplicate expensive
+        expressions)."""
+        t = src.withColumn("_uc_u", F.trim(F.col(url_col)))
+        t = t.withColumn(
+            "_uc_h0",
+            F.regexp_extract(F.col("_uc_u"), r"^([^:/?#]+://[^/?#]*)", 1),
+        )
+        t = t.withColumn(
+            "_uc_t",
+            F.col("_uc_u").substr(
+                F.length("_uc_h0") + 1, F.length("_uc_u")
+            ),
+        )
+        t = t.withColumn("_uc_h", F.lower(F.col("_uc_h0")))
+        h = F.col("_uc_h")
+        if config.get("strip_default_port", True):
+            # startswith/endswith + substr instead of an anchored
+            # regexp_replace: same whole-string semantics, plain JVM
+            # string ops on an attribute reference
+            for pfx, sfx in (("http://", ":80"), ("https://", ":443")):
+                t = t.withColumn(
+                    "_uc_h",
+                    F.when(
+                        h.startswith(pfx) & h.endswith(sfx),
+                        h.substr(F.lit(1), F.length(h) - len(sfx)),
+                    ).otherwise(h),
+                )
+        if config.get("strip_www", True):
+            for scheme in ("http://", "https://"):
+                t = t.withColumn(
+                    "_uc_h",
+                    F.when(
+                        h.startswith(scheme + "www."),
+                        F.concat(
+                            F.lit(scheme),
+                            h.substr(F.lit(len(scheme) + 5), F.length(h)),
+                        ),
+                    ).otherwise(h),
+                )
+        # path/query stop at '#' regardless — the fragment is carried as
+        # its own piece so strip_fragment=False genuinely preserves it (a
+        # review pass caught the first cut silently dropping it)
+        tail = F.col("_uc_t")
+        t = t.withColumn(
+            "_uc_path", F.regexp_extract(tail, r"^([^?#]*)", 1)
+        ).withColumn(
+            "_uc_q", F.regexp_extract(tail, r"^[^?#]*\?([^#]*)", 1)
+        )
 
-    def _strip_suffix(col: Column, prefix: str, suffix: str) -> Column:
-        # startswith/endswith + substr instead of an anchored
-        # regexp_replace: same whole-string semantics, plain JVM string
-        # ops (the regex trio dominated the canonicalization profile)
-        return F.when(
-            col.startswith(prefix) & col.endswith(suffix),
-            col.substr(F.lit(1), F.length(col) - len(suffix)),
-        ).otherwise(col)
+        def _is_tracking(p: Column) -> Column:
+            # case-insensitive name match: 'UTM_SOURCE=' / 'Fbclid='
+            # must not survive canonicalization (ADVICE round 5);
+            # substring_index == regexp_extract(p, '^([^=]*)', 1) for
+            # every input ('' -> '', no '=' -> whole string) without a
+            # regex walk
+            name = F.lower(F.substring_index(p, "=", 1))
+            cond = name.isin(*strip_names) if strip_names else F.lit(False)
+            for pfx in strip_prefixes:
+                cond = cond | name.startswith(pfx)
+            return cond
 
-    if config.get("strip_default_port", True):
-        head = _strip_suffix(head, "http://", ":80")
-        head = _strip_suffix(head, "https://", ":443")
-    if config.get("strip_www", True):
-        for scheme in ("http://", "https://"):
-            head = F.when(
-                head.startswith(scheme + "www."),
-                F.concat(
-                    F.lit(scheme),
-                    head.substr(F.lit(len(scheme) + 5), F.length(head)),
-                ),
-            ).otherwise(head)
-    # path/query stop at '#' regardless — the fragment is carried as its
-    # own piece so strip_fragment=False genuinely preserves it (a review
-    # pass caught the first cut silently dropping it in both modes)
-    path = F.regexp_extract(tail, r"^([^?#]*)", 1)
-    query = F.regexp_extract(tail, r"^[^?#]*\?([^#]*)", 1)
-    frag = (
-        F.lit("")
-        if config.get("strip_fragment", True)
-        else F.regexp_extract(tail, r"(#.*)$", 1)
-    )
+        params = F.filter(
+            F.split(F.col("_uc_q"), "&"),
+            lambda p: (p != F.lit("")) & ~_is_tracking(p),
+        )
+        if config.get("sort_params", True):
+            params = F.array_sort(params)
+        t = t.withColumn("_uc_p", params)
+        qstr = F.when(
+            F.size("_uc_p") > 0,
+            F.concat(F.lit("?"), F.array_join("_uc_p", "&")),
+        ).otherwise(F.lit(""))
+        frag = (
+            F.lit("")
+            if config.get("strip_fragment", True)
+            else F.regexp_extract(tail, r"(#.*)$", 1)
+        )
+        canon = F.when(
+            F.col("_uc_u").isNull(), F.lit(None).cast("string")
+        ).otherwise(F.concat(F.col("_uc_h"), F.col("_uc_path"), qstr, frag))
+        return t.withColumn(canon_col, canon).drop(
+            "_uc_u", "_uc_h0", "_uc_t", "_uc_h", "_uc_path", "_uc_q",
+            "_uc_p",
+        )
 
-    def _is_tracking(p: Column) -> Column:
-        # case-insensitive name match: 'UTM_SOURCE=' / 'Fbclid=' must not
-        # survive canonicalization (ADVICE round 5) — the param name is
-        # lowercased before the strip test, and configured names/prefixes
-        # are lowercased too so a mixed-case config still matches.
-        # substring_index == regexp_extract(p, '^([^=]*)', 1) for every
-        # input ('' -> '', no '=' -> whole string) without a regex walk.
-        name = F.lower(F.substring_index(p, "=", 1))
-        cond = name.isin(*strip_names) if strip_names else F.lit(False)
-        for pfx in strip_prefixes:
-            cond = cond | name.startswith(pfx)
-        return cond
-
-    params = F.filter(
-        F.split(query, "&"), lambda p: (p != F.lit("")) & ~_is_tracking(p)
-    )
-    if config.get("sort_params", True):
-        params = F.array_sort(params)
-    qstr = F.when(
-        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
-    ).otherwise(F.lit(""))
-    canon = F.when(u.isNull(), F.lit(None).cast("string")).otherwise(
-        F.concat(head, path, qstr, frag)
-    )
-
-    out = df.withColumn(canon_col, canon)
     if emit == "canon":
-        return out
+        return _canonize(df)
     id_col = config.get("id_col")
     if not id_col:
         raise ValueError(f"dedup.url: emit={emit!r} requires id_col")
     # Survivor selection (round-6 plan rework): the canonicalization
     # chain is the dominant cost, so it must run as FEW times as
-    # possible, and the join-back must not shuffle 20M rows on a viral
-    # URL's md5 string. ONE aggregation branch evaluates the chain and
-    # reduces to the min-id-per-canon SET (16-byte NULL-safe group key;
-    # partial agg collapses a viral URL map-side); the output side then
-    # joins on the UNIQUE bigint id — skew-free by construction, and
-    # for emit='dedup' Catalyst keeps the canon projection ABOVE the
-    # semi-join, so survivors are the only rows that pay the chain
-    # twice. id_col must be unique (the standing dedup contract:
-    # id ∈ min-set <=> id is the min of its own group). Measured at
-    # 20M rows/30% viral: PLANS.md round-6 probes table.
-    gkey = F.coalesce(F.md5(canon), F.lit("\x00null"))
+    # possible, and the join-back must not shuffle the corpus on a
+    # viral URL's md5 string. ONE aggregation branch (pruned to
+    # id + url) evaluates the chain and reduces to the min-id-per-canon
+    # SET (16-byte NULL-safe group key; partial agg collapses a viral
+    # URL map-side); the output side then joins on the UNIQUE bigint id
+    # — skew-free by construction. emit='dedup' canonicalizes AFTER the
+    # semi-join, so only survivors pay the chain a second time;
+    # emit='flag' must emit canon for every row (2 chain passes total,
+    # the output contract). id_col must be unique (the standing dedup
+    # contract: id in min-set <=> id is the min of its own group).
+    # Measured at 20M rows / 30% viral: PLANS.md round-6 probes table.
     mins = (
-        df.select(F.col(id_col).alias("_umin"), gkey.alias("_ukey"))
+        _canonize(df.select(F.col(id_col), F.col(url_col)))
+        .select(
+            F.col(id_col).alias("_umin"),
+            F.coalesce(F.md5(F.col(canon_col)), F.lit("\x00null"))
+            .alias("_ukey"),
+        )
         .groupBy("_ukey")
         .agg(F.min("_umin").alias("_umin"))
         .select("_umin")
     )
     if emit == "flag":
+        out = _canonize(df)
         marks = mins.select(
             F.col("_umin").alias(id_col), F.lit(True).alias(keep_col)
         )
@@ -859,9 +896,10 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
             .withColumn(keep_col, F.coalesce(F.col(keep_col), F.lit(False)))
             .select(*out.columns, keep_col)  # keep the input column order
         )
-    return out.join(
+    survivors = df.join(
         mins.select(F.col("_umin").alias(id_col)), id_col, "left_semi"
-    ).select(*out.columns)
+    ).select(*df.columns)
+    return _canonize(survivors)
 
 
 def _auto_bands(num_hashes: int, threshold: float) -> int:

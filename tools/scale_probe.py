@@ -1583,12 +1583,19 @@ def probe_url(spark, n=20_000_000, viral_pct=30):
         .persist()
     )
     total = urls.count()
-    t0 = time.perf_counter()
-    out = get_operator("dedup.url")(
-        spark, [urls], {"url_col": "url", "id_col": "doc_id"}, {}
-    )
-    survivors = out.count()
-    dt = time.perf_counter() - t0
+    # two timed runs: the first pays whole-stage-codegen + C2 JIT on
+    # the regex-heavy generated code (~7x on this chain — measured
+    # 150s cold vs 20s warm at 20M); the warm number is the
+    # steady-state a long-running cluster actually sees
+    dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = get_operator("dedup.url")(
+            spark, [urls], {"url_col": "url", "id_col": "doc_id"}, {}
+        )
+        survivors = out.count()
+        dts.append(time.perf_counter() - t0)
+    dt = dts[-1]
     # 1 viral canon + 7000 cold canons: the cold URL is a function of
     # id%10000 (id%1000 = (id%10000)%1000 since 1000 | 10000), and only
     # residues with r%100 >= viral_pct are cold -> 10000 * 70% = 7000
@@ -1597,9 +1604,9 @@ def probe_url(spark, n=20_000_000, viral_pct=30):
     ).agg(F.min("doc_id")).collect()[0][0]
     exact = survivors == 7_001 and viral_min == 0
     print(
-        f"PROBE url: n={total} viral={viral_pct}% dedup={dt:.1f}s "
-        f"survivors={survivors} viral_min={viral_min} exact={exact} "
-        f"({total/dt:,.0f} rows/s)"
+        f"PROBE url: n={total} viral={viral_pct}% dedup cold={dts[0]:.1f}s "
+        f"warm={dt:.1f}s survivors={survivors} viral_min={viral_min} "
+        f"exact={exact} ({total/dt:,.0f} rows/s warm)"
     )
     urls.unpersist()
 
@@ -1722,6 +1729,13 @@ def probe_hotbucket(spark, n_docs=510_000, hot=300):
     n_a = base.count()
     cfg = {"id_col": "doc_id", "text_col": "text", "threshold": 0.8,
            "num_hashes": 128, "bands": 16, "return_pairs": True}
+    # warm whole-stage-codegen/JIT on a small slice first so the A/B
+    # compares plans, not first-compile (the signature kernel's first
+    # execution measured ~3x)
+    warm = base.limit(20_000)
+    get_operator("dedup.minhash")(spark, [warm], dict(cfg), {})[
+        "out"
+    ].count()
     t0 = time.perf_counter()
     out_a = get_operator("dedup.minhash")(spark, [base], dict(cfg), {})
     pairs_a = out_a["pairs"].count()
