@@ -315,12 +315,16 @@ def cluster_kmeans(spark: SparkSession, inputs, config, context):
             new = [list(c) for c in cents]  # empty cluster keeps its centroid
             for r in upd:
                 new[r["cluster"]][r["dim"]] = r["s"] // r["n"]
-            if new == cents:
-                # Lloyd's fixed point: the update left every centroid
-                # unchanged, so every later iteration (and the final
-                # labeling) would reproduce this exact state — stop
-                # paying for no-op passes. Output-identical by
-                # construction (integer arithmetic, no drift).
+            if new == cents and batch_frac is None:
+                # Lloyd's fixed point: a FULL-pass update leaving every
+                # centroid unchanged means every later iteration (and
+                # the final labeling) would reproduce this exact state
+                # — stop paying for no-op passes. Output-identical by
+                # construction (integer arithmetic, no drift). NOT
+                # valid in mini-batch mode: each iteration draws a
+                # DIFFERENT iteration-salted sample, so one unchanged
+                # (or empty) batch says nothing about the next
+                # (review finding, round 6).
                 break
             cents = new
     finally:

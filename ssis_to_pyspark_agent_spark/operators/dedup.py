@@ -188,7 +188,8 @@ def _spread(spark, df: DataFrame) -> DataFrame:
 _MAX_HOT_KEYS = 4096
 
 
-def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
+def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int,
+                  auto_persist: bool = True) -> DataFrame:
     """Distinct (a, b) id pairs co-occurring in a bucket.
 
     Buckets at-or-under ``cap`` ride the one-shuffle path: groupBy
@@ -223,10 +224,13 @@ def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFr
     can be RELEASED before returning. On the common no-hot path the
     lazy single-aggregation plan returns unchanged (the transient
     cache is dropped first; the action recomputes one pass exactly as
-    before — measured costs in PLANS.md). The driver only ever holds
-    <= _MAX_HOT_KEYS hot keys; a degenerate corpus beyond that routes
-    WHOLESALE through the distributed self-join (correct at any bucket
-    size, no broadcast table at all).
+    before — measured costs in PLANS.md). Callers whose tagged frame
+    is a cheap narrow derivation of an ALREADY-persisted parent pass
+    ``auto_persist=False`` (dedup.simhash's chunk slices) so the data
+    is not double-stored for a recompute that costs almost nothing.
+    The driver only ever holds <= _MAX_HOT_KEYS hot keys; a degenerate
+    corpus beyond that routes WHOLESALE through the distributed
+    self-join (correct at any bucket size, no broadcast table at all).
     """
     from pyspark import StorageLevel
     # ONE aggregation carries both the EXACT bucket count and the
@@ -261,7 +265,14 @@ def _bucket_pairs(tagged: DataFrame, bucket_cols: list[str], cap: int) -> DataFr
             .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
         )
 
-    auto_persist = tagged.storageLevel == StorageLevel.NONE
+    # auto_persist=False is for callers whose tagged frame is a CHEAP
+    # narrow derivation of an already-persisted parent (dedup.simhash:
+    # chunk slicing over the cached fingerprint base) — caching it
+    # again would double-store the data for a recompute that costs
+    # almost nothing (review finding, round 6). Callers whose lineage
+    # re-runs an expensive kernel (minhash signatures, embedding
+    # bucket matmuls) keep the default.
+    auto_persist = auto_persist and tagged.storageLevel == StorageLevel.NONE
     if auto_persist:
         tagged.persist()
     try:
@@ -743,8 +754,12 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
     config: url_col, id_col (dedup/flag), emit, canon_col
     ('url_canon'), keep_col ('url_keep'), strip_fragment/strip_www/
     strip_default_port/sort_params (all True), strip_params,
-    strip_param_prefixes. Reference has no counterpart — NEW per
-    SURVEY §2.12.
+    strip_param_prefixes, assume_unique_ids (True — the fast id-join
+    survivor plan REQUIRES unique ids; duplicate ids would silently
+    cross-flag between canon groups, so pass False for corpora whose
+    ids repeat: the canon-key join-back is row-correct under
+    duplicates at the cost of shuffling the corpus on the canon md5).
+    Reference has no counterpart — NEW per SURVEY §2.12.
     """
     df: DataFrame = inputs[0]
     url_col = config["url_col"]
@@ -872,10 +887,15 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
     # — skew-free by construction. emit='dedup' canonicalizes AFTER the
     # semi-join, so only survivors pay the chain a second time;
     # emit='flag' must emit canon for every row (2 chain passes total,
-    # the output contract). id_col must be unique (the standing dedup
-    # contract: id in min-set <=> id is the min of its own group).
+    # the output contract). The id-join REQUIRES unique ids (id in
+    # min-set <=> id is the min of its own group) — duplicate ids would
+    # SILENTLY cross-flag between groups, so the assumption is a named
+    # config: assume_unique_ids=False (for corpora whose ids genuinely
+    # repeat) switches to the canon-key join-back, row-correct under
+    # duplicates at the cost of shuffling the corpus on the canon md5
+    # (the pre-round-6 plan; a viral URL then rides AQE skew-split).
     # Measured at 20M rows / 30% viral: PLANS.md round-6 probes table.
-    mins = (
+    keyed_mins = (
         _canonize(df.select(F.col(id_col), F.col(url_col)))
         .select(
             F.col(id_col).alias("_umin"),
@@ -884,8 +904,21 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
         )
         .groupBy("_ukey")
         .agg(F.min("_umin").alias("_umin"))
-        .select("_umin")
     )
+    if not config.get("assume_unique_ids", True):
+        keyed = _canonize(df).withColumn(
+            "_ukey",
+            F.coalesce(F.md5(F.col(canon_col)), F.lit("\x00null")),
+        )
+        flagged = (
+            keyed.join(keyed_mins, "_ukey")
+            .withColumn(keep_col, F.col(id_col) == F.col("_umin"))
+            .drop("_ukey", "_umin")
+        )
+        if emit == "flag":
+            return flagged
+        return flagged.filter(F.col(keep_col)).drop(keep_col)
+    mins = keyed_mins.select("_umin")
     if emit == "flag":
         out = _canonize(df)
         marks = mins.select(
@@ -1136,8 +1169,12 @@ def dedup_simhash(spark: SparkSession, inputs, config, context):
     )
     base = base.persist()  # banded explode + verify both read it
     banded = base.select("_id", F.posexplode(chunks).alias("_chunk", "_cv"))
+    # auto_persist=False: banded is cheap chunk slicing over the
+    # ALREADY-persisted fingerprint base — caching it again would
+    # double-store (review finding, round 6)
     cand = _bucket_pairs(
-        banded, ["_chunk", "_cv"], config.get("bucket_cap", 200)
+        banded, ["_chunk", "_cv"], config.get("bucket_cap", 200),
+        auto_persist=False,
     ).persist()
     fp = base.select("_id", "_sh")
     pairs = (

@@ -4118,20 +4118,6 @@ def _q80_ctes(k: int, n_iter: int, quantize: int, dims: int):
     return ctes, f"a{n_iter + 1}", prev
 
 
-def _q80_oracle(k: int, n_iter: int, quantize: int, dims: int) -> str:
-    ctes, last_a, last_c = _q80_ctes(k, n_iter, quantize, dims)
-    return (
-        "WITH " + ",\n    ".join(ctes) + f"""
-    SELECT 'assign' AS mode, vec_id AS a, CAST(cluster AS BIGINT) AS b,
-           CAST(0 AS BIGINT) AS v
-    FROM {last_a}
-    UNION ALL
-    SELECT 'centroid', CAST(cluster AS BIGINT), CAST(dim AS BIGINT),
-           CAST(val AS BIGINT)
-    FROM {last_c}"""
-    )
-
-
 def _q80_full_oracle(k: int, n_iter: int, quantize: int, dims: int,
                      frac: float) -> str:
     """The q80 oracle: kmeans iterative CTE replay (assign + centroid

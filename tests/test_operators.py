@@ -1081,6 +1081,31 @@ class TestTextOps:
         assert custom[1] == "https://x.com/p?a=1"
         assert custom[2] == "https://x.com/p?a=1"
 
+    def test_dedup_url_duplicate_ids_fallback(self, spark):
+        # the fast id-join survivor plan assumes unique ids; with
+        # assume_unique_ids=False the canon-key join-back stays
+        # row-correct when an id repeats across groups (review finding,
+        # round 6: id 5 is the min of urlB but must NOT be kept for its
+        # urlA row)
+        df = spark.createDataFrame(
+            [(5, "https://a.com/x"), (3, "https://a.com/x"),
+             (5, "https://b.com/y")],
+            "id long, url string",
+        )
+        flags = run("dedup.url", spark, [df], url_col="url", id_col="id",
+                    emit="flag", assume_unique_ids=False)
+        rows = sorted((r.id, r.url_canon, r.url_keep)
+                      for r in flags.collect())
+        assert rows == [
+            (3, "https://a.com/x", True),
+            (5, "https://a.com/x", False),
+            (5, "https://b.com/y", True),
+        ]
+        kept = sorted((r.id, r.url_canon) for r in run(
+            "dedup.url", spark, [df], url_col="url", id_col="id",
+            assume_unique_ids=False).collect())
+        assert kept == [(3, "https://a.com/x"), (5, "https://b.com/y")]
+
     def test_dedup_url_keep_fragment(self, spark):
         # strip_fragment=False must genuinely PRESERVE the fragment —
         # the first cut dropped it in both modes because path/query
@@ -2771,6 +2796,45 @@ class TestClusterKmeans:
         with pytest.raises(ValueError, match="batch_frac"):
             run("cluster.kmeans", spark, [df], id_col="vec_id",
                 vec_col="embedding", k=2, batch_frac=1.5)
+
+    def test_kmeans_minibatch_empty_batch_not_fixed_point(self, spark):
+        # mini-batch mode must NOT treat an unchanged (here: EMPTY)
+        # iteration-0 sample as Lloyd's fixed point — iteration 1 draws
+        # a DIFFERENT salted sample and must still update (review
+        # finding, round 6: the early break was only valid full-pass)
+        import hashlib
+
+        def h60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        thr = int(0.25 * (1 << 60))
+        # ids that MISS the round-0 sample but HIT round 1
+        ids = [i for i in range(5000)
+               if h60(f"{i}:mb0") >= thr and h60(f"{i}:mb1") < thr][:8]
+        assert len(ids) == 8
+        df = spark.createDataFrame(
+            [(i, [float(j)]) for j, i in enumerate(ids)],
+            "vec_id long, embedding array<float>",
+        )
+        res = run("cluster.kmeans", spark, [df], id_col="vec_id",
+                  vec_col="embedding", k=2, n_iter=2, batch_frac=0.25,
+                  quantize=1000)
+        seeds = sorted(
+            r["_vq"][0] for r in df.select(
+                F.transform("embedding",
+                            lambda x: F.round(x * 1000).cast("long"))
+                .alias("_vq")
+            ).orderBy(
+                F.conv(F.substring(F.md5(F.col("vec_id").cast("string")),
+                                   1, 15), 16, 10).cast("bigint"),
+                "vec_id",
+            ).limit(2).collect()
+        )
+        got = sorted(r.val for r in res["centroids"].collect())
+        # the round-1 update must have moved at least one centroid off
+        # its seed (pre-fix code broke at the empty round-0 batch and
+        # returned the seeds verbatim)
+        assert got != seeds
 
     def test_kmeans_releases_its_cache(self, spark):
         # the iteration-loop persist must NOT outlive the operator
