@@ -332,7 +332,17 @@ def _bucket_pairs_plan(tagged, agg, bucket_cols, cap, hot, _self_join,
         # AQE skew-split spreads it). Restricting to _n > 1 buckets
         # first would need another corpus-wide join — not worth it on
         # a path whose cost is the self-join itself.
-        return _self_join(tagged).dropDuplicates(["a", "b"])
+        result = _self_join(tagged).dropDuplicates(["a", "b"])
+        if auto_persist:
+            # same discipline as the hot/cold-mix branch below: the
+            # caller's finally drops the transient input cache right
+            # after we return, so a lazy plan would re-derive the
+            # (possibly expensive) caller lineage for BOTH self-join
+            # scans at action time (ADVICE round 6) — materialize the
+            # bounded candidate set while the cache is alive
+            result = result.persist()
+            result.count()
+        return result
     # hot buckets: distributed self-join (see docstring)
     hot_df = F.broadcast(
         tagged.sparkSession.createDataFrame(
@@ -721,6 +731,9 @@ def dedup_exact(spark: SparkSession, inputs, config, context) -> DataFrame:
 #: URL-level dedup).
 _URL_TRACKING_NAMES = ("fbclid", "gclid", "msclkid", "ref")
 _URL_TRACKING_PREFIXES = ("utm_",)
+#: reserved temp columns the stepwise canonicalization lands in
+_URL_TMP_COLS = ("_uc_u", "_uc_h0", "_uc_t", "_uc_h", "_uc_path",
+                 "_uc_q", "_uc_p")
 
 
 @operator("dedup.url")
@@ -777,6 +790,18 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
         str(n).lower()
         for n in config.get("strip_param_prefixes", _URL_TRACKING_PREFIXES)
     )
+    # the stepwise canonicalization (below) lands intermediates in fixed
+    # temp columns and drops them at the end — an input column with one
+    # of these names would be silently overwritten then dropped (ADVICE
+    # round 6). Cheap driver-side check, same pattern as the
+    # cluster_col-collision guard in clustering.py.
+    clash = [c for c in _URL_TMP_COLS if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"dedup.url: input columns {clash} collide with the "
+            f"operator's reserved temp columns {_URL_TMP_COLS}; rename "
+            "them first"
+        )
 
     def _canonize(src: DataFrame) -> DataFrame:
         """Append ``canon_col`` via STEPWISE temp columns: every
@@ -867,10 +892,7 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
         canon = F.when(
             F.col("_uc_u").isNull(), F.lit(None).cast("string")
         ).otherwise(F.concat(F.col("_uc_h"), F.col("_uc_path"), qstr, frag))
-        return t.withColumn(canon_col, canon).drop(
-            "_uc_u", "_uc_h0", "_uc_t", "_uc_h", "_uc_path", "_uc_q",
-            "_uc_p",
-        )
+        return t.withColumn(canon_col, canon).drop(*_URL_TMP_COLS)
 
     if emit == "canon":
         return _canonize(df)
@@ -920,7 +942,13 @@ def dedup_url(spark: SparkSession, inputs, config, context) -> DataFrame:
         return flagged.filter(F.col(keep_col)).drop(keep_col)
     mins = keyed_mins.select("_umin")
     if emit == "flag":
-        out = _canonize(df)
+        # an input that already carries keep_col (e.g. re-running the
+        # operator over previously flagged output) would make the marks
+        # join emit a duplicate column name and the F.col(keep_col)
+        # reference below fail on ambiguity — drop it first, matching
+        # the implicit-overwrite semantics the pre-round-6 withColumn
+        # form had (ADVICE round 6)
+        out = _canonize(df.drop(keep_col))
         marks = mins.select(
             F.col("_umin").alias(id_col), F.lit(True).alias(keep_col)
         )
@@ -2079,6 +2107,66 @@ def dedup_minhash_incremental(spark: SparkSession, inputs, config, context):
     if len(result) == 1:
         return out
     return result
+
+
+#: the band-store contract: one row per (doc, band) with the band's
+#: minhash-row hash — exactly the `bands` port of dedup.minhash /
+#: dedup.minhash_incremental and the third-input shape the incremental
+#: operator accepts back.
+_BAND_STORE_COLS = ("_id", "_band", "_bh")
+
+
+def write_band_store(bands: DataFrame, path: str, mode: str = "append") -> None:
+    """Persist a minhash band table (``bands`` port) to parquet so the
+    incremental-dedup path survives across sessions: a daily ingest job
+    appends each batch's bands (mode='append') and the next run reads
+    the store back as the third input of dedup.minhash_incremental —
+    the 6.8x-vs-full-rededup figure (PLANS.md) then holds OPERATIONALLY,
+    not just within one session.
+
+    Layout: partitioned by ``_band`` — bounded directory count (= the
+    LSH band count, 4-64), so appends stay cheap and a band-selective
+    read prunes; the probe join broadcasts the batch side, so the store
+    only ever streams. Schema is validated (and pruned to the contract
+    columns) on write; a store written with different minhash params
+    (num_hashes/bands/seed/shingle_k) is NOT interchangeable — keep one
+    store per parameter set, as with any LSH index.
+    """
+    missing = [c for c in _BAND_STORE_COLS if c not in bands.columns]
+    if missing:
+        raise ValueError(
+            f"write_band_store: input lacks band-table columns {missing}; "
+            "pass the `bands` port of dedup.minhash_incremental "
+            "(return_bands=True)"
+        )
+    (
+        bands.select(
+            F.col("_id").cast("bigint"),
+            F.col("_band").cast("int"),
+            F.col("_bh").cast("bigint"),
+        )
+        .write.mode(mode)
+        .partitionBy("_band")
+        .parquet(path)
+    )
+
+
+def read_band_store(spark: SparkSession, path: str) -> DataFrame:
+    """Read a band store written by :func:`write_band_store` back into
+    the (_id, _band, _bh) frame dedup.minhash_incremental accepts as
+    its third input. Casts restore the exact contract types (parquet
+    partition columns come back as the partition-discovery type)."""
+    df = spark.read.parquet(path)
+    missing = [c for c in _BAND_STORE_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"read_band_store: {path} lacks band-table columns {missing}"
+        )
+    return df.select(
+        F.col("_id").cast("bigint"),
+        F.col("_band").cast("int"),
+        F.col("_bh").cast("bigint"),
+    )
 
 
 @operator("dedup.semantic")

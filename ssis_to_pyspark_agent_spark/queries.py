@@ -2034,10 +2034,14 @@ _Q44_FUNNEL_TOK = "len(regexp_extract_all(trim(text), '\\S+'))"
 _Q44_NULLS20 = ", ".join(["NULL"] * 20)
 
 _Q44_FUNNEL_CTES = f""",
+    foff AS (SELECT MAX(doc_id) + 1
+                    + ((10007 - (MAX(doc_id) + 1)) % 300 + 300) % 300 AS off
+             FROM documents),
     fd0 AS (SELECT doc_id, text, source, {_Q44_FUNNEL_TOK} AS tok FROM (
               SELECT doc_id, text, source FROM documents
               UNION ALL
-              SELECT doc_id + 10007, text, source FROM documents
+              SELECT doc_id + (SELECT off FROM foff), text, source
+              FROM documents
               WHERE doc_id % 40 = 3) u),
     furw AS (
       SELECT doc_id,
@@ -2171,6 +2175,26 @@ def _q44_url(mod: int) -> Column:
         F.when(F.col("doc_id") % 5 == 0, F.lit("#sec2"))
          .otherwise(F.lit("")),
     )
+
+
+def _q44_clone_offset(spark: SparkSession, sf_dir: str) -> int:
+    """Clone-id offset for the q44 funnel's planted exact dups: fresh
+    ids strictly above max(doc_id) — collision-free at ANY fixture
+    scale; the former ``+10007`` literal silently collided with real
+    ids past 10007 docs, which cross-flags keepers under dedup.url's
+    unique-id fast path and fans out the oracle's id join (ADVICE
+    round 6) — bumped to the next value ≡ 10007 (mod 300, the lcm of
+    the synthetic url's %2/%3/%4/%50 components) so the clones land in
+    EXACTLY the url residue classes the old constant produced and the
+    s4 exact-dup stage stays exercised scale-independently. Mirrored by
+    the ``foff`` scalar CTE in the oracle. One 1-row aggregate over a
+    column-pruned doc_id scan."""
+    mx = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.max("doc_id")).first()[0]
+    )
+    base = int(mx) + 1
+    return base + (10007 - base) % 300
 
 
 def _q44_funnel(spark: SparkSession, d0: DataFrame) -> list[tuple]:
@@ -2480,6 +2504,7 @@ def _q44_funnel(spark: SparkSession, d0: DataFrame) -> list[tuple]:
     + _Q44_FUNNEL_LEGS,
 )
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clone_off = _q44_clone_offset(spark, sf_dir)
     p = (
         _p("q44", sf_dir, "documents")
         .step("bench", "filter", "documents", predicate="[doc_id] % 100 == 0")
@@ -2572,15 +2597,17 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "html_len", "html_md5", "html_title",
                        "url_canon", "url_keep"])
         # funnel input (merged former q81): plant exact-dup clones with
-        # FRESH ids (+10007 keeps them off every url residue class, so
-        # they reach s4 and must be caught by the exact-text stage —
+        # FRESH ids (clone_off = max(doc_id)+1 bumped to ≡ 10007 mod
+        # 300, see _q44_clone_offset — unique at any fixture scale AND
+        # the same url residue classes as the original +10007 constant,
+        # so clones reach s4 and must be caught by the exact-text stage;
         # without them the synthetic corpus has zero exact dups and s4
         # would be an unexercised pass)
         .step("fbase", "select", "documents",
               columns=["doc_id", "text", "source"])
         .step("fcl0", "filter", "fbase", predicate="[doc_id] % 40 == 3")
         .step("fcl1", "derived_column", "fcl0",
-              columns={"doc_id2": "[doc_id] + 10007"})
+              columns={"doc_id2": f"[doc_id] + {clone_off}"})
         .step("fcl2", "select", "fcl1",
               columns={"doc_id": "doc_id2", "text": "text",
                        "source": "source"})

@@ -319,6 +319,44 @@ class TestDedup:
             sorted(r.doc_id for r in on_fly.collect())
         spark.catalog.clearCache()
 
+    def test_band_store_parquet_round_trip(self, spark, tmp_path):
+        # the operational shape of the incremental path (round-6 verdict
+        # item 7): bootstrap bands -> write_band_store -> read_band_store
+        # in a "later session" -> third input; survivors must equal the
+        # in-session precomputed-bands path, and a batch append must
+        # accrete (store grows by the batch's band rows)
+        from ssis_to_pyspark_agent_spark.operators.dedup import (
+            read_band_store, write_band_store)
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        cut = 250
+        hist = df.filter(f"doc_id < {cut}")
+        batch = df.filter(f"doc_id >= {cut}")
+        cfg = dict(id_col="doc_id", text_col="text", threshold=0.7,
+                   num_hashes=128, bands=16)
+        hb = run("dedup.minhash_incremental", spark,
+                 [hist, hist.limit(0)], return_bands=True,
+                 broadcast_batch=False, **cfg)["bands"]
+        path = str(tmp_path / "band_store")
+        write_band_store(hb, path)
+        store = read_band_store(spark, path)
+        assert [f.simpleString() for f in store.schema.fields] == [
+            "_id:bigint", "_band:int", "_bh:bigint"]
+        on_fly = run("dedup.minhash_incremental", spark, [batch, hist],
+                     **cfg)
+        res = run("dedup.minhash_incremental", spark,
+                  [batch, hist, store], return_bands=True, **cfg)
+        assert sorted(r.doc_id for r in res["out"].collect()) == \
+            sorted(r.doc_id for r in on_fly.collect())
+        # daily accretion: append the batch's bands, store covers both
+        n0 = store.count()
+        write_band_store(res["bands"], path, mode="append")
+        assert read_band_store(spark, path).count() == \
+            n0 + res["bands"].count()
+        with pytest.raises(ValueError, match="lacks band-table columns"):
+            write_band_store(batch, path)
+        spark.catalog.clearCache()
+
     def test_simhash_near_dup(self, spark):
         base = " ".join(f"tok{i}" for i in range(200))
         near = base.replace("tok5 ", "tok5x ")
@@ -1149,6 +1187,42 @@ class TestTextOps:
             run("dedup.url", spark, [df], url_col="url")
         with pytest.raises(ValueError, match="emit must be"):
             run("dedup.url", spark, [df], url_col="url", emit="bogus")
+
+    def test_dedup_url_temp_column_collision_raises(self, spark):
+        # the stepwise canonicalization lands in fixed _uc_* temp
+        # columns; an input already carrying one would be silently
+        # overwritten then dropped (ADVICE round 6) — must raise
+        df = spark.createDataFrame(
+            [(1, "https://example.com/x", "boom")],
+            "id long, url string, _uc_h string",
+        )
+        with pytest.raises(ValueError, match="_uc_h"):
+            run("dedup.url", spark, [df], url_col="url", emit="canon")
+
+    def test_dedup_url_flag_rerun_over_flagged_output(self, spark):
+        # re-running emit='flag' over previously flagged output must not
+        # die on a duplicate keep_col at the marks join (ADVICE round
+        # 6): the stale flag column is dropped and recomputed, matching
+        # the pre-round-6 withColumn overwrite semantics
+        df = spark.createDataFrame(
+            [
+                (10, "https://example.com/x?utm_source=a"),
+                (3, "https://WWW.example.com/x"),
+                (5, "https://example.com/y"),
+            ],
+            "id long, url string",
+        )
+        once = run("dedup.url", spark, [df], url_col="url", id_col="id",
+                   emit="flag").drop("url_canon")
+        twice = {r.id: r.url_keep for r in run(
+            "dedup.url", spark, [once], url_col="url", id_col="id",
+            emit="flag").collect()}
+        assert twice == {10: False, 3: True, 5: True}
+        # and the fallback (duplicate-id) path overwrites via withColumn
+        again = {r.id: r.url_keep for r in run(
+            "dedup.url", spark, [once], url_col="url", id_col="id",
+            emit="flag", assume_unique_ids=False).collect()}
+        assert again == twice
 
     def test_dedup_spans_against_reference(self, spark):
         # second input = benchmark corpus -> span-level decontamination:
@@ -3083,12 +3157,34 @@ class TestBucketPairsHotBucket:
             tagged, ["_bk"], cap=100).collect())
         assert got_cold == expect
         monkeypatch.setattr(dd, "_MAX_HOT_KEYS", 1)  # 3 hot keys > 1
-        got_degen = sorted((r.a, r.b) for r in dd._bucket_pairs(
-            tagged, ["_bk"], cap=4).collect())
+        degen = dd._bucket_pairs(tagged, ["_bk"], cap=4)
+        # the all-hot plan must be materialized eagerly inside the
+        # auto-persist window (ADVICE round 6): a lazy self-join would
+        # re-derive the caller's possibly-expensive lineage twice AFTER
+        # the transient input cache was released
+        from pyspark import StorageLevel
+        assert degen.storageLevel != StorageLevel.NONE
+        got_degen = sorted((r.a, r.b) for r in degen.collect())
         assert got_degen == expect
+        degen.unpersist()
 
 
 class TestQ44FunnelSinglePass:
+    def test_q44_clone_offset_fresh_and_residue_stable(self, spark):
+        # clone ids must be collision-free at ANY fixture scale (the
+        # old +10007 literal broke past 10007 docs, ADVICE round 6)
+        # while landing in the url residue classes the old constant
+        # produced (mod 300 = lcm of the synthetic url's components)
+        from ssis_to_pyspark_agent_spark.queries import _q44_clone_offset
+
+        off = _q44_clone_offset(spark, "/root/testdata/sf0.001")
+        mx = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .agg(F.max("doc_id")).first()[0]
+        )
+        assert off > mx
+        assert off % 300 == 10007 % 300
+
     def test_funnel_single_pass_over_raw(self, spark):
         # the round-5 q81 funnel re-derived each stage's full prefix per
         # report leg (~6 corpus passes); the merged q44 funnel must scan
