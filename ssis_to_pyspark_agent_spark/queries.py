@@ -22,6 +22,7 @@ from typing import Any, Optional
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ssis_to_pyspark_agent_spark.operators.dedup import _lambda_bind
 from ssis_to_pyspark_agent_spark.operators.dedup import _words as _words_fn
 from ssis_to_pyspark_agent_spark.plans import Pipeline, run_pipeline
 
@@ -2197,10 +2198,15 @@ def _q44_clone_offset(spark: SparkSession, sf_dir: str) -> int:
     return base + (10007 - base) % 300
 
 
-def _q44_funnel(spark: SparkSession, d0: DataFrame) -> list[tuple]:
+def _q44_funnel(spark: SparkSession, d0: DataFrame,
+                url_mod: int = 50) -> list[tuple]:
     """Run the curation cascade over ``d0`` (doc_id, text, source,
     ws_tokens) and return the funnel-report rows
     [(kind, key, n_docs, n_toks), ...] — SINGLE-PASS per stage.
+    ``url_mod`` sets the synthetic url's path collision group size
+    (default 50 is the q44 fixture contract, mirrored by the oracle;
+    scale probes pass n_docs/4 so the url stage keeps a realistic
+    survivor fraction instead of collapsing the corpus).
 
     Every stage frame is persisted and the per-stage count/token
     aggregates read the caches in chain order (Spark's cache manager
@@ -2217,7 +2223,8 @@ def _q44_funnel(spark: SparkSession, d0: DataFrame) -> list[tuple]:
     p = (
         Pipeline("q44_funnel")
         .step("d0", "source.dataframe", df=d0)
-        .step("uw", "derived_column", "d0", columns={"url": _q44_url(50)})
+        .step("uw", "derived_column", "d0",
+              columns={"url": _q44_url(url_mod)})
         .step("ud", "dedup.url", "uw", url_col="url", id_col="doc_id",
               emit="flag")
         .step("s1", "filter", "ud", predicate="[url_keep]")
@@ -2536,13 +2543,16 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the oracle can rebuild the identical lines in SQL
         .step("lin", "derived_column", "rl", columns={
             "text_l": F.array_join(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.ceil(F.size(_words_col("text")) / F.lit(8.0)).cast("int"),
-                    ),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(_words_col("text"), (i - 1) * 8 + 1, 8)
+                _lambda_bind(
+                    _words_col("text"),
+                    lambda w: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.ceil(F.size(w) / F.lit(8.0)).cast("int"),
+                        ),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(w, (i - 1) * 8 + 1, 8)
+                        ),
                     ),
                 ),
                 "\n",

@@ -345,15 +345,22 @@ class TestRound5bPlans:
         )
         tracker = spark.sparkContext.statusTracker()
 
+        def max_job_id():
+            # job ids are global and monotone; COUNTING retained ids is
+            # eviction-sensitive (spark.ui drops old entries mid-suite,
+            # observed as a negative delta in a long session)
+            ids = tracker.getJobIdsForGroup() or []
+            return max(ids) if ids else 0
+
         def fit(n_iter):
-            before = len(tracker.getJobIdsForGroup() or [])
+            before = max_job_id()
             res = get_operator("cluster.kmeans")(
                 spark, [df],
                 {"id_col": "vec_id", "vec_col": "embedding", "k": 2,
                  "n_iter": n_iter}, {},
             )
             labs = sorted((r.vec_id, r.cluster) for r in res["out"].collect())
-            jobs = len(tracker.getJobIdsForGroup() or []) - before
+            jobs = max_job_id() - before
             return labs, jobs
 
         labs25, jobs25 = fit(25)

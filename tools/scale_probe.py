@@ -1112,6 +1112,106 @@ def probe_funnel(spark, n_docs=2_000_000, words_per_doc=80):
     docs.unpersist()
 
 
+def probe_funnel_report(spark, n_docs=2_000_000, words_per_doc=80):
+    """The q44 REPORT funnel (_q44_funnel: per-stage persists, per-stage
+    count/token aggregates + by-source split) at 2M docs, A/B'd against
+    the pre-round-6 shape (no persists — every report leg re-derives its
+    stage's full prefix, the former q81's ~6-corpus-pass behavior). Same
+    corpus as probe_funnel. Verdict r6 item 2: turn 'one pass per stage'
+    into a measured speedup at the scale a 100 TB curation run has."""
+    from ssis_to_pyspark_agent_spark.queries import _q44_funnel
+
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    word = lambda i: F.element_at(  # noqa: E731
+        vocab, (F.pmod(F.xxhash64(F.col("doc_id"), i), 500) + 1).cast("int")
+    )
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(words_per_doc)),
+            lambda i: F.when(
+                (i % 7 == 0) & (F.pmod(F.col("doc_id"), 10) != 0),
+                F.lit("the"),
+            ).otherwise(word(i)),
+        ),
+    )
+    base = (
+        spark.range(n_docs)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), F.pmod(F.col("id"), 4)).alias("source"),
+        )
+        .withColumn("text", text)
+    )
+    clones = base.filter(F.pmod("doc_id", 100) == 1).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"), "source", "text"
+    )
+    d0 = (
+        base.unionByName(clones)
+        .withColumn(
+            "ws_tokens",
+            F.size(F.filter(F.split(F.trim("text"), r"\s+"),
+                            lambda x: x != "")).cast("bigint"),
+        )
+        .persist()
+    )
+    total = d0.count()
+
+    url_mod = n_docs // 4  # 4:1 url collisions — probe_funnel's shape
+    t0 = time.perf_counter()
+    rows = _q44_funnel(spark, d0, url_mod=url_mod)
+    dt_new = time.perf_counter() - t0
+    stage = {k: n for kind, k, n, _ in rows if kind == "stage"}
+
+    # pre-round-6 shape: identical stages, NO persists — each report
+    # aggregate re-derives its stage's full prefix from the raw corpus
+    from ssis_to_pyspark_agent_spark.plans import Pipeline, run_pipeline
+    from ssis_to_pyspark_agent_spark.queries import _q44_url
+
+    p = (
+        Pipeline("funnel_report_before")
+        .step("d0", "source.dataframe", df=d0)
+        .step("uw", "derived_column", "d0",
+              columns={"url": _q44_url(url_mod)})
+        .step("ud", "dedup.url", "uw", url_col="url", id_col="doc_id",
+              emit="flag")
+        .step("s1", "filter", "ud", predicate="[url_keep]")
+        .step("lid", "text.lang_id", "s1", text_col="text")
+        .step("s2", "filter", "lid", predicate='[lang_pred] == "en"')
+        .step("ql", "text.quality", "s2", text_col="text")
+        .step("s3", "filter", "ql",
+              predicate="[stopword_ratio] > 0.04 && [n_words] >= 25")
+        .step("s4", "dedup.exact", "s3", columns=["text"],
+              keep_by=["doc_id"])
+        .step("s5", "sample.temperature", "s4", id_col="doc_id",
+              group_col="source", alpha=0.5, budget_frac=0.6)
+    )
+    r = run_pipeline(spark, p)
+    t0 = time.perf_counter()
+    before_stage = {}
+    for s, key in (("d0", "s0_raw"), ("s1", "s1_url"), ("s2", "s2_lang"),
+                   ("s3", "s3_quality"), ("s4", "s4_exact"),
+                   ("s5", "s5_temperature")):
+        agg = r.df(s).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("ws_tokens"), F.lit(0)).cast("long"),
+        ).collect()[0]
+        before_stage[key] = agg["n"]
+    r.df("s5").groupBy("source").agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("ws_tokens"), F.lit(0))
+    ).collect()
+    dt_old = time.perf_counter() - t0
+
+    assert before_stage == stage, (before_stage, stage)
+    print(
+        f"PROBE funnel_report: n={total} single-pass={dt_new:.1f}s "
+        f"({total/dt_new:,.0f} docs/s) re-derive={dt_old:.1f}s "
+        f"speedup={dt_old/dt_new:.2f}x stages={stage}"
+    )
+    d0.unpersist()
+
+
 def probe_novelty(spark, n_docs=2_000_000, words_per_doc=80):
     """text.ngram_novelty at 2M docs: corpus-global bigram table
     (groupBy) + hash-keyed join-back — the same shuffle class as
@@ -1552,6 +1652,73 @@ def probe_kmeans_minibatch(spark, n_vec=2_000_000, dim=64, k=256,
     docs.unpersist()
 
 
+def probe_semdedup_recipe(spark, n_vec=2_000_000, dim=64, k=1024,
+                          n_iter=3):
+    """The COMPOSED big-corpus SemDeDup recipe (round-6 verdict item 6):
+    cluster.kmeans (full-pass Lloyd's vs batch_frac=0.1 mini-batch) ->
+    dedup.semantic with the centroid frame as second input, at 2M x 64
+    with 1% planted near-dups (scale-perturbed copies, cosine ~1).
+    Measures each leg's wall time and the pair RECALL under both
+    centroid sets — mini-batch centroids are only a valid 100 TB
+    recommendation if the downstream dedup still catches the planted
+    pairs (a dup and its copy land in the same cluster for ANY sane
+    centroid set, so recall should hold at 100%)."""
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 1000) / 500.0 - 1.0)
+        .cast("float"),
+    )
+    base = spark.range(n_vec).repartition(64).select(
+        F.col("id").alias("vid"), vec.alias("v")
+    )
+    dups = base.filter(F.pmod("vid", 100) == 0).select(
+        (F.col("vid") + n_vec).alias("vid"),
+        F.transform("v", lambda x: x * 1.0001).alias("v"),
+    )
+    docs = base.unionByName(dups).persist()
+    total = docs.count()
+    planted = n_vec // 100
+
+    def leg(tag, extra):
+        t0 = time.perf_counter()
+        km = get_operator("cluster.kmeans")(
+            spark, [docs],
+            {"id_col": "vid", "vec_col": "v", "k": k, "n_iter": n_iter,
+             "quantize": 10000, **extra},
+            {},
+        )
+        cents = km["centroids"].persist()
+        cents.count()
+        t_fit = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sd = get_operator("dedup.semantic")(
+            spark, [docs, cents],
+            {"id_col": "vid", "vec_col": "v", "threshold": 0.98,
+             "quantize": 10000, "return_pairs": True},
+            {},
+        )
+        survivors = sd["out"].count()
+        recalled = sd["pairs"].filter(
+            (F.col("b") - F.col("a")) == n_vec
+        ).count()
+        t_dedup = time.perf_counter() - t0
+        cents.unpersist()
+        print(
+            f"PROBE semdedup_recipe[{tag}]: n={total} k={k} "
+            f"kmeans={t_fit:.1f}s dedup={t_dedup:.1f}s "
+            f"survivors={survivors} recall={recalled}/{planted}"
+        )
+        return t_fit + t_dedup, recalled
+
+    t_full, r_full = leg("full", {})
+    t_mb, r_mb = leg("mb0.1", {"batch_frac": 0.1})
+    print(
+        f"PROBE semdedup_recipe: end-to-end speedup={t_full/t_mb:.2f}x "
+        f"recall full={r_full}/{planted} mb={r_mb}/{planted}"
+    )
+    docs.unpersist()
+
+
 def probe_url(spark, n=20_000_000, viral_pct=30):
     """dedup.url under viral-URL skew: ONE url carries `viral_pct`% of
     all rows (the front-page-link shape a raw-web crawl actually has).
@@ -1839,6 +2006,10 @@ def main():
         probe_temperature(spark)
     if which in ("funnel", "all"):
         probe_funnel(spark)
+    if which in ("funnel_report", "all"):
+        probe_funnel_report(spark)
+    if which in ("semdedup_recipe", "all"):
+        probe_semdedup_recipe(spark)
 
 
 if __name__ == "__main__":
