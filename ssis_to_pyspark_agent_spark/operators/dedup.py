@@ -2562,3 +2562,21 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
     if len(result) == 1:
         return out
     return result
+
+
+@operator("sink.band_store")
+def band_store_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Pipeline wrapper for :func:`write_band_store` — append a batch's
+    `bands` port to the on-disk minhash band store inside a pipeline
+    (the daily-ingest shape). config: path, mode ('append' default)."""
+    df: DataFrame = inputs[0]
+    write_band_store(df, config["path"], mode=config.get("mode", "append"))
+    return df
+
+
+@operator("source.band_store")
+def band_store_source(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Pipeline wrapper for :func:`read_band_store` — load the band
+    store as the third input of dedup.minhash_incremental.
+    config: path."""
+    return read_band_store(spark, config["path"])

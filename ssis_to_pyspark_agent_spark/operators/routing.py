@@ -651,3 +651,142 @@ def sample_temperature(spark: SparkSession, inputs, config, context) -> DataFram
         joined.filter(h.cast("double") < F.col("_thr") * F.lit(float(1 << 60)))
         .drop("_g", "_thr")
     )
+
+
+@operator("filter.bloom")
+def filter_bloom(spark: SparkSession, inputs, config, context):
+    """Bounded-memory blocklist filtering — the 100 TB shape of "drop
+    every document whose key appears in a huge blocklist" (bad-URL
+    lists, benchmark-contamination digests, takedown lists) when the
+    blocklist is too large to broadcast as an equi-join table but a
+    fixed false-positive rate is acceptable.
+
+    inputs: [corpus, blocklist]. The blocklist compresses into an
+    m-bit Bloom bitmap built IN-PLAN (explode k positions per key ->
+    distinct -> 64-bit words via shiftleft/bit_or -> one dense
+    array<bigint> row), broadcast once (m/64 bigints — 16 KiB at the
+    2^20 default, independent of blocklist size). The corpus is then
+    probed in a single narrow pass: k md5-derived bit tests per row
+    against the broadcast array — the corpus NEVER shuffles and never
+    joins row-by-row against the blocklist. Deterministic by
+    construction (positions are md5 arithmetic, no RNG), so Bloom
+    FALSE POSITIVES are reproducible bit-for-bit by the DuckDB oracle:
+    the usual one-sided Bloom guarantee (no false negatives; FP rate
+    ~(1-e^{-kB/m})^k) with engine-exact semantics.
+
+    config: key_col (corpus probe column), block_key_col (blocklist
+    column, default key_col), m_bits (bitmap size, default 2^20, must
+    be a multiple of 64 and <= 2^26 — the dense word row stays a
+    bounded single-row array), k (hash count, default 7), salt
+    (position-hash salt, default 'bloom'), emit ('flag' adds boolean
+    `flag_col` [default 'bloom_hit']; 'drop' removes hits — the
+    decontamination use; 'keep' keeps only hits), flag_col. NULL keys
+    never hit (md5(NULL) is NULL; blocklist NULLs set no bits).
+
+    Reference has no counterpart — NEW per SURVEY §2.12 family.
+    """
+    from ssis_to_pyspark_agent_spark.operators.dedup import _md5_60bit
+
+    corpus: DataFrame = inputs[0]
+    blocklist: DataFrame = inputs[1]
+    key_col = config["key_col"]
+    block_key_col = config.get("block_key_col", key_col)
+    m_bits = int(config.get("m_bits", 1 << 20))
+    k = int(config.get("k", 7))
+    salt = config.get("salt", "bloom")
+    emit = config.get("emit", "flag")
+    flag_col = config.get("flag_col", "bloom_hit")
+    if emit not in ("flag", "drop", "keep"):
+        raise ValueError(
+            f"filter.bloom: emit must be flag|drop|keep, got {emit!r}"
+        )
+    if m_bits % 64 != 0 or not (64 <= m_bits <= (1 << 26)):
+        raise ValueError(
+            "filter.bloom: m_bits must be a multiple of 64 in "
+            f"[64, 2^26], got {m_bits}"
+        )
+    if k < 1:
+        raise ValueError(f"filter.bloom: k must be >= 1, got {k}")
+    n_words = m_bits // 64
+
+    # 2^j as a signed-long literal array (shiftleft takes only a Python
+    # int shift amount, but the bit index here is a Column); entry 64 is
+    # the sign bit, whose signed value is -2^63 — bit_or and the
+    # `& != 0` probe are sign-agnostic
+    pow2 = F.array(
+        *[F.lit(1 << j).cast("bigint") for j in range(63)],
+        F.lit(-(1 << 63)).cast("bigint"),
+    )
+
+    def bit_of(p: Column) -> Column:
+        return F.element_at(pow2, F.pmod(p, 64).cast("int") + 1)
+
+    def pos(key: Column, i) -> Column:
+        # i may be a Python int (build side) or a lambda-bound Column
+        # (probe side); md5 arithmetic keeps the position oracle-exact
+        istr = F.lit(f"#{salt}") if isinstance(i, Column) else F.lit(
+            f"#{salt}{i}"
+        )
+        tail = F.concat(istr, i.cast("string")) if isinstance(i, Column) \
+            else istr
+        return F.pmod(
+            _md5_60bit(F.concat(key.cast("string"), tail)), F.lit(m_bits)
+        )
+
+    # DataFrame-qualified references: corpus and blocklist may share the
+    # key column NAME; bare F.col() can bind the probe expression to the
+    # blocklist lineage (runtime ATTRIBUTE_NOT_FOUND after the crossJoin)
+    bk = blocklist[block_key_col]
+    positions = blocklist.select(
+        F.explode(F.array(*[pos(bk, i) for i in range(1, k + 1)]))
+        .alias("_p")
+    ).filter(F.col("_p").isNotNull()).distinct()
+    # dense word array: every word index present exactly once (missing
+    # words = 0), ordered — a single bounded row (n_words <= 2^20)
+    words = (
+        positions.select(
+            (F.col("_p") / 64).cast("bigint").alias("_w"),
+            bit_of(F.col("_p")).alias("_b"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_b").alias("_word"))
+    )
+    bitmap = (
+        spark.range(n_words).select(F.col("id").alias("_w"))
+        .join(words, "_w", "left")
+        .select("_w", F.coalesce("_word", F.lit(0)).alias("_word"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_w"), F.col("_word")))
+                ),
+                lambda s: s["_word"],
+            ).alias("_bloom_bits")
+        )
+    )
+    key = corpus[key_col]
+    # k is a Python int, so the probe unrolls statically — no
+    # higher-order functions (a nested transform+forall variant hit a
+    # runtime lambda-binding INTERNAL_ERROR in Spark 4.1), and the
+    # positions land in their own projection so each md5 is evaluated
+    # once (invariant 20)
+    probed = corpus.crossJoin(F.broadcast(bitmap)).withColumn(
+        "_bloom_pos", F.array(*[pos(key, i) for i in range(1, k + 1)])
+    )
+    bits = F.col("_bloom_bits")
+    p_i = [F.element_at(F.col("_bloom_pos"), i) for i in range(1, k + 1)]
+    tests = [
+        F.element_at(bits, (p / 64).cast("int") + 1)
+        .bitwiseAND(bit_of(p)) != 0
+        for p in p_i
+    ]
+    hit = tests[0]
+    for t in tests[1:]:
+        hit = hit & t
+    hit = F.coalesce(hit, F.lit(False))
+    if emit == "flag":
+        return probed.withColumn(flag_col, hit).drop(
+            "_bloom_bits", "_bloom_pos")
+    if emit == "keep":
+        return probed.filter(hit).drop("_bloom_bits", "_bloom_pos")
+    return probed.filter(~hit).drop("_bloom_bits", "_bloom_pos")

@@ -972,6 +972,28 @@ def _lm_tab_sql() -> str:
              ROW_NUMBER() OVER (PARTITION BY MD5({_NORM_SQL})
                                 ORDER BY doc_id) AS rn
       FROM documents) WHERE rn = 1),
+    blk AS (SELECT MD5({_NORM_SQL}) AS key FROM documents
+            WHERE doc_id % 17 = 0
+            UNION ALL
+            SELECT MD5({_NORM_SQL}) FROM documents WHERE doc_id % 85 = 3),
+    blpos AS (SELECT DISTINCT
+                CAST('0x' || substr(md5(key || '#bloom'
+                                        || CAST(i AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 4096 AS p
+              FROM blk, (VALUES (1), (2), (3)) t(i)
+              WHERE key IS NOT NULL),
+    mpos AS (SELECT doc_id,
+               CAST('0x' || substr(md5(MD5({_NORM_SQL}) || '#bloom'
+                                       || CAST(t.i AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 4096 AS p
+             FROM documents, (VALUES (1), (2), (3)) t(i)
+             WHERE doc_id % 17 <> 0),
+    bhit AS (SELECT doc_id,
+               CAST(CASE WHEN SUM(CASE WHEN bp.p IS NOT NULL
+                                       THEN 1 ELSE 0 END) = 3
+                         THEN 1 ELSE 0 END AS INT) AS hit
+             FROM mpos LEFT JOIN blpos bp ON mpos.p = bp.p
+             GROUP BY doc_id),
     bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
     fp2 AS (SELECT g.doc_id, g.gpos FROM g JOIN bg USING (gram)
             WHERE g.doc_id % 17 <> 0),
@@ -1013,6 +1035,10 @@ def _lm_tab_sql() -> str:
     FROM docs d LEFT JOIN sp2 ON sp2.doc_id = d.doc_id
     LEFT JOIN clean2 c2 ON c2.doc_id = d.doc_id
     WHERE d.doc_id % 17 <> 0
+    UNION ALL
+    SELECT 'bloom', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           hit, CAST(NULL AS INT), CAST(NULL AS INT)
+    FROM bhit
     """,
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1036,6 +1062,24 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
               predicate="doc_id % 17 != 0", sql=True)
         .step("dc", "dedup.spans", ["main", "bench"], id_col="doc_id",
               text_col="text", n=8, emit_clean=True)
+        # bloom leg: bounded-memory blocklist probe. Blocklist = bench
+        # digests + PLANTED main digests (doc_id % 85 == 3 — guaranteed
+        # hits; the %17 split has no natural cross-split exact dups),
+        # m=4096/k=3 keeps deterministic false positives in play — the
+        # oracle reproduces every hit AND every FP bit-for-bit
+        .step("bkey", "derived_column", "bench",
+              columns={"key": F.md5(_norm_text(F.col("text")))})
+        .step("bkey2", "select", "bkey", columns=["key"])
+        .step("pl", "filter", "documents",
+              predicate="doc_id % 85 = 3", sql=True)
+        .step("plkey", "derived_column", "pl",
+              columns={"key": F.md5(_norm_text(F.col("text")))})
+        .step("plkey2", "select", "plkey", columns=["key"])
+        .step("blk", "union_all", ["bkey2", "plkey2"])
+        .step("mkey", "derived_column", "main",
+              columns={"key": F.md5(_norm_text(F.col("text")))})
+        .step("bloom", "filter.bloom", ["mkey", "blk"], key_col="key",
+              m_bits=4096, k=3, emit="flag")
     )
     r = run_pipeline(spark, p)
     surv = r.df("dd").select(
@@ -1058,7 +1102,17 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_spans", "dup_tokens",
         F.length("text_clean").cast("int").alias("clean_len"),
     )
-    return surv.unionByName(spans).unionByName(decon)
+    bloom = r.df("bloom").select(
+        F.lit("bloom").alias("kind"), "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.col("bloom_hit").cast("int").alias("n_dup_spans"),
+        F.lit(None).cast("int").alias("dup_tokens"),
+        F.lit(None).cast("int").alias("clean_len"),
+    )
+    return (
+        surv.unionByName(spans).unionByName(decon).unionByName(bloom)
+    )
 
 
 _SHINGLE_SQL = """

