@@ -680,8 +680,10 @@ def filter_bloom(spark: SparkSession, inputs, config, context):
     bounded single-row array), k (hash count, default 7), salt
     (position-hash salt, default 'bloom'), emit ('flag' adds boolean
     `flag_col` [default 'bloom_hit']; 'drop' removes hits — the
-    decontamination use; 'keep' keeps only hits), flag_col. NULL keys
-    never hit (md5(NULL) is NULL; blocklist NULLs set no bits).
+    decontamination use; 'keep' keeps only hits), flag_col, hash_fn
+    ('md5' default — oracle-exact positions; 'xxhash64' — ~5x cheaper
+    JVM hash for production runs that no SQL oracle replays). NULL
+    keys never hit (hash(NULL) is NULL; blocklist NULLs set no bits).
 
     Reference has no counterpart — NEW per SURVEY §2.12 family.
     """
@@ -707,6 +709,11 @@ def filter_bloom(spark: SparkSession, inputs, config, context):
         )
     if k < 1:
         raise ValueError(f"filter.bloom: k must be >= 1, got {k}")
+    hash_fn = config.get("hash_fn", "md5")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"filter.bloom: hash_fn must be md5|xxhash64, got {hash_fn!r}"
+        )
     n_words = m_bits // 64
 
     # 2^j as a signed-long literal array (shiftleft takes only a Python
@@ -721,16 +728,19 @@ def filter_bloom(spark: SparkSession, inputs, config, context):
     def bit_of(p: Column) -> Column:
         return F.element_at(pow2, F.pmod(p, 64).cast("int") + 1)
 
-    def pos(key: Column, i) -> Column:
-        # i may be a Python int (build side) or a lambda-bound Column
-        # (probe side); md5 arithmetic keeps the position oracle-exact
-        istr = F.lit(f"#{salt}") if isinstance(i, Column) else F.lit(
-            f"#{salt}{i}"
-        )
-        tail = F.concat(istr, i.cast("string")) if isinstance(i, Column) \
-            else istr
+    def pos(key: Column, i: int) -> Column:
+        # hash_fn='md5' (default): oracle-exact positions (DuckDB
+        # replicates the hex arithmetic). 'xxhash64': ~5x cheaper JVM
+        # hash for production runs where no SQL oracle replays the
+        # filter — same determinism, not DuckDB-reproducible.
+        if hash_fn == "xxhash64":
+            return F.pmod(
+                F.xxhash64(key.cast("string"), F.lit(f"#{salt}{i}")),
+                F.lit(m_bits),
+            )
         return F.pmod(
-            _md5_60bit(F.concat(key.cast("string"), tail)), F.lit(m_bits)
+            _md5_60bit(F.concat(key.cast("string"), F.lit(f"#{salt}{i}"))),
+            F.lit(m_bits),
         )
 
     # DataFrame-qualified references: corpus and blocklist may share the

@@ -1237,6 +1237,20 @@ class TestTextOps:
         assert a == b
         assert set(range(0, 1000, 50)) <= set(a)  # no false negatives
 
+    def test_filter_bloom_xxhash64_fast_path(self, spark):
+        # the non-oracle production hash: same membership semantics at
+        # FP-free sizes, just different positions
+        corpus = spark.createDataFrame(
+            [(i, f"key{i}") for i in range(200)], "id long, k string"
+        )
+        block = spark.createDataFrame(
+            [(f"key{i}",) for i in range(0, 200, 20)], "k string"
+        )
+        hits = sorted(r.id for r in run(
+            "filter.bloom", spark, [corpus, block], key_col="k",
+            hash_fn="xxhash64").filter("bloom_hit").collect())
+        assert hits == list(range(0, 200, 20))
+
     def test_filter_bloom_config_validation(self, spark):
         df = spark.createDataFrame([(1, "a")], "id long, k string")
         with pytest.raises(ValueError, match="emit must be"):
@@ -1245,6 +1259,8 @@ class TestTextOps:
             run("filter.bloom", spark, [df, df], key_col="k", m_bits=100)
         with pytest.raises(ValueError, match="k must be"):
             run("filter.bloom", spark, [df, df], key_col="k", k=0)
+        with pytest.raises(ValueError, match="hash_fn"):
+            run("filter.bloom", spark, [df, df], key_col="k", hash_fn="z")
 
     def test_dedup_url_temp_column_collision_raises(self, spark):
         # the stepwise canonicalization lands in fixed _uc_* temp

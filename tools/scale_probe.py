@@ -1719,6 +1719,56 @@ def probe_semdedup_recipe(spark, n_vec=2_000_000, dim=64, k=1024,
     docs.unpersist()
 
 
+def probe_bloom(spark, n=20_000_000, n_block=1_000_000):
+    """filter.bloom at 20M corpus rows vs a 1M-key blocklist: the
+    bitmap build is blocklist-sized (one groupBy over <= k*B distinct
+    positions), the probe is a single narrow corpus pass against the
+    broadcast word array (m=2^24 -> 256k words, 2 MiB). Exactness: with
+    m=2^24/k=7 and 1M keys the fill ratio is ~0.26 so FPs exist but are
+    deterministic; every true member must hit (one-sided contract)."""
+    corpus = (
+        spark.range(n)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("k"), (F.col("id") % (n // 2)).cast("string"))
+            .alias("key"),  # half the keys repeat once
+        )
+    )
+    block = (
+        spark.range(n_block)
+        .select(F.concat(F.lit("k"), (F.col("id") * 7).cast("string"))
+                .alias("key"))  # every 7th key-space point
+    )
+    t0 = time.perf_counter()
+    out = get_operator("filter.bloom")(
+        spark, [corpus, block],
+        {"key_col": "key", "m_bits": 1 << 24, "k": 7}, {},
+    )
+    hits = out.filter("bloom_hit").count()
+    dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out2 = get_operator("filter.bloom")(
+        spark, [corpus, block],
+        {"key_col": "key", "m_bits": 1 << 24, "k": 7,
+         "hash_fn": "xxhash64"}, {},
+    )
+    hits2 = out2.filter("bloom_hit").count()
+    dt2 = time.perf_counter() - t0
+    print(
+        f"PROBE bloom[xxhash64]: {dt2:.1f}s ({n/dt2:,.0f} rows/s) "
+        f"hits={hits2} one_sided_ok={hits2 >= 2 * n_block}"
+    )
+    # true members: the n_block block keys k(7i), 7i < n//2 by
+    # construction, each appearing exactly twice in the corpus
+    true_rows = 2 * n_block
+    print(
+        f"PROBE bloom: n={n} block={n_block} {dt:.1f}s "
+        f"({n/dt:,.0f} rows/s) hits={hits} true={true_rows} "
+        f"fp_rows={hits - true_rows} one_sided_ok={hits >= true_rows}"
+    )
+
+
 def probe_url(spark, n=20_000_000, viral_pct=30):
     """dedup.url under viral-URL skew: ONE url carries `viral_pct`% of
     all rows (the front-page-link shape a raw-web crawl actually has).
@@ -2010,6 +2060,8 @@ def main():
         probe_funnel_report(spark)
     if which in ("semdedup_recipe", "all"):
         probe_semdedup_recipe(spark)
+    if which in ("bloom", "all"):
+        probe_bloom(spark)
 
 
 if __name__ == "__main__":
