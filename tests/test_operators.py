@@ -1074,6 +1074,27 @@ class TestTextOps:
         with pytest.raises(ValueError, match="n must be >= 2"):
             run("text.lm_score", spark, [df], id_col="doc_id",
                 text_col="text", n=1)
+        with pytest.raises(ValueError, match="stats_broadcast"):
+            run("text.lm_score", spark, [df], id_col="doc_id",
+                text_col="text", stats_broadcast="maybe")
+
+    def test_lm_score_stats_broadcast_value_equality(self, spark):
+        # the broadcast plan variant must be a pure plan change: same
+        # values as the default lazy SMJ plan, self-trained AND external
+        docs = spark.createDataFrame(
+            [(i, "the cat sat on the mat and the cat ran " + str(i % 7))
+             for i in range(60)],
+            "doc_id long, text string",
+        )
+        train = docs.filter("doc_id % 3 = 0")
+        for inputs in ([docs], [docs, train]):
+            off = run("text.lm_score", spark, inputs, id_col="doc_id",
+                      text_col="text", stats_broadcast="off")
+            auto = run("text.lm_score", spark, inputs, id_col="doc_id",
+                       text_col="text", stats_broadcast="auto")
+            key = lambda r: (r.doc_id, r.lm_ngrams, r.lm_oov, r.lm_bits_fp)
+            assert sorted(map(key, off.collect())) == \
+                sorted(map(key, auto.collect()))
 
     def test_dedup_url_canonicalization(self, spark):
         df = spark.createDataFrame(

@@ -1313,6 +1313,42 @@ def probe_lm(spark, n_docs=2_000_000, words_per_doc=80):
     )
     docs.unpersist()
 
+    # stats-broadcast A/B on a WEB-SHAPED vocab (2k words: the merged
+    # table fits the 8M-row broadcast bound, as a hapax-pruned web
+    # corpus's does; the 50k-vocab corpus above saturates every context
+    # and correctly stays on the SMJ path). Same values both plans.
+    docs3 = (
+        spark.range(n_docs)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.regexp_replace(
+                _zipf_lines_expr(10, 8, vocab=2_000, salt=23, boiler=BOILER),
+                "\n", " ",
+            ).alias("text"),
+        )
+        .persist()
+    )
+    docs3.count()
+    res = {}
+    for mode in ("off", "auto"):
+        t0 = time.perf_counter()
+        o = get_operator("text.lm_score")(
+            spark, [docs3],
+            {"id_col": "doc_id", "text_col": "text", "n": 2,
+             "stats_broadcast": mode},
+            {},
+        )
+        agg = o.agg(F.sum("lm_ngrams"), F.sum("lm_bits_fp")).collect()[0]
+        res[mode] = (time.perf_counter() - t0, agg[0], agg[1])
+    assert res["off"][1:] == res["auto"][1:], res
+    print(
+        f"PROBE lm_bcast: n={n_docs} vocab=2k smj={res['off'][0]:.1f}s "
+        f"broadcast={res['auto'][0]:.1f}s "
+        f"speedup={res['off'][0]/res['auto'][0]:.2f}x values_equal=True"
+    )
+    docs3.unpersist()
+
 
 def _zipf_lines_expr(n_lines, words_per_line, vocab=50_000, salt=0,
                      boiler=None, zipf=True):
