@@ -333,6 +333,28 @@ class TestRound5bPlans:
         p = plan_of(pr["out"])
         assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
 
+    def test_filter_bloom_probe_side_never_shuffles(self, spark):
+        # the operator's 100 TB contract: the corpus reaches the bitmap
+        # via a broadcast (nested-loop, 1-row build side) join with NO
+        # Exchange anywhere on the corpus branch — all shuffles in the
+        # plan belong to the blocklist-sized bitmap build
+        from ssis_to_pyspark_agent_spark.operators import get_operator
+
+        corpus = spark.createDataFrame(
+            [(i, f"key{i}") for i in range(100)], "id long, k string"
+        )
+        block = spark.createDataFrame([("key1",)], "k string")
+        out = get_operator("filter.bloom")(
+            spark, [corpus, block], {"key_col": "k"}, {}
+        )
+        p = plan_of(out)
+        assert "BroadcastNestedLoopJoin" in p
+        # corpus branch = everything between the join and the broadcast
+        # build side; the corpus scan must sit directly under the join
+        join_part = p.split("BroadcastExchange")[0]
+        assert "Exchange" not in join_part.replace(
+            "BroadcastNestedLoopJoin", "")
+
     def test_kmeans_early_stops_at_fixed_point(self, spark):
         # data already at a Lloyd's fixed point: n_iter=25 must cost far
         # fewer jobs than 25 update rounds (the convergence break), and
