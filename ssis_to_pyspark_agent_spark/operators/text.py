@@ -361,7 +361,17 @@ def redact(spark: SparkSession, inputs, config, context) -> DataFrame:
     Pure JVM regexp_replace/regexp_count chain — one narrow pass, no
     Python, no shuffle; at 100 TB this is scan-bound. `patterns` overrides
     or extends the default map (name -> regex; keep patterns RE2-safe if
-    the output feeds an engine-neutral oracle)."""
+    the output feeds an engine-neutral oracle).
+
+    ``luhn_cc=True`` additionally redacts payment-card numbers: 13-19
+    digit candidates (spaces/dashes allowed) are VALIDATED with the
+    Luhn mod-10 checksum before replacement — a bare \\d{13,19} regex
+    would eat order ids and timestamps; the checksum gate is the
+    standard PCI-scrubbing discipline. Candidates that fail the check
+    are left untouched (and not counted). Pure expressions: extract-all
+    -> filter(Luhn over the reversed digit list, doubling map inline)
+    -> fold replace; engine-neutral, so the oracle replays even the
+    checksum arithmetic."""
     df: DataFrame = inputs[0]
     c = config["text_col"]
     out_col = config.get("out", f"{c}_redacted")
@@ -371,6 +381,34 @@ def redact(spark: SparkSession, inputs, config, context) -> DataFrame:
     for name, pat in patterns.items():
         counts[f"n_{name}"] = F.regexp_count(F.col(c), F.lit(pat))
         red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    if config.get("luhn_cc", False):
+        cand = F.regexp_extract_all(
+            F.col(c), F.lit(r"\b\d(?:[ -]?\d){12,18}\b"), 0
+        )
+
+        def luhn_ok(s: Column) -> Column:
+            # digits, least-significant first; 0-based odd positions
+            # double (9-wrap) — the mod-10 account-number checksum
+            ds = F.split(F.reverse(F.regexp_replace(s, "[ -]", "")), "")
+            contrib = F.transform(
+                ds,
+                lambda x, i: F.when(
+                    i % 2 == 1,
+                    F.when(x.cast("int") * 2 > 9, x.cast("int") * 2 - 9)
+                    .otherwise(x.cast("int") * 2),
+                ).otherwise(x.cast("int")),
+            )
+            total = F.aggregate(contrib, F.lit(0), lambda a, b: a + b)
+            return (
+                F.size(ds).between(13, 19) & (F.pmod(total, 10) == 0)
+            )
+
+        valid = F.filter(cand, luhn_ok)
+        counts["n_credit_card"] = F.size(valid)
+        red = F.aggregate(
+            valid, red,
+            lambda acc, x: F.replace(acc, x, F.lit("[CREDIT_CARD]")),
+        )
     return df.withColumns({**counts, out_col: red})
 
 

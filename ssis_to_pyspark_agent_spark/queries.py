@@ -2085,8 +2085,8 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q44_FUNNEL_TOK = "len(regexp_extract_all(trim(text), '\\S+'))"
 
-#: the 20 per-doc q44 columns a funnel row NULLs out (doc_id..url_keep)
-_Q44_NULLS20 = ", ".join(["NULL"] * 20)
+#: the 21 per-doc q44 columns a funnel row NULLs out (doc_id..url_keep)
+_Q44_NULLS20 = ", ".join(["NULL"] * 21)
 
 _Q44_FUNNEL_CTES = f""",
     foff AS (SELECT MAX(doc_id) + 1
@@ -2354,18 +2354,40 @@ def _q44_funnel(spark: SparkSession, d0: DataFrame,
              text || ' contact user' || doc_id ||
              '@example.com at 10.0.' || (doc_id % 256) || '.7 or 555-' ||
              lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
-             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' card ' ||
+             (CASE WHEN doc_id % 2 = 0 THEN '4111 1111 1111 1111'
+                   ELSE '4111111111111111' END) ||
+             ' not 4111111111111112' AS t
       FROM documents WHERE doc_id % 100 != 0),
+    redc AS (
+      SELECT doc_id, t,
+             list_filter(
+               regexp_extract_all(t, '\\b\\d(?:[ -]?\\d){12,18}\\b'),
+               s -> len(string_split(reverse(regexp_replace(s, '[ -]', '', 'g')), ''))
+                      BETWEEN 13 AND 19
+                AND list_sum(list_transform(
+                      string_split(reverse(regexp_replace(s, '[ -]', '', 'g')), ''),
+                      (x, i) -> CASE WHEN (i - 1) % 2 = 1
+                                THEN CASE WHEN CAST(x AS INT) * 2 > 9
+                                     THEN CAST(x AS INT) * 2 - 9
+                                     ELSE CAST(x AS INT) * 2 END
+                                ELSE CAST(x AS INT) END)) % 10 = 0)
+               AS ccv
+      FROM aug),
     red AS (
       SELECT doc_id,
              CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
              CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
              CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone,
-             length(regexp_replace(regexp_replace(regexp_replace(t,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g'),
-               '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g')) AS red_len
-      FROM aug),
+             CAST(len(ccv) AS INT) AS n_credit_card,
+             length(list_reduce(
+               list_prepend(regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g'),
+                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'), ccv),
+               (acc, x) -> replace(acc, x, '[CREDIT_CARD]'))) AS red_len
+      FROM redc),
     words AS (
       SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
@@ -2539,7 +2561,8 @@ def _q44_funnel(spark: SparkSession, d0: DataFrame,
              doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS url_keep
       FROM urc)""" + _Q44_FUNNEL_CTES + """
     SELECT 'doc' AS kind,
-           r.doc_id, r.n_email, r.n_ipv4, r.n_phone, r.red_len,
+           r.doc_id, r.n_email, r.n_ipv4, r.n_phone, r.n_credit_card,
+           r.red_len,
            CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
            COALESCE(o.n_overlap, 0) >= 1 AS contaminated,
            ls.dup_line_frac, ls.dup_line_char_frac,
@@ -2584,9 +2607,19 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
                 F.lit("-"),
                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                # payment-card pair: one Luhn-VALID number (separator
+                # style varies by parity) that MUST redact, one
+                # checksum-invalid neighbor that must NOT — exercising
+                # the mod-10 gate, not just the regex
+                F.lit(" card "),
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.lit("4111 1111 1111 1111"))
+                 .otherwise(F.lit("4111111111111111")),
+                F.lit(" not 4111111111111112"),
             )
         })
-        .step("red", "text.redact", "aug", text_col="t", out="t_red")
+        .step("red", "text.redact", "aug", text_col="t", out="t_red",
+              luhn_cc=True)
         .step("dc", "text.decontaminate", ["red", "bench"],
               id_col="doc_id", text_col="text", shingle_k=8)
         .step("rl", "derived_column", "dc",
@@ -2653,6 +2686,7 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
               emit="flag")
         .step("prj", "select", "ud",
               columns=["doc_id", "n_email", "n_ipv4", "n_phone",
+                       "n_credit_card",
                        "red_len", "n_overlap", "contaminated",
                        "dup_line_frac", "dup_line_char_frac",
                        "top_2gram_char_frac", "dup_5gram_char_frac",

@@ -2623,6 +2623,29 @@ def test_redact_and_decontaminate(spark):
     assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 0, 0)
     assert got[2].red == got[2].text
 
+    # luhn_cc: checksum-gated card redaction — a valid Visa/MC redacts
+    # (separators allowed), a checksum-invalid neighbor and a too-short
+    # digit run do not, and phone numbers stay the PHONE type
+    cc = spark.createDataFrame(
+        [(1, "pay 4111111111111111 not 4111111111111112"),
+         (2, "cards 5500 0000 0000 0004 and 4111-1111-1111-1111"),
+         (3, "order 123456789012 then call 555-123-4567")],
+        "doc_id int, text string",
+    )
+    out = run("text.redact", spark, [cc], text_col="text", out="red",
+              luhn_cc=True)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].n_credit_card == 1
+    assert "[CREDIT_CARD]" in got[1].red
+    assert "4111111111111112" in got[1].red  # bad checksum untouched
+    assert got[2].n_credit_card == 2
+    assert got[2].red.count("[CREDIT_CARD]") == 2
+    assert got[3].n_credit_card == 0
+    assert "[PHONE]" in got[3].red and "123456789012" in got[3].red
+    # without the flag: no cc column, no cc replacement (default stable)
+    plain = run("text.redact", spark, [cc], text_col="text", out="red")
+    assert "n_credit_card" not in plain.columns
+
     bench = spark.createDataFrame(
         [(100, "the quick brown fox jumps over the lazy dog tonight")],
         "doc_id int, text string",
