@@ -2146,8 +2146,71 @@ def dedup_minhash_incremental(spark: SparkSession, inputs, config, context):
 #: operator accepts back.
 _BAND_STORE_COLS = ("_id", "_band", "_bh")
 
+#: the minhash parameters that make two band stores comparable: band
+#: hashes computed under different values of ANY of these are unrelated
+#: 64-bit numbers, so mixing them silently yields wrong incremental
+#: survivors — the sidecar below turns that silent corruption into a
+#: loud ValueError (round-7 ADVICE).
+_BAND_STORE_PARAM_KEYS = ("num_hashes", "bands", "seed", "shingle_k")
 
-def write_band_store(bands: DataFrame, path: str, mode: str = "append") -> None:
+
+def _band_store_sidecar(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for the store's _params.json sidecar —
+    the Hadoop FS API so the same code handles local / HDFS / object
+    stores; parquet readers ignore underscore-prefixed files."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path, "_params.json")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def read_band_store_params(spark: SparkSession, path: str):
+    """Load the minhash-parameter sidecar of a band store, or None for
+    a store written without one (pre-sidecar stores stay readable)."""
+    import json
+
+    fs, jpath = _band_store_sidecar(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        reader = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        while True:
+            ln = reader.readLine()
+            if ln is None:
+                break
+            lines.append(ln)
+    finally:
+        stream.close()
+    return json.loads("\n".join(lines))
+
+
+def _check_band_params(declared: dict, stored: dict, path: str) -> None:
+    bad = {
+        k: (declared[k], stored[k])
+        for k in _BAND_STORE_PARAM_KEYS
+        if k in declared and k in stored
+        and int(declared[k]) != int(stored[k])
+    }
+    if bad:
+        raise ValueError(
+            f"band store {path}: minhash parameter mismatch — "
+            + ", ".join(
+                f"{k}: got {g}, store has {s}"
+                for k, (g, s) in sorted(bad.items())
+            )
+            + ". Band hashes from different (num_hashes/bands/seed/"
+            "shingle_k) are not comparable; keep one store per "
+            "parameter set."
+        )
+
+
+def write_band_store(
+    bands: DataFrame, path: str, mode: str = "append", params: dict | None = None
+) -> None:
     """Persist a minhash band table (``bands`` port) to parquet so the
     incremental-dedup path survives across sessions: a daily ingest job
     appends each batch's bands (mode='append') and the next run reads
@@ -2160,8 +2223,12 @@ def write_band_store(bands: DataFrame, path: str, mode: str = "append") -> None:
     read prunes; the probe join broadcasts the batch side, so the store
     only ever streams. Schema is validated (and pruned to the contract
     columns) on write; a store written with different minhash params
-    (num_hashes/bands/seed/shingle_k) is NOT interchangeable — keep one
-    store per parameter set, as with any LSH index.
+    (num_hashes/bands/seed/shingle_k) is NOT interchangeable — pass
+    ``params`` (any subset of those keys) and the store keeps a
+    ``_params.json`` sidecar: an append or read that declares
+    conflicting values fails loudly instead of silently joining
+    unrelated band hashes. Stores written without params stay readable
+    (no sidecar, no check).
     """
     missing = [c for c in _BAND_STORE_COLS if c not in bands.columns]
     if missing:
@@ -2170,6 +2237,19 @@ def write_band_store(bands: DataFrame, path: str, mode: str = "append") -> None:
             "pass the `bands` port of dedup.minhash_incremental "
             "(return_bands=True)"
         )
+    declared = None
+    if params is not None:
+        unknown = [k for k in params if k not in _BAND_STORE_PARAM_KEYS]
+        if unknown:
+            raise ValueError(
+                f"write_band_store: unknown params {unknown}; "
+                f"expected a subset of {list(_BAND_STORE_PARAM_KEYS)}"
+            )
+        declared = {k: int(v) for k, v in params.items()}
+        stored = read_band_store_params(bands.sparkSession, path)
+        if stored is not None and mode == "append":
+            _check_band_params(declared, stored, path)
+            declared = {**stored, **declared}
     (
         bands.select(
             F.col("_id").cast("bigint"),
@@ -2180,13 +2260,40 @@ def write_band_store(bands: DataFrame, path: str, mode: str = "append") -> None:
         .partitionBy("_band")
         .parquet(path)
     )
+    if declared is not None:
+        # after the data write: mode='overwrite' wipes the directory,
+        # so the sidecar must land on the fresh store
+        import json
+
+        fs, jpath = _band_store_sidecar(bands.sparkSession, path)
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(
+                json.dumps(declared, sort_keys=True).encode("utf-8")))
+        finally:
+            out.close()
 
 
-def read_band_store(spark: SparkSession, path: str) -> DataFrame:
+def read_band_store(
+    spark: SparkSession, path: str, params: dict | None = None
+) -> DataFrame:
     """Read a band store written by :func:`write_band_store` back into
     the (_id, _band, _bh) frame dedup.minhash_incremental accepts as
     its third input. Casts restore the exact contract types (parquet
-    partition columns come back as the partition-discovery type)."""
+    partition columns come back as the partition-discovery type).
+
+    Pass ``params`` (the minhash config the CALLER will band its batch
+    with) to validate against the store's ``_params.json`` sidecar —
+    a mismatch raises instead of silently joining incompatible band
+    hashes. Pre-sidecar stores skip the check."""
+    if params is not None:
+        stored = read_band_store_params(spark, path)
+        if stored is not None:
+            _check_band_params(
+                {k: int(v) for k, v in params.items()
+                 if k in _BAND_STORE_PARAM_KEYS},
+                stored, path,
+            )
     df = spark.read.parquet(path)
     missing = [c for c in _BAND_STORE_COLS if c not in df.columns]
     if missing:
@@ -2568,15 +2675,26 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
 def band_store_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Pipeline wrapper for :func:`write_band_store` — append a batch's
     `bands` port to the on-disk minhash band store inside a pipeline
-    (the daily-ingest shape). config: path, mode ('append' default)."""
+    (the daily-ingest shape). config: path, mode ('append' default),
+    plus any of num_hashes/bands/seed/shingle_k — forwarded as the
+    params sidecar (declare the SAME values you banded with)."""
     df: DataFrame = inputs[0]
-    write_band_store(df, config["path"], mode=config.get("mode", "append"))
+    params = {
+        k: config[k] for k in _BAND_STORE_PARAM_KEYS if k in config
+    } or None
+    write_band_store(
+        df, config["path"], mode=config.get("mode", "append"), params=params
+    )
     return df
 
 
 @operator("source.band_store")
 def band_store_source(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Pipeline wrapper for :func:`read_band_store` — load the band
-    store as the third input of dedup.minhash_incremental.
-    config: path."""
-    return read_band_store(spark, config["path"])
+    store as the third input of dedup.minhash_incremental. config:
+    path, plus any of num_hashes/bands/seed/shingle_k to validate
+    against the store's params sidecar before use."""
+    params = {
+        k: config[k] for k in _BAND_STORE_PARAM_KEYS if k in config
+    } or None
+    return read_band_store(spark, config["path"], params=params)

@@ -714,6 +714,21 @@ def filter_bloom(spark: SparkSession, inputs, config, context):
         raise ValueError(
             f"filter.bloom: hash_fn must be md5|xxhash64, got {hash_fn!r}"
         )
+    # reserved temp columns (same guard discipline as dedup.url's
+    # _URL_TMP_COLS): an input already carrying them would hit an
+    # ambiguous-reference analysis error after the crossJoin, and an
+    # existing flag_col would be silently overwritten
+    clash = [c for c in ("_bloom_bits", "_bloom_pos") if c in corpus.columns]
+    if clash:
+        raise ValueError(
+            f"filter.bloom: corpus already has reserved column(s) {clash}; "
+            "rename them before filtering"
+        )
+    if emit == "flag" and flag_col in corpus.columns:
+        raise ValueError(
+            f"filter.bloom: flag_col {flag_col!r} already exists in the "
+            "corpus; pass flag_col=... to pick a free name"
+        )
     n_words = m_bits // 64
 
     # 2^j as a signed-long literal array (shiftleft takes only a Python

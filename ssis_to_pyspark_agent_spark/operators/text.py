@@ -371,16 +371,19 @@ def redact(spark: SparkSession, inputs, config, context) -> DataFrame:
     are left untouched (and not counted). Pure expressions: extract-all
     -> filter(Luhn over the reversed digit list, doubling map inline)
     -> fold replace; engine-neutral, so the oracle replays even the
-    checksum arithmetic."""
+    checksum arithmetic. Card redaction runs FIRST, against the same
+    un-rewritten text the candidates were extracted from — a pattern
+    pass could otherwise rewrite a candidate's characters (a 3-3-4
+    digit grouping inside a card matches the phone regex), leaving it
+    counted in n_credit_card but never replaced — and the replacement
+    is \\b-anchored so a candidate's digit string reappearing EMBEDDED
+    in a longer run elsewhere in the doc is not rewritten mid-run."""
     df: DataFrame = inputs[0]
     c = config["text_col"]
     out_col = config.get("out", f"{c}_redacted")
     patterns = {**_PII_PATTERNS, **config.get("patterns", {})}
     red = F.col(c)
     counts = {}
-    for name, pat in patterns.items():
-        counts[f"n_{name}"] = F.regexp_count(F.col(c), F.lit(pat))
-        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
     if config.get("luhn_cc", False):
         cand = F.regexp_extract_all(
             F.col(c), F.lit(r"\b\d(?:[ -]?\d){12,18}\b"), 0
@@ -405,10 +408,19 @@ def redact(spark: SparkSession, inputs, config, context) -> DataFrame:
 
         valid = F.filter(cand, luhn_ok)
         counts["n_credit_card"] = F.size(valid)
+        # candidates contain only [0-9 -] so the interpolated regex is
+        # literal-safe; the \b anchors match the extraction's boundaries
         red = F.aggregate(
             valid, red,
-            lambda acc, x: F.replace(acc, x, F.lit("[CREDIT_CARD]")),
+            lambda acc, x: F.regexp_replace(
+                acc,
+                F.concat(F.lit(r"\b"), x, F.lit(r"\b")),
+                F.lit("[CREDIT_CARD]"),
+            ),
         )
+    for name, pat in patterns.items():
+        counts[f"n_{name}"] = F.regexp_count(F.col(c), F.lit(pat))
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
     return df.withColumns({**counts, out_col: red})
 
 
@@ -1425,10 +1437,17 @@ def lm_score(spark: SparkSession, inputs, config, context) -> DataFrame:
             F.col(id_col).alias("_id"),
             F.explode(gram_ctx_pairs(text_col)).alias("_p"),
         ).select("_id", "_p._g", "_p._ctx")
+        # ONE probe job (the docstring contract): |ctx_tab| <= |counts|
+        # by construction (it is a groupBy OVER counts), so the counts
+        # probe decides broadcastability for both tables — probing each
+        # separately would re-run the train-side lineage twice
+        c_tab, x_tab = counts.select("_g", "_c"), ctx_tab
+        if stats_bcast == "auto" and counts.count() <= bcast_rows:
+            c_tab, x_tab = F.broadcast(c_tab), F.broadcast(x_tab)
         joined = (
-            dg.join(maybe_broadcast(counts.select("_g", "_c")), "_g", "left")
+            dg.join(c_tab, "_g", "left")
             .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
-            .join(maybe_broadcast(ctx_tab), "_ctx", "left")
+            .join(x_tab, "_ctx", "left")
             .withColumn("_cc", F.coalesce(F.col("_cc"), F.lit(0)))
         )
     scored = (

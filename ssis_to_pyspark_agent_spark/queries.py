@@ -2381,12 +2381,15 @@ def _q44_funnel(spark: SparkSession, d0: DataFrame,
              CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
              CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone,
              CAST(len(ccv) AS INT) AS n_credit_card,
-             length(list_reduce(
-               list_prepend(regexp_replace(regexp_replace(regexp_replace(t,
+             -- card fold FIRST (on the text candidates were extracted
+             -- from), \b-anchored — mirrors text.redact exactly
+             length(regexp_replace(regexp_replace(regexp_replace(
+               list_reduce(list_prepend(t, ccv),
+                 (acc, x) -> regexp_replace(
+                   acc, '\\b' || x || '\\b', '[CREDIT_CARD]', 'g')),
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g'),
-                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'), ccv),
-               (acc, x) -> replace(acc, x, '[CREDIT_CARD]'))) AS red_len
+                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g')) AS red_len
       FROM redc),
     words AS (
       SELECT doc_id,

@@ -362,6 +362,59 @@ class TestDedup:
         assert via_ops.count() == n0
         spark.catalog.clearCache()
 
+    def test_band_store_params_sidecar(self, spark, tmp_path):
+        # ADVICE round 7 (medium): a store written under one minhash
+        # parameter set must refuse appends/reads declaring another —
+        # mixing band hashes from different params silently corrupts
+        # incremental survivors, the exact workflow the store exists for
+        from ssis_to_pyspark_agent_spark.operators.dedup import (
+            read_band_store, read_band_store_params, write_band_store)
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        cfg = dict(id_col="doc_id", text_col="text", threshold=0.7,
+                   num_hashes=128, bands=16)
+        hb = run("dedup.minhash_incremental", spark,
+                 [df.limit(50), df.limit(0)], return_bands=True,
+                 broadcast_batch=False, **cfg)["bands"].persist()
+        params = dict(num_hashes=128, bands=16, seed=42, shingle_k=3)
+        path = str(tmp_path / "store")
+        write_band_store(hb, path, params=params)
+        assert read_band_store_params(spark, path) == params
+        # same params append: fine (and a partial declaration matches)
+        write_band_store(hb, path, mode="append",
+                         params=dict(bands=16, seed=42))
+        # conflicting append / read: loud failure
+        with pytest.raises(ValueError, match="parameter mismatch"):
+            write_band_store(hb, path, mode="append",
+                             params=dict(num_hashes=64))
+        with pytest.raises(ValueError, match="parameter mismatch"):
+            read_band_store(spark, path, params=dict(shingle_k=5))
+        # matching read passes; pre-sidecar store (no params at write)
+        # skips the check both ways
+        assert read_band_store(spark, path, params=params).count() > 0
+        bare = str(tmp_path / "bare")
+        write_band_store(hb, bare)
+        assert read_band_store_params(spark, bare) is None
+        assert read_band_store(
+            spark, bare, params=dict(num_hashes=9)).count() > 0
+        with pytest.raises(ValueError, match="unknown params"):
+            write_band_store(hb, bare, params=dict(threshold=0.7))
+        # operator wrappers forward config keys into the sidecar
+        path2 = str(tmp_path / "store_ops")
+        run("sink.band_store", spark, [hb], path=path2, **{
+            k: params[k] for k in ("num_hashes", "bands", "seed")})
+        with pytest.raises(ValueError, match="parameter mismatch"):
+            run("source.band_store", spark, [], path=path2, bands=32)
+        assert run("source.band_store", spark, [], path=path2,
+                   bands=16).count() == hb.count()
+        # overwrite replaces the sidecar along with the data
+        write_band_store(hb, path, mode="overwrite",
+                         params=dict(num_hashes=64, bands=8))
+        assert read_band_store_params(spark, path) == dict(
+            num_hashes=64, bands=8)
+        hb.unpersist()
+        spark.catalog.clearCache()
+
     def test_simhash_near_dup(self, spark):
         base = " ".join(f"tok{i}" for i in range(200))
         near = base.replace("tok5 ", "tok5x ")
@@ -1233,9 +1286,28 @@ class TestTextOps:
         dropped = run("filter.bloom", spark, [corpus, block], key_col="k",
                       emit="drop").count()
         assert kept == 10 and dropped == 191
-        assert "bloom_hit" not in run(
+        # drop keeps input columns only (no flag, no temp columns)
+        assert run(
             "filter.bloom", spark, [corpus, block], key_col="k",
-            emit="drop").columns or True  # drop keeps input columns only
+            emit="drop").columns == corpus.columns
+        # reserved-column / flag-collision guards (ADVICE round 7)
+        with pytest.raises(ValueError, match="reserved column"):
+            run("filter.bloom", spark,
+                [corpus.withColumn("_bloom_bits", F.lit(1)), block],
+                key_col="k")
+        with pytest.raises(ValueError, match="already exists"):
+            run("filter.bloom", spark,
+                [corpus.withColumn("bloom_hit", F.lit(True)), block],
+                key_col="k")
+        # ...but a pre-existing flag name is fine under drop/keep and
+        # when flag_col picks a free name
+        assert run("filter.bloom", spark,
+                   [corpus.withColumn("bloom_hit", F.lit(True)), block],
+                   key_col="k", emit="drop").count() == 191
+        assert "is_blocked" in run(
+            "filter.bloom", spark,
+            [corpus.withColumn("bloom_hit", F.lit(True)), block],
+            key_col="k", flag_col="is_blocked").columns
 
     def test_filter_bloom_false_positives_deterministic(self, spark):
         # tiny bitmap forces false positives; Bloom's one-sided contract
