@@ -1258,9 +1258,11 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
     admit hot shingles and each becomes a quadratic (block, token)
     enumeration key (measured 277s -> 94s at 1M skewed docs, PLANS.md).
     'auto' probes corpus size + top-shingle document frequency off the
-    persisted shingle pass and picks 'df' only when the corpus is big
-    AND skewed (small/uniform corpora measure the DF pass as a net
-    loss); `auto_min_docs` / `auto_hot_df` tune the probe, explicit
+    persisted shingle pass and picks 'df' only when the corpus is
+    non-tiny (>= `auto_min_docs`, default 20k — below it everything is
+    fast and the probe can't pay for itself) AND skewed (uniform
+    corpora measure the DF pass as a net loss at any size);
+    `auto_min_docs` / `auto_hot_df` tune the probe, explicit
     'hash'/'df' override it. Probe cost caveat: the probe counts and
     samples the RAW INPUT, which is metadata-cheap only when that input
     is a source scan — fed from an expensive uncached subplan (joins,
@@ -1367,8 +1369,21 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             #     limit-probe on base was 3.8x worse still: CollectLimit
             #     runs the shingle pass on few partitions serially and
             #     leaves the cache partial.) Under `auto_min_docs` the
-            #     DF pass is a measured net loss (30s vs 24s at 200k
-            #     docs, PLANS.md) regardless of skew: 'hash'.
+            #     probe (and the DF pass) can't pay for itself — tiny
+            #     corpora are fast either way: 'hash'. The floor was
+            #     400k through round 7, which silently forced 'hash' on
+            #     mid-size SKEWED corpora: the q31 sf1 rig (50k docs,
+            #     top shingle in 27% of docs) enumerated 49M candidate
+            #     pairs for 259 true ones under hash order — 2.0x slower
+            #     than 'df' (35s vs 18s warm, round 8). 20k is the new
+            #     floor: below it the whole pass is sub-second-to-few-
+            #     seconds at any skew; above it a skewed corpus's
+            #     quadratic term already dominates the probe's one
+            #     sample-sized job. (A mid-size corpus that probes and
+            #     still picks 'hash' pays only that probe — the
+            #     round-5 "DF net loss at 200k" measurement was the DF
+            #     PASS, not the probe, and the hot-df gate still keeps
+            #     the DF pass off uniform corpora of any size.)
             #   2. else, estimate the hottest shingle's document
             #      frequency on a deterministic md5 doc-sample; if the
             #      top shingle reaches `auto_hot_df` of sampled docs,
@@ -1376,11 +1391,12 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             #      of all prefixes, each a quadratic (block, token)
             #      enumeration key: 'df'. Uniform corpora measure
             #      top-df ~1e-4, Zipf+boilerplate ~1.0 — the 0.01
-            #      default sits well between.
+            #      default sits well between (q31's sf0.1 corpus: 0.005
+            #      -> 'hash'; its 10x rig: 0.27 -> 'df').
             # Either choice yields the IDENTICAL pair set (the prefix
             # bound holds under any fixed total order); only the plan
             # changes, so oracles are unaffected.
-            min_docs = int(config.get("auto_min_docs", 400_000))
+            min_docs = int(config.get("auto_min_docs", 20_000))
             n_docs = df.count()
             # n_docs == 0 short-circuits regardless of auto_min_docs
             # (an auto_min_docs <= 0 config would otherwise divide by
@@ -1433,12 +1449,23 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             from pyspark.sql import Window as _W
 
             occ = base.select("_id", F.explode("_sh").alias("_t"))
-            dfreq = occ.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+            # df >= 2 rows only — "absence implies df == 1", the same
+            # hapax inference text.ngram_novelty / lm_score use: on
+            # natural corpora most shingles are singletons, so the
+            # join-back shrinks from |distinct shingles| to |repeated
+            # shingles| (often 10x+) and the rank order is unchanged
+            # (coalesce restores the exact df=1 the dropped rows had)
+            dfreq = (
+                occ.groupBy("_t")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") >= 2)
+            )
             rk = F.row_number().over(
                 _W.partitionBy("_id").orderBy("_df", "_t")
             )
             pref = (
-                occ.join(dfreq, "_t")
+                occ.join(dfreq, "_t", "left")
+                .withColumn("_df", F.coalesce(F.col("_df"), F.lit(1)))
                 .join(
                     base.select("_id", F.size("_sh").alias("_n")), "_id"
                 )
@@ -1446,6 +1473,12 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
                 # same `plen` bound (incl. the 1e-9 epsilon guard) as the
                 # hash-order slice — one definition, two orders
                 .filter(F.col("_rk") <= plen)
+                # a df==1 prefix token can never equi-join another doc's
+                # prefix, and a TRUE pair's guaranteed shared prefix
+                # token has df >= 2 with its rank unchanged — dropping
+                # the singleton rows is exact-preserving and cuts the
+                # self-join input to the repeated-token rows
+                .filter(F.col("_df") >= 2)
                 .select("_id", F.col("_t").alias("_tok"))
             )
             blocked = blocked.select("_id", "_n", "_block").join(

@@ -586,12 +586,39 @@ class TestSimilarity:
         assert ctx2["_ngram_prefix_order"] == "hash"
         spark.catalog.clearCache()
         # under auto_min_docs the limit-probe short-circuits to 'hash'
-        # even on the skewed corpus (the DF pass is a measured net loss
-        # on small corpora regardless of skew)
+        # even on the skewed corpus (tiny corpora are fast either way
+        # and the probe can't pay for itself)
         ctx3 = {}
         run("dedup.ngram_jaccard", spark, [skew], _context=ctx3,
             id_col="doc_id", text_col="text", shingle_k=3, threshold=0.5)
         assert ctx3["_ngram_prefix_order"] == "hash"
+        spark.catalog.clearCache()
+        # round-8 floor (20k, was 400k): a mid-size SKEWED corpus at the
+        # DEFAULT config must now probe and pick 'df' — the old floor
+        # forced 'hash' on the q31 sf1 rig (50k docs, top shingle in 27%
+        # of docs), enumerating 49M candidates for 259 true pairs, 2x
+        # slower than 'df'. A mid-size uniform corpus probes and stays
+        # 'hash'.
+        base_words = F.concat_ws(" ", *[
+            F.concat(F.lit("u"), F.col("id").cast("string"), F.lit(s))
+            for s in "abcd"])
+        midskew = spark.range(25_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", F.lit("alpha beta gamma delta"),
+                        base_words).alias("text"))
+        ctx5 = {}
+        run("dedup.ngram_jaccard", spark, [midskew], _context=ctx5,
+            id_col="doc_id", text_col="text", shingle_k=3, threshold=0.5)
+        assert ctx5["_ngram_prefix_order"] == "df"
+        spark.catalog.clearCache()
+        miduni = spark.range(25_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", base_words, F.concat(
+                F.lit("v"), F.col("id").cast("string"))).alias("text"))
+        ctx6 = {}
+        run("dedup.ngram_jaccard", spark, [miduni], _context=ctx6,
+            id_col="doc_id", text_col="text", shingle_k=3, threshold=0.5)
+        assert ctx6["_ngram_prefix_order"] == "hash"
         spark.catalog.clearCache()
         # empty input + auto_min_docs=0 must short-circuit to 'hash',
         # not divide by zero in the sample fraction (review finding)
