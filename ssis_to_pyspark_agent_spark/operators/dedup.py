@@ -1813,23 +1813,33 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
 
     Single-node implementations use a corpus suffix array; the
     distributed equivalent is position-explode + a corpus-global gram
-    frequency. Plan: a pass builds (doc, pos, xxhash64(gram)) rows
-    narrowly (sequence+slice, no per-token explode of text), a
-    PARTIAL-AGGREGATED ``groupBy(gram_hash)`` computes the corpus
-    frequency (map-side combine collapses every in-partition repeat of
-    a hot gram before the shuffle), the dup-gram set — only hashes that
-    cleared ``min_count`` — joins back LEFT SEMI on the gram hash, then
-    the flagged positions, and only those, shuffle per doc for the span
-    merge. The earlier design flagged in place with
+    frequency. Plan: a pass builds (doc, pos, gram_hash) rows narrowly
+    — every token string hashed ONCE, the n-gram hash combining n
+    pre-hashed bigints — a PARTIAL-AGGREGATED ``groupBy(gram_hash)``
+    computes the corpus frequency (map-side combine collapses every
+    in-partition repeat of a hot gram before the shuffle), the
+    dup-gram set — only hashes that cleared ``min_count`` — is
+    persisted, counted, and (under ``dup_broadcast_rows``, default 8M)
+    BROADCAST into a left-semi probe of the gram stream, so the
+    corpus-sized stream never shuffles on the gram hash; only the
+    flagged positions shuffle per doc for the span merge, and the
+    per-doc aggregate (one row per flagged doc) broadcasts back into
+    the output join under the same bound — the corpus text never
+    shuffles at all on mostly-clean data. The two explicit count jobs
+    exist because AQE plans the probe-side exchange concurrently with
+    the build side: by the time the dup set's true size is known the
+    corpus-wide shuffle is already paid (measured ~20s of a 2M-doc
+    run). The earlier design flagged in place with
     ``count() OVER (PARTITION BY gram_hash)``: one shuffle fewer, but a
     window partition has no map-side combine and cannot be split, so
     the hottest gram — by construction the boilerplate this operator
     exists to find — serializes into a single straggler task at scale.
-    The semi-join probe side CAN be split (AQE skew-join), and the
-    build side is only the duplicated-gram hash set. Shuffle payload is
-    (doc_id, pos, hash8B) rows, never document text; gram equality via
-    64-bit hash (collision odds ~|tokens|^2/2^65 — the same acceptance
-    as the hashed shingle arrays in dedup.ngram_jaccard).
+    Over the broadcast bound the semi-join streams (SMJ) and the
+    per-doc aggregate stays a persisted shuffle table — the status-quo
+    plan. Shuffle payload is (doc_id, pos, hash8B) rows, never document
+    text; gram equality via 64-bit hash (collision odds
+    ~|tokens|^2/2^65 — the same acceptance as the hashed shingle
+    arrays in dedup.ngram_jaccard).
 
     Output: input columns + ``n_dup_spans``, ``dup_tokens``,
     ``total_tokens``, ``dup_token_frac`` (+ ``text_clean`` over the
@@ -1850,32 +1860,36 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
     scope = config.get("scope", "corpus")
     emit_clean = bool(config.get("emit_clean", False))
 
-    base = df.select(
-        F.col(id_col).alias("_id"), _words(F.col(text_col)).alias("_w")
-    ).withColumn("_nw", F.size("_w"))
-    # emit_clean consumes the token arrays twice (gram pass + the
-    # clean-text join-back); `cache_base=True` persists them to
-    # tokenize once. Default is OFF: an operator-held corpus-sized
-    # cache outlives the call (nothing can safely unpersist it after
-    # the lazy result is returned) and was measured slowing LATER
-    # queries in the same session at 10x scale — the default trades one
-    # extra scan-bound narrow pass for a leak-free session (the same
-    # tradeoff dedup.minhash's numpy path makes — PLANS.md known-costs).
-    if config.get("cache_base", False):
-        base = base.persist()
-    # seed-chained multi-arg hash (no per-position slice+concat alloc);
-    # MUST stay consistent with the ref-side builder below — the two
-    # sides join on these hashes
-    gh_arr = F.when(
-        F.col("_nw") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.col("_nw") - (n - 1)),
-            lambda i: F.xxhash64(
-                *[F.element_at(F.col("_w"), i + j) for j in range(n)]
+    def gram_hash_arr(text_expr: Column) -> Column:
+        # TWO-LEVEL hashing (round 8, 2x on the gram passes): the inner
+        # bind hashes every token string ONCE to a bigint, the gram
+        # hash then combines n pre-hashed LONGS — the old single-level
+        # builder re-hashed each token's string bytes in all n grams
+        # covering it. Both levels are _lambda_bind-bound (NOTES
+        # invariant 20): interpreted HOF lambdas have no subexpression
+        # elimination, so an unbound token-hash array would re-run per
+        # gram position. MUST stay consistent between the corpus and
+        # ref-side builders — the two sides join on these hashes.
+        return _lambda_bind(
+            _words(text_expr),
+            lambda w: _lambda_bind(
+                F.transform(w, lambda t: F.xxhash64(t)),
+                lambda th: F.when(
+                    F.size(th) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(th) - (n - 1)),
+                        lambda i: F.xxhash64(
+                            *[F.element_at(th, i + j) for j in range(n)]
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>")),
             ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    grams = base.select("_id", F.posexplode(gh_arr).alias("_gpos", "_gh"))
+        )
+
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(gram_hash_arr(F.col(text_col))).alias("_gpos", "_gh"),
+    )
 
     if len(inputs) > 1:
         # span-level DECONTAMINATION: a second input is a reference
@@ -1887,30 +1901,18 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
         # corpus) and the join is the only extra shuffle.
         ref: DataFrame = inputs[1]
         ref_text = config.get("ref_text_col", text_col)
-        ref_arr = _lambda_bind(
-            _words(F.col(ref_text)),
-            lambda rw: F.when(
-                F.size(rw) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(rw) - (n - 1)),
-                    lambda i: F.xxhash64(
-                        *[F.element_at(rw, i + j) for j in range(n)]
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<bigint>")),
-        )
-        ref_grams = ref.select(F.explode(ref_arr).alias("_gh")).distinct()
-        flagged = (
-            grams.join(ref_grams, "_gh", "left_semi").select("_id", "_gpos")
-        )
+        dup_grams = ref.select(
+            F.explode(gram_hash_arr(F.col(ref_text))).alias("_gh")
+        ).distinct()
     else:
         # Partial-aggregated dup-gram set: map-side combine collapses
         # every in-partition occurrence of a hot gram to one (hash,
         # partial) row before the shuffle, so a gram planted in 10^8
         # positions costs its partition count, not its occurrence
-        # count. grams is recomputed for the probe side (narrow
-        # tokenize+hash pass — same recompute-over-cache tradeoff as
-        # emit_clean; cache_base=True tokenizes once).
+        # count. grams is recomputed for the probe side — a narrow
+        # tokenize+hash pass, deliberately NOT persisted (a corpus-
+        # sized gram cache would leak past the lazy result; the pass
+        # is scan-bound and cheap since the token-pre-hash rewrite).
         if scope == "cross_doc":
             # >= 2 distinct docs <=> min(id) != max(id); min/max have
             # map-side combine, countDistinct would not collapse
@@ -1927,15 +1929,43 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
                 .filter(F.col("_c") >= min_count)
                 .select("_gh")
             )
-        flagged = (
-            grams.join(dup_grams, "_gh", "left_semi").select("_id", "_gpos")
-        )
+
+    # Materialize the dup/ref gram set and BROADCAST it under a row
+    # bound (round 8, ~1.5x end-to-end at 2M docs): AQE alone cannot
+    # save the probe side — it launches the corpus-sized gram-stream
+    # exchange CONCURRENTLY with the build-side stages, so by the time
+    # the dup set's true (small) size is known the shuffle + sort of
+    # every gram row is already paid (~20s of the 2M probe). The
+    # explicit persist + count (the dup set is needed in full anyway)
+    # decides BEFORE the probe plans; over the bound the broadcast is
+    # skipped and the semi-join streams as before. The persist is
+    # released after the per-doc aggregate materializes below.
+    bcast_rows = int(config.get("dup_broadcast_rows", 8_000_000))
+    dup_grams = dup_grams.persist()
+    dup_probe = (
+        F.broadcast(dup_grams)
+        if dup_grams.count() <= bcast_rows
+        else dup_grams
+    )
+    flagged = (
+        grams.join(dup_probe, "_gh", "left_semi").select("_id", "_gpos")
+    )
 
     wdoc = Window.partitionBy("_id").orderBy("_gpos")
     gap = F.col("_gpos") - F.lag("_gpos").over(wdoc)
     covered = F.when(gap.isNull(), F.lit(n)).otherwise(F.least(gap, F.lit(n)))
     newspan = F.when(gap.isNull() | (gap > n), 1).otherwise(0)
 
+    # Per-doc aggregate: ONE ROW PER DOC WITH A DUP SPAN — bounded by
+    # the duplicated-document volume, the smallest corpus-derived frame
+    # in the plan. It is persisted and COUNTED here (one job; the same
+    # eager-pairs discipline as dedup.ngram_jaccard) so that (a) the
+    # dup-gram persist above can be released the moment it's consumed
+    # and (b) the final join-back can broadcast under the same row
+    # bound — the corpus then NEVER shuffles: the old shape paid a
+    # third tokenize pass plus two corpus-wide sort-merge joins
+    # carrying text payload. total_tokens (and text_clean under
+    # emit_clean) come from projections over the output scan itself.
     if emit_clean:
         isl = F.sum(newspan).over(
             wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1955,29 +1985,8 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
                 F.collect_list(F.struct(F.col("s"), F.col("e")))
             ).alias("_spans"),
         )
-        empty = F.array().cast("array<struct<s:int,e:int>>")
-        joined = (
-            base.join(agg, "_id", "left")
-            .withColumn("_sp", F.coalesce(F.col("_spans"), empty))
-            .withColumn(
-                "text_clean",
-                F.array_join(
-                    F.filter(
-                        F.col("_w"),
-                        lambda t, i: ~F.exists(
-                            F.col("_sp"),
-                            lambda p: (i >= p["s"]) & (i < p["e"]),
-                        ),
-                    ),
-                    " ",
-                ),
-            )
-        )
-        stats = joined.select(
-            "_id", "n_dup_spans", "dup_tokens", "_nw", "text_clean"
-        )
     else:
-        stats = (
+        agg = (
             flagged.select(
                 "_id", covered.alias("_cov"), newspan.alias("_ns")
             )
@@ -1986,21 +1995,53 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
                 F.sum("_ns").cast("int").alias("n_dup_spans"),
                 F.sum("_cov").cast("int").alias("dup_tokens"),
             )
-            .join(base.select("_id", "_nw"), "_id", "right")
         )
-    out_cols = [
-        F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
-        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
-        F.col("_nw").alias("total_tokens"),
-        (
-            F.coalesce(F.col("dup_tokens"), F.lit(0))
-            / F.greatest(F.col("_nw"), F.lit(1))
-        ).alias("dup_token_frac"),
-    ]
+    agg = agg.persist()
+    n_flagged = agg.count()
+    dup_grams.unpersist()
+    tab = F.broadcast(agg) if n_flagged <= bcast_rows else agg
+    out = (
+        df.join(tab.withColumnRenamed("_id", id_col), id_col, "left")
+        .withColumns(
+            {
+                "n_dup_spans": F.coalesce(F.col("n_dup_spans"), F.lit(0)),
+                "dup_tokens": F.coalesce(F.col("dup_tokens"), F.lit(0)),
+                "total_tokens": F.size(_words(F.col(text_col))),
+            }
+        )
+        .withColumn(
+            "dup_token_frac",
+            F.col("dup_tokens")
+            / F.greatest(F.col("total_tokens"), F.lit(1)),
+        )
+    )
     if emit_clean:
-        out_cols.append("text_clean")
-    stats = stats.select("_id", *out_cols)
-    return df.join(stats.withColumnRenamed("_id", id_col), id_col, "left")
+        # rebuild the clean text straight off the output scan: filter
+        # the token array against the (usually broadcast) span list —
+        # unflagged docs get the normalized re-join of all tokens, the
+        # exact text the old base-join produced
+        empty = F.array().cast("array<struct<s:int,e:int>>")
+        out = (
+            out.withColumn("_sp", F.coalesce(F.col("_spans"), empty))
+            .withColumn(
+                "text_clean",
+                _lambda_bind(
+                    _words(F.col(text_col)),
+                    lambda w: F.array_join(
+                        F.filter(
+                            w,
+                            lambda t, i: ~F.exists(
+                                F.col("_sp"),
+                                lambda p: (i >= p["s"]) & (i < p["e"]),
+                            ),
+                        ),
+                        " ",
+                    ),
+                ),
+            )
+            .drop("_sp", "_spans")
+        )
+    return out
 
 
 @operator("dedup.minhash_incremental")
