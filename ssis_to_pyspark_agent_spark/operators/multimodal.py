@@ -5,10 +5,12 @@ struct. The Spark-side plumbing (schema, partition sizing, Arrow-batched
 UDF signatures) is real and tested. Metadata extraction is REAL for
 container headers — PNG IHDR, JPEG SOFn, GIF logical screen descriptor,
 WAV fmt/data chunks — via stdlib ``struct`` (no codec deps needed for
-dimensions/duration). Full pixel/sample decode (``decoder='stub'``) stays
-a clearly marked deterministic fake because pixel codecs (PIL/libvips/
-ffmpeg) are not in this container — swap `_decode_image_stub` on a real
-cluster.
+dimensions/duration). PNG pixel decode (``decoder='png'``) is REAL too:
+stdlib ``zlib`` inflate + the PNG unfilter pass in numpy (see
+:func:`decode_png_pixels`). Only JPEG/audio SAMPLE decode
+(``decoder='stub'``) stays a clearly marked deterministic fake, because
+DCT/entropy codecs (libjpeg/ffmpeg) are not in this container — swap
+`_decode_image_stub` on a real cluster.
 
 Scale notes: binary payloads blow past `spark.sql.files.maxPartitionBytes`
 assumptions — repartition by count, not bytes (`rows_per_partition`), so an
@@ -62,8 +64,10 @@ def attach_meta(spark: SparkSession, inputs, config, context) -> DataFrame:
 
 
 def _decode_image_stub(payload: bytes) -> dict[str, Any]:
-    """PIXEL-DECODE HOOK (stub): replace with PIL/libvips on a real
-    cluster.
+    """JPEG/audio SAMPLE-DECODE HOOK (stub): replace with libjpeg/ffmpeg
+    on a real cluster. (PNG pixel decode is REAL — decoder='png' /
+    :func:`decode_png_pixels` — so the stub now stands in only for
+    entropy-coded formats whose codecs aren't in this container.)
 
     Deterministic fake: 'decodes' width/height from a hash of the payload
     so tests exercise the full Arrow round-trip with stable values that an
@@ -161,6 +165,135 @@ def parse_media_header(payload: bytes) -> dict[str, Any]:
             "duration_ms": None, "ok": False}
 
 
+def decode_png_pixels(payload: bytes) -> dict[str, Any]:
+    """REAL PNG pixel decode — stdlib ``zlib`` inflate + the spec's
+    unfilter pass (None/Sub/Up/Average/Paeth, RFC 2083 §6) in numpy.
+    No codec library needed: PNG's compression IS zlib, and the only
+    image-specific work is the per-scanline byte predictor.
+
+    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette,
+    expanded to RGB — or RGBA when a tRNS chunk is present), 4
+    (gray+alpha), 6 (RGBA), non-interlaced. Anything else (16-bit,
+    sub-byte depths, Adam7 interlace, truncated/corrupt streams) returns
+    ``ok=False`` — fail loudly, never a guessed pixel.
+
+    Returns ``{format, width, height, channels, pixels, ok}`` where
+    ``pixels`` is the raw row-major bytes (h*w*channels) AFTER palette
+    expansion.
+
+    Unfilter cost model: None/Up are whole-row vectorized; Sub is a
+    per-channel ``cumsum % 256`` (the recurrence rec[x]=raw[x]+rec[x-bpp]
+    telescopes); Average/Paeth need the serial left-neighbor, so they
+    loop per PIXEL with the channel vector done in numpy — O(w) python
+    iterations per filtered row, bounded and branch-free inside.
+    """
+    import struct as _s
+    import zlib
+
+    import numpy as np
+
+    bad = {"format": None, "width": None, "height": None,
+           "channels": None, "pixels": None, "ok": False}
+    p = payload or b""
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        return bad
+    try:
+        ihdr = None
+        plte = None
+        trns = None
+        idat: list[bytes] = []
+        i = 8
+        while i + 8 <= len(p):
+            (clen,) = _s.unpack(">I", p[i:i + 4])
+            ctype = p[i + 4:i + 8]
+            data = p[i + 8:i + 8 + clen]
+            if len(data) != clen:
+                return bad  # truncated chunk
+            if ctype == b"IHDR":
+                ihdr = data
+            elif ctype == b"PLTE":
+                plte = data
+            elif ctype == b"tRNS":
+                trns = data
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            i += 12 + clen  # length + type + payload + crc32
+        if ihdr is None or len(ihdr) < 13 or not idat:
+            return bad
+        w, h, depth, color, comp, filt, interlace = _s.unpack(
+            ">IIBBBBB", ihdr[:13])
+        n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+        if (depth != 8 or comp != 0 or filt != 0 or interlace != 0
+                or n_ch is None or w == 0 or h == 0 or w * h > 1 << 26):
+            return bad  # unsupported shape — never guess pixels
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * n_ch
+        if len(raw) != (stride + 1) * h:
+            return bad
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        ftypes = rows[:, 0]
+        if int(ftypes.max(initial=0)) > 4:
+            return bad
+        out = np.zeros((h, stride), dtype=np.uint8)
+        for y in range(h):
+            ft = int(ftypes[y])
+            line = rows[y, 1:].astype(np.int32)
+            prev = out[y - 1].astype(np.int32) if y else np.zeros(
+                stride, np.int32)
+            if ft == 0:
+                rec = line
+            elif ft == 1:  # Sub: rec[x] = raw[x] + rec[x-bpp]
+                rec = np.cumsum(
+                    line.reshape(w, n_ch), axis=0, dtype=np.int64) & 0xFF
+                rec = rec.reshape(stride)
+            elif ft == 2:  # Up
+                rec = (line + prev) & 0xFF
+            else:  # Average (3) / Paeth (4): serial left-neighbor
+                px = line.reshape(w, n_ch)
+                up = prev.reshape(w, n_ch)
+                rec2 = np.zeros((w, n_ch), np.int32)
+                left = np.zeros(n_ch, np.int32)
+                ul = np.zeros(n_ch, np.int32)
+                for x in range(w):
+                    if ft == 3:
+                        pred = (left + up[x]) >> 1
+                    else:
+                        q = left + up[x] - ul
+                        pa = np.abs(q - left)
+                        pb = np.abs(q - up[x])
+                        pc = np.abs(q - ul)
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up[x], ul))
+                    left = (px[x] + pred) & 0xFF
+                    ul = up[x]
+                    rec2[x] = left
+                rec = rec2.reshape(stride)
+            out[y] = rec
+        if color == 3:  # palette expansion
+            if plte is None or len(plte) % 3:
+                return bad
+            pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+            idx = out.reshape(h, w)
+            if int(idx.max()) >= len(pal):
+                return bad
+            rgb = pal[idx]  # (h, w, 3)
+            if trns is not None:
+                alpha = np.full(len(pal), 255, np.uint8)
+                alpha[:len(trns)] = np.frombuffer(trns, np.uint8)
+                rgb = np.dstack([rgb, alpha[idx]])
+                n_ch = 4
+            else:
+                n_ch = 3
+            out = rgb.reshape(h, w * n_ch)
+        return {"format": "png", "width": int(w), "height": int(h),
+                "channels": int(n_ch), "pixels": out.tobytes(), "ok": True}
+    except (IndexError, ValueError, _s.error, zlib.error, MemoryError):
+        return bad
+
+
 @operator("media.decode")
 def decode(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Decode payloads via mapInPandas (Arrow batches). Output adds
@@ -170,14 +303,21 @@ def decode(spark: SparkSession, inputs, config, context) -> DataFrame:
 
     `decoder`: 'headers' (default) — REAL stdlib container-header parse
     (see :func:`parse_media_header`); unrecognized payloads come back
-    ok=False, never fabricated. 'stub' — the deterministic md5 fake that
-    stands in for a pixel codec (q67 uses it so the full Arrow chain is
-    still hash-checked against a SQL oracle over synthetic payloads)."""
+    ok=False, never fabricated. 'png' — REAL pixel decode (zlib inflate +
+    numpy unfilter, :func:`decode_png_pixels`): output additionally gains
+    `decoded_channels int` and `pixels binary` (raw row-major RGB(A)/gray
+    bytes after palette expansion); non-PNG or unsupported payloads come
+    back ok=False with null pixels. 'stub' — the deterministic md5 fake
+    that stands in for the JPEG/audio codecs absent from this container
+    (q67 uses it so the full Arrow chain is still hash-checked against a
+    SQL oracle over synthetic payloads)."""
     df: DataFrame = inputs[0]
     bin_col = config["binary_col"]
+    mode = config.get("decoder", "headers")
+    pixel_mode = mode == "png"
     decode_fn = (
-        _decode_image_stub
-        if config.get("decoder", "headers") == "stub"
+        decode_png_pixels if pixel_mode
+        else _decode_image_stub if mode == "stub"
         else parse_media_header
     )
     if n := config.get("rows_per_partition"):
@@ -186,11 +326,17 @@ def decode(spark: SparkSession, inputs, config, context) -> DataFrame:
         total = df.count()
         df = df.repartition(max(1, math.ceil(total / n)))
 
+    extra_cols = (
+        ["decoded_format string", "decoded_width int", "decoded_height int",
+         "decoded_channels int", "decode_ok boolean", "pixels binary"]
+        if pixel_mode
+        else ["decoded_format string", "decoded_width int",
+              "decoded_height int", "decoded_duration_ms bigint",
+              "decode_ok boolean"]
+    )
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
-        + ["decoded_format string", "decoded_width int",
-           "decoded_height int", "decoded_duration_ms bigint",
-           "decode_ok boolean"]
+        + extra_cols
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -198,19 +344,37 @@ def decode(spark: SparkSession, inputs, config, context) -> DataFrame:
             decoded = pdf[bin_col].map(
                 lambda b: decode_fn(bytes(b) if b is not None else b"")
             )
-            pdf = pdf.assign(
-                decoded_format=[d["format"] for d in decoded],
-                decoded_width=pd.array(
-                    [d["width"] for d in decoded], dtype="Int32"
-                ),
-                decoded_height=pd.array(
-                    [d["height"] for d in decoded], dtype="Int32"
-                ),
-                decoded_duration_ms=pd.array(
-                    [d["duration_ms"] for d in decoded], dtype="Int64"
-                ),
-                decode_ok=[d["ok"] for d in decoded],
-            )
+            # assign order MUST mirror out_schema — mapInPandas pairs the
+            # pandas columns with the declared schema positionally
+            if pixel_mode:
+                pdf = pdf.assign(
+                    decoded_format=[d["format"] for d in decoded],
+                    decoded_width=pd.array(
+                        [d["width"] for d in decoded], dtype="Int32"
+                    ),
+                    decoded_height=pd.array(
+                        [d["height"] for d in decoded], dtype="Int32"
+                    ),
+                    decoded_channels=pd.array(
+                        [d["channels"] for d in decoded], dtype="Int32"
+                    ),
+                    decode_ok=[d["ok"] for d in decoded],
+                    pixels=[d["pixels"] for d in decoded],
+                )
+            else:
+                pdf = pdf.assign(
+                    decoded_format=[d["format"] for d in decoded],
+                    decoded_width=pd.array(
+                        [d["width"] for d in decoded], dtype="Int32"
+                    ),
+                    decoded_height=pd.array(
+                        [d["height"] for d in decoded], dtype="Int32"
+                    ),
+                    decoded_duration_ms=pd.array(
+                        [d["duration_ms"] for d in decoded], dtype="Int64"
+                    ),
+                    decode_ok=[d["ok"] for d in decoded],
+                )
             yield pdf
 
     return df.mapInPandas(batches, schema=out_schema)
