@@ -2381,6 +2381,90 @@ def read_band_store(
     )
 
 
+def compact_band_store(spark: SparkSession, path: str,
+                       target_mb: int = 128) -> int:
+    """Rewrite an append-accreted band store in place. Each
+    ``write_band_store(mode='append')`` adds one small parquet file per
+    band per batch, so a year of daily ingests is ~365 files/band and
+    scan planning starts to dominate the incremental-dedup probe. This
+    is the store-aware OPTIMIZE: it preserves the ``_band`` partition
+    layout (generic ``maintenance.compact`` would flatten it and lose
+    partition pruning) and carries the ``_params.json`` sidecar onto the
+    compacted copy.
+
+    File sizing: ~``target_mb`` per file — rows are re-bucketed inside
+    each band on ``xxhash64(_id)`` so a 100 TB-corpus band (|corpus| rows
+    per band) still compacts to bounded-size files instead of one
+    monolith. Content is contract-identical: same (_id, _band, _bh)
+    rows, just fewer files.
+
+    Swap is rename-based through the Hadoop FS API (local/HDFS/object
+    stores alike): the old store moves aside before the compacted copy
+    moves in, and rolls back if the second rename fails — readers never
+    see a half-written store. Returns the data-file count after
+    compaction."""
+    import math
+
+    params = read_band_store_params(spark, path)
+    df = read_band_store(spark, path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(root).getLength()
+    n_bands = max(1, sum(
+        1 for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("_band=")
+    ))
+    files_per_band = max(
+        1, math.ceil(total_bytes / n_bands / (target_mb << 20)))
+    out = df.repartition(
+        n_bands * files_per_band, F.col("_band"),
+        F.pmod(F.xxhash64(F.col("_id")), F.lit(files_per_band)))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").partitionBy("_band").parquet(tmp)
+    if params is not None:
+        import json
+
+        sink = fs.create(hpath(tmp, "_params.json"), True)
+        try:
+            sink.write(bytearray(
+                json.dumps(params, sort_keys=True).encode("utf-8")))
+        finally:
+            sink.close()
+    back = hpath(path.rstrip("/") + "._compact_old")
+    if fs.exists(back):
+        fs.delete(back, True)
+    if not fs.rename(root, back):
+        raise IOError(f"compact_band_store: could not move {path} aside")
+    if not fs.rename(hpath(tmp), root):
+        fs.rename(back, root)  # roll back — old store restored intact
+        raise IOError(f"compact_band_store: could not swap {tmp} into "
+                      f"{path}; original store restored")
+    fs.delete(back, True)
+    it = fs.listFiles(root, True)
+    n_files = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n_files += 1
+    return n_files
+
+
+@operator("maintenance.compact_band_store")
+def band_store_compact_op(spark: SparkSession, inputs, config, context):
+    """Pipeline wrapper for :func:`compact_band_store` — the band-store
+    maintenance step a scheduled ingest DAG runs after its
+    ``sink.band_store`` append (cadence: whenever files/band exceeds a
+    handful — nightly for daily batches is plenty). Records the post-
+    compaction file count in the context and returns the compacted store
+    (contract-identical rows)."""
+    path = config["path"]
+    n = compact_band_store(
+        spark, path, target_mb=config.get("target_mb", 128))
+    context[config.get("into", "_band_store_files")] = n
+    return read_band_store(spark, path)
+
+
 @operator("dedup.semantic")
 def dedup_semantic(spark: SparkSession, inputs, config, context):
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

@@ -415,6 +415,60 @@ class TestDedup:
         hb.unpersist()
         spark.catalog.clearCache()
 
+    def test_band_store_compaction(self, spark, tmp_path):
+        # round-7 verdict item 7: append-per-batch accretes one small
+        # file per band per ingest; compaction must shrink the file
+        # count while keeping the store CONTENT-identical (multiset —
+        # repeated appends legitimately duplicate rows), preserving the
+        # _band partition layout and the _params.json sidecar
+        import glob
+        import os
+
+        from ssis_to_pyspark_agent_spark.operators.dedup import (
+            compact_band_store, read_band_store, read_band_store_params,
+            write_band_store)
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        cfg = dict(id_col="doc_id", text_col="text", threshold=0.7,
+                   num_hashes=128, bands=16)
+        hb = run("dedup.minhash_incremental", spark,
+                 [df.limit(120), df.limit(0)], return_bands=True,
+                 broadcast_batch=False, **cfg)["bands"].persist()
+        params = dict(num_hashes=128, bands=16, seed=42, shingle_k=3)
+        path = str(tmp_path / "store")
+
+        def nfiles() -> int:
+            return len(glob.glob(os.path.join(path, "_band=*",
+                                              "*.parquet")))
+
+        write_band_store(hb, path, params=params)
+        for _ in range(3):  # three more "daily" ingest appends
+            write_band_store(hb, path, mode="append", params=params)
+        pre = sorted(map(tuple, read_band_store(spark, path).collect()))
+        n_before = nfiles()
+        assert n_before >= 4 * 16  # >= one file per band per append
+        n_after = compact_band_store(spark, path)
+        assert n_after == nfiles() == 16  # one file per band at this size
+        assert sorted(map(tuple,
+                          read_band_store(spark, path).collect())) == pre
+        assert read_band_store_params(spark, path) == params
+        # the compacted store is still a normal store: params still
+        # enforced, appends still accrete
+        with pytest.raises(ValueError, match="parameter mismatch"):
+            read_band_store(spark, path, params=dict(bands=32))
+        write_band_store(hb, path, mode="append", params=params)
+        assert read_band_store(spark, path).count() == \
+            len(pre) + hb.count()
+        # pipeline wrapper: compacts in place, reports the file count,
+        # returns the compacted rows
+        ctx: dict = {}
+        out = run("maintenance.compact_band_store", spark, [], path=path,
+                  _context=ctx)
+        assert ctx["_band_store_files"] == nfiles() == 16
+        assert out.count() == len(pre) + hb.count()
+        hb.unpersist()
+        spark.catalog.clearCache()
+
     def test_simhash_near_dup(self, spark):
         base = " ".join(f"tok{i}" for i in range(200))
         near = base.replace("tok5 ", "tok5x ")
