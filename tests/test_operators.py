@@ -3692,3 +3692,59 @@ class TestQ44FunnelSinglePass:
         # and no persist leaked past the helper (NOTES invariant 13)
         persisted_after = len(spark.sparkContext._jsc.getPersistentRDDs())
         assert persisted_after == persisted_before
+
+    def test_funnel_checkpoint_mode(self, spark, tmp_path):
+        # round-7 verdict item 3: materialize='checkpoint' writes each
+        # stage to parquet and reads it back — identical report rows,
+        # still single-pass over raw, zero executor-storage footprint
+        # (no persists at all), and a caller-supplied dir keeps the
+        # stage outputs as audit artifacts
+        import os
+
+        from ssis_to_pyspark_agent_spark.queries import _q44_funnel
+
+        acc = spark.sparkContext.accumulator(0)
+
+        def count_rows(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        text = ("the quick brown fox and the lazy dog walk to a park "
+                "in this fine town with some friends and we all like "
+                "to read the long document about many things ")
+        base = spark.createDataFrame(
+            [(i, text + str(i), f"src{i % 3}") for i in range(300)],
+            "doc_id long, text string, source string",
+        )
+        tok = F.size(F.filter(F.split(F.trim("text"), r"\s+"),
+                              lambda x: x != "")).cast("bigint")
+        plain = base.withColumn("ws_tokens", tok)
+        expected = sorted(_q44_funnel(spark, plain))  # persist mode
+        counted = base.mapInPandas(
+            count_rows, schema="doc_id long, text string, source string"
+        ).withColumn("ws_tokens", tok)
+        persisted_before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        ckpt = str(tmp_path / "funnel_ckpt")
+        rows = _q44_funnel(spark, counted, materialize="checkpoint",
+                           checkpoint_dir=ckpt)
+        assert sorted(rows) == expected
+        assert acc.value == 300  # raw scanned once (landed to s0_raw)
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == \
+            persisted_before  # checkpoint mode persists NOTHING
+        # caller-supplied dir: every stage survives as parquet for audit
+        stage_names = {"s0_raw", "s1_url", "s2_lang", "s3_quality",
+                       "s4_exact", "s5_temperature"}
+        assert stage_names <= set(os.listdir(ckpt))
+        n_s4 = spark.read.parquet(f"{ckpt}/s4_exact").count()
+        assert n_s4 == dict(
+            (k, n) for kind, k, n, _ in rows if kind == "stage"
+        )["s4_exact"]
+        # default scratch mode cleans up after itself
+        from ssis_to_pyspark_agent_spark.queries import _scratch
+        rows2 = _q44_funnel(spark, plain, materialize="checkpoint")
+        assert sorted(rows2) == expected
+        assert not os.path.exists(_scratch("q44_funnel_ckpt")) or \
+            not os.listdir(_scratch("q44_funnel_ckpt"))
+        with pytest.raises(ValueError, match="materialize"):
+            _q44_funnel(spark, plain, materialize="cache")

@@ -207,3 +207,56 @@ def test_stream_stream_join_matches_batch(spark, batch_events):
     }
     assert len(expected) > 0
     assert got == expected
+
+
+def test_state_partitions_scoped_and_restored(spark, batch_events):
+    """round-7 verdict item 4: `state_partitions` on a streaming sink
+    scopes spark.sql.shuffle.partitions around query start (captured
+    into the query's checkpoint = the state-store count), restores the
+    session conf, and changes NOTHING about the result. The knob is the
+    q78 variance fix — 4 state stores per partition per micro-batch
+    each pay fixed WAL/commit cost, so store count ∝ wall time on
+    small-state joins."""
+    from ssis_to_pyspark_agent_spark.operators import get_operator
+    from ssis_to_pyspark_agent_spark.streaming.runner import (
+        stream_events,
+        stream_stream_join,
+    )
+
+    def split(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("b_ts"),
+            F.col("event_id").alias("b_id"),
+        )
+        return views, buys
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    sv, sb = split(stream_events(spark, EVENTS, max_files_per_trigger=1))
+    joined = stream_stream_join(
+        sv, sb, keys=["user_id"], left_ts="v_ts", right_ts="b_ts",
+        watermark="5 minutes", time_bound="10 minutes",
+    )
+    out = get_operator("sink.memory_stream")(
+        spark, [joined],
+        {"table": "t_ssj_sp", "state_partitions": 2}, {},
+    )
+    got = {(r["v_id"], r["b_id"])
+           for r in out.select("v_id", "b_id").collect()}
+    # conf restored after the query started
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    bv, bb = split(batch_events)
+    expected = {
+        (r["v_id"], r["b_id"])
+        for r in bv.join(bb, "user_id")
+        .filter(
+            (F.col("b_ts") >= F.col("v_ts"))
+            & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 minutes"))
+        )
+        .collect()
+    }
+    assert len(expected) > 0 and got == expected

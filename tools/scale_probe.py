@@ -1164,6 +1164,15 @@ def probe_funnel_report(spark, n_docs=2_000_000, words_per_doc=80):
     dt_new = time.perf_counter() - t0
     stage = {k: n for kind, k, n, _ in rows if kind == "stage"}
 
+    # materialize='checkpoint' (round-7 verdict item 3): stage parquet
+    # write+read instead of executor-storage persists — the eviction-
+    # proof shape a real 100 TB run uses; price the delta
+    t0 = time.perf_counter()
+    rows_ck = _q44_funnel(spark, d0, url_mod=url_mod,
+                          materialize="checkpoint")
+    dt_ck = time.perf_counter() - t0
+    assert {k: n for kind, k, n, _ in rows_ck if kind == "stage"} == stage
+
     # pre-round-6 shape: identical stages, NO persists — each report
     # aggregate re-derives its stage's full prefix from the raw corpus
     from ssis_to_pyspark_agent_spark.plans import Pipeline, run_pipeline
@@ -1206,7 +1215,8 @@ def probe_funnel_report(spark, n_docs=2_000_000, words_per_doc=80):
     assert before_stage == stage, (before_stage, stage)
     print(
         f"PROBE funnel_report: n={total} single-pass={dt_new:.1f}s "
-        f"({total/dt_new:,.0f} docs/s) re-derive={dt_old:.1f}s "
+        f"({total/dt_new:,.0f} docs/s) checkpoint={dt_ck:.1f}s "
+        f"({dt_ck/dt_new:.2f}x persist) re-derive={dt_old:.1f}s "
         f"speedup={dt_old/dt_new:.2f}x stages={stage}"
     )
     d0.unpersist()
