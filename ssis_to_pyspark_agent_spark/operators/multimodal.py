@@ -7,10 +7,12 @@ container headers — PNG IHDR, JPEG SOFn, GIF logical screen descriptor,
 WAV fmt/data chunks — via stdlib ``struct`` (no codec deps needed for
 dimensions/duration). PNG pixel decode (``decoder='png'``) is REAL too:
 stdlib ``zlib`` inflate + the PNG unfilter pass in numpy (see
-:func:`decode_png_pixels`). Only JPEG/audio SAMPLE decode
-(``decoder='stub'``) stays a clearly marked deterministic fake, because
-DCT/entropy codecs (libjpeg/ffmpeg) are not in this container — swap
-`_decode_image_stub` on a real cluster.
+:func:`decode_png_pixels`), as is WAV PCM sample decode
+(``media.audio_stats`` / :func:`decode_wav_samples` — for PCM the
+container parse IS the codec). Only compressed-format decode — JPEG's
+DCT/Huffman, mp3/opus — (``decoder='stub'``) stays a clearly marked
+deterministic fake, because those codec libs (libjpeg/ffmpeg) are not
+in this container; swap `_decode_image_stub` on a real cluster.
 
 Scale notes: binary payloads blow past `spark.sql.files.maxPartitionBytes`
 assumptions — repartition by count, not bytes (`rows_per_partition`), so an
@@ -376,6 +378,121 @@ def decode(spark: SparkSession, inputs, config, context) -> DataFrame:
                     decode_ok=[d["ok"] for d in decoded],
                 )
             yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def decode_wav_samples(payload: bytes) -> dict[str, Any]:
+    """REAL WAV sample decode — for PCM, the container parse IS the
+    codec: stdlib ``struct`` walks the RIFF fmt/data chunks and numpy
+    reinterprets the data bytes as samples. Supports PCM u8/i16/i32
+    (format 1) and IEEE float32 (format 3), any channel count.
+    Compressed WAV (ADPCM/mu-law/...) or truncated chunks return
+    ``ok=False`` — never guessed samples.
+
+    Returns ``{format, sample_rate, channels, n_samples, duration_ms,
+    rms, peak, ok}`` with n_samples = frames per channel and rms/peak
+    computed over all channels of the NORMALIZED signal ([-1, 1]:
+    u8 -> (x-128)/128, i16 -> x/2^15, i32 -> x/2^31, f32 as-is) —
+    the two numbers an audio-quality gate filters on (silence/clipping).
+    rms/peak are float64 and exactly reproducible: the normalizations
+    are dyadic, squares/sums of dyadic rationals are exact below 2^53,
+    and sqrt is correctly rounded (NOTES invariant 19)."""
+    import struct as _s
+
+    import numpy as np
+
+    bad = {"format": None, "sample_rate": None, "channels": None,
+           "n_samples": None, "duration_ms": None, "rms": None,
+           "peak": None, "ok": False}
+    p = payload or b""
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return bad
+    try:
+        fmt = None
+        data = None
+        i = 12
+        while i + 8 <= len(p):
+            cid = p[i:i + 4]
+            (csize,) = _s.unpack("<I", p[i + 4:i + 8])
+            chunk = p[i + 8:i + 8 + csize]
+            if len(chunk) != csize:
+                return bad  # truncated
+            if cid == b"fmt " and csize >= 16:
+                fmt = _s.unpack("<HHIIHH", chunk[:16])
+            elif cid == b"data":
+                data = chunk
+            i += 8 + csize + (csize & 1)
+        if fmt is None or data is None:
+            return bad
+        audio_format, n_ch, rate, _byte_rate, block_align, bits = fmt
+        if n_ch < 1 or rate < 1:
+            return bad
+        kind = {(1, 8): np.uint8, (1, 16): np.int16, (1, 32): np.int32,
+                (3, 32): np.float32}.get((audio_format, bits))
+        if kind is None:
+            return bad  # compressed/esoteric — fail loudly
+        width = bits // 8
+        frame = n_ch * width
+        if block_align not in (0, frame):
+            return bad
+        n_frames = len(data) // frame
+        arr = np.frombuffer(data[:n_frames * frame], dtype=kind)
+        if kind is np.uint8:
+            x = (arr.astype(np.float64) - 128.0) / 128.0
+        elif kind is np.int16:
+            x = arr.astype(np.float64) / 32768.0
+        elif kind is np.int32:
+            x = arr.astype(np.float64) / 2147483648.0
+        else:
+            x = arr.astype(np.float64)
+        rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+        peak = float(np.max(np.abs(x))) if len(x) else 0.0
+        return {"format": "wav", "sample_rate": int(rate),
+                "channels": int(n_ch), "n_samples": int(n_frames),
+                "duration_ms": int(n_frames * 1000 // rate),
+                "rms": rms, "peak": peak, "ok": True}
+    except (IndexError, ValueError, _s.error):
+        return bad
+
+
+@operator("media.audio_stats")
+def audio_stats(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """REAL audio decode + quality stats over mapInPandas: WAV PCM
+    payloads -> sample_rate/channels/n_samples/duration_ms plus the
+    normalized-signal rms and peak an audio curation gate filters on
+    (drop silence: rms ~ 0; drop clipped: peak ~ 1). Unsupported or
+    compressed payloads come back audio_ok=False with null stats (gate
+    them to a review port, never guess). Compressed codecs (mp3/opus)
+    would slot into the same batch shape via a real decoder lib."""
+    df: DataFrame = inputs[0]
+    bin_col = config["binary_col"]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["sample_rate int", "channels int", "n_samples bigint",
+           "duration_ms bigint", "rms double", "peak double",
+           "audio_ok boolean"]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            d = pdf[bin_col].map(
+                lambda b: decode_wav_samples(bytes(b) if b is not None
+                                             else b"")
+            )
+            yield pdf.assign(
+                sample_rate=pd.array([v["sample_rate"] for v in d],
+                                     dtype="Int32"),
+                channels=pd.array([v["channels"] for v in d],
+                                  dtype="Int32"),
+                n_samples=pd.array([v["n_samples"] for v in d],
+                                   dtype="Int64"),
+                duration_ms=pd.array([v["duration_ms"] for v in d],
+                                     dtype="Int64"),
+                rms=pd.array([v["rms"] for v in d], dtype="Float64"),
+                peak=pd.array([v["peak"] for v in d], dtype="Float64"),
+                audio_ok=[v["ok"] for v in d],
+            )
 
     return df.mapInPandas(batches, schema=out_schema)
 

@@ -1835,6 +1835,81 @@ class TestPngPixelDecode:
                + chunk(b"IEND", b""))
         assert self._dec(png)["ok"] is False
 
+    def test_wav_pcm_sample_decode_exact(self):
+        """decode_wav_samples: PCM normalization is dyadic, so rms/peak
+        are EXACT float64 values on crafted samples (invariant 19)."""
+        import io
+        import struct
+        import wave
+
+        from ssis_to_pyspark_agent_spark.operators.multimodal import (
+            decode_wav_samples,
+        )
+
+        def pcm16(frames, rate=8000, n_ch=1):
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(n_ch)
+                wf.setsampwidth(2)
+                wf.setframerate(rate)
+                wf.writeframes(b"".join(
+                    struct.pack("<h", v) for v in frames))
+            return buf.getvalue()
+
+        # [0.5, -0.5, 0, 0.25] -> rms = sqrt(0.140625) = 0.375 EXACTLY
+        d = decode_wav_samples(pcm16([16384, -16384, 0, 8192]))
+        assert d["ok"] and d["channels"] == 1 and d["n_samples"] == 4
+        assert d["rms"] == 0.375 and d["peak"] == 0.5
+        assert d["sample_rate"] == 8000 and d["duration_ms"] == 0
+        # stereo: 2 frames x 2 channels, all +-0.5 -> rms = peak = 0.5
+        d2 = decode_wav_samples(pcm16([16384, -16384, -16384, 16384],
+                                      n_ch=2))
+        assert d2["ok"] and d2["channels"] == 2 and d2["n_samples"] == 2
+        assert d2["rms"] == 0.5 and d2["peak"] == 0.5
+        # 8-bit unsigned: bytes 192/64 -> +-0.5
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(1)
+            wf.setframerate(16000)
+            wf.writeframes(bytes([192, 64]))
+        d3 = decode_wav_samples(buf.getvalue())
+        assert d3["ok"] and d3["rms"] == 0.5 and d3["peak"] == 0.5
+        # IEEE float32 (format 3), hand-built RIFF
+        data = struct.pack("<4f", 0.25, -0.25, 0.25, -0.25)
+        fmt = struct.pack("<HHIIHH", 3, 1, 44100, 44100 * 4, 4, 32)
+        wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+               + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(data)) + data)
+        d4 = decode_wav_samples(wav)
+        assert d4["ok"] and d4["rms"] == 0.25 and d4["peak"] == 0.25
+        # compressed (ADPCM, format 2) / truncated / junk: loud failure
+        bad_fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4)
+        wav_adpcm = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+                     + b"fmt " + struct.pack("<I", 16) + bad_fmt
+                     + b"data" + struct.pack("<I", 2) + b"\x00\x01")
+        assert decode_wav_samples(wav_adpcm)["ok"] is False
+        assert decode_wav_samples(pcm16([1, 2, 3])[:-2])["ok"] is False
+        assert decode_wav_samples(b"not audio")["ok"] is False
+        assert decode_wav_samples(b"")["ok"] is False
+
+    def test_audio_stats_operator(self, spark):
+        """media.audio_stats through the Arrow batch path: real PCM
+        stats for WAV rows, audio_ok=False for junk."""
+        df = spark.createDataFrame(
+            [(1, bytearray(_wav_bytes(1.0))),  # 8-bit silence (0x80)
+             (2, bytearray(b"junk")), (3, None)],
+            "id int, payload binary",
+        )
+        got = {r.id: r for r in
+               run("media.audio_stats", spark, [df],
+                   binary_col="payload").collect()}
+        assert got[1].audio_ok and got[1].duration_ms == 1000
+        assert got[1].sample_rate == 8000 and got[1].channels == 1
+        assert got[1].rms == 0.0 and got[1].peak == 0.0  # byte 0x80 = 0
+        for bad in (2, 3):
+            assert got[bad].audio_ok is False and got[bad].rms is None
+
     def test_spark_decoder_png_mode(self, spark):
         """media.decode decoder='png' through the real mapInPandas path:
         exact pixels for PNGs, ok=False + null pixels for junk."""
