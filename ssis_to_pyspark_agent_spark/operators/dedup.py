@@ -1940,13 +1940,31 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
     # decides BEFORE the probe plans; over the bound the broadcast is
     # skipped and the semi-join streams as before. The persist is
     # released after the per-doc aggregate materializes below.
+    #
+    # SIZE-GATED (round 8 follow-up): the eager jobs only pay for
+    # themselves when the corpus exchange they pre-empt is expensive.
+    # On a small corpus they COST ~3x — the operator's two invocations
+    # in q30 each ran their build/agg as serialized standalone jobs,
+    # where the old fully-lazy shape let the query's single action
+    # share the document scan across all its legs and AQE handle the
+    # (tiny) exchanges (q30 sf0.1: 1.45s lazy vs ~4.8s always-eager).
+    # 'auto' probes the RAW input count (metadata-cheap on a parquet
+    # scan; invariant 18) and stays lazy under eager_min_docs — at that
+    # size the gram exchange is seconds at worst, and AQE's runtime
+    # stats still broadcast the small sides.
+    eager = config.get("eager", "auto")
+    if eager == "auto":
+        eager = df.count() >= int(config.get("eager_min_docs", 200_000))
     bcast_rows = int(config.get("dup_broadcast_rows", 8_000_000))
-    dup_grams = dup_grams.persist()
-    dup_probe = (
-        F.broadcast(dup_grams)
-        if dup_grams.count() <= bcast_rows
-        else dup_grams
-    )
+    if eager:
+        dup_grams = dup_grams.persist()
+        dup_probe = (
+            F.broadcast(dup_grams)
+            if dup_grams.count() <= bcast_rows
+            else dup_grams
+        )
+    else:
+        dup_probe = dup_grams
     flagged = (
         grams.join(dup_probe, "_gh", "left_semi").select("_id", "_gpos")
     )
@@ -1996,10 +2014,15 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
                 F.sum("_cov").cast("int").alias("dup_tokens"),
             )
         )
-    agg = agg.persist()
-    n_flagged = agg.count()
-    dup_grams.unpersist()
-    tab = F.broadcast(agg) if n_flagged <= bcast_rows else agg
+    if eager:
+        agg = agg.persist()
+        n_flagged = agg.count()
+        dup_grams.unpersist()
+        tab = F.broadcast(agg) if n_flagged <= bcast_rows else agg
+    else:
+        # lazy: one action computes everything; AQE broadcasts the
+        # per-doc aggregate off its runtime size
+        tab = agg
     out = (
         df.join(tab.withColumnRenamed("_id", id_col), id_col, "left")
         .withColumns(

@@ -808,6 +808,31 @@ class TestTextOps:
         assert (out[4].n_dup_spans, out[4].dup_tokens) == (0, 0)
         assert out[4].text_clean == "u v"
 
+    def test_dedup_spans_eager_lazy_identical(self, spark):
+        # the eager (persist+count+broadcast, the 2M-doc plan) and lazy
+        # (single-action, AQE-decided — what 'auto' picks under
+        # eager_min_docs) paths must be output-identical; 'auto' on a
+        # small corpus must take the lazy path (no persists leaked:
+        # eager mode leaves its bounded agg persisted, lazy leaves none)
+        df = spark.createDataFrame(
+            [(i, f"a b c d x{i} y{i} z{i}") for i in range(50)]
+            + [(100, "a b c d q r")],
+            "doc_id long, text string",
+        )
+        cfg = dict(id_col="doc_id", text_col="text", n=3, emit_clean=True)
+        rows_lazy = sorted(map(tuple, run(
+            "dedup.spans", spark, [df], eager=False, **cfg).collect()))
+        persisted_before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        rows_auto = sorted(map(tuple, run(
+            "dedup.spans", spark, [df], **cfg).collect()))
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == \
+            persisted_before  # auto picked lazy — nothing persisted
+        rows_eager = sorted(map(tuple, run(
+            "dedup.spans", spark, [df], eager=True, **cfg).collect()))
+        assert rows_lazy == rows_auto == rows_eager
+        assert any(r[2] > 0 for r in rows_lazy)  # the dup actually fired
+        spark.catalog.clearCache()
+
     def test_dedup_spans_scope_and_adjacency(self, spark):
         # cross_doc scope ignores within-doc repeats: doc 3's repeat from
         # the test above is NOT flagged, docs 1/2's shared prefix still is.
