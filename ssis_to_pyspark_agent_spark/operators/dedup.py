@@ -1953,6 +1953,12 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
     # size the gram exchange is seconds at worst, and AQE's runtime
     # stats still broadcast the small sides.
     eager = config.get("eager", "auto")
+    if eager not in ("auto", True, False):
+        # loud, like the funnel's materialize and lm_score's
+        # stats_broadcast: a stringly 'false' must not select eager
+        raise ValueError(
+            f"dedup.spans: eager must be 'auto', True or False, got "
+            f"{eager!r}")
     if eager == "auto":
         eager = df.count() >= int(config.get("eager_min_docs", 200_000))
     bcast_rows = int(config.get("dup_broadcast_rows", 8_000_000))
@@ -2016,9 +2022,25 @@ def dedup_spans(spark: SparkSession, inputs, config, context):
         )
     if eager:
         agg = agg.persist()
-        n_flagged = agg.count()
+        if emit_clean:
+            # emit_clean rows carry a collect_list of span structs, so
+            # the 8M-row bound (sized for fixed-width stat rows) can
+            # hide a multi-GB broadcast on a boilerplate-saturated
+            # corpus. Same count job, plus the true span volume; force
+            # the broadcast only when the ARRAY payload is bounded too
+            # (64M spans x ~16B ≈ 1 GiB, inside the 8 GiB hard limit).
+            stats = agg.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum("n_dup_spans").alias("_sp"),
+            ).first()
+            n_flagged = stats["_n"] or 0
+            force = (n_flagged <= bcast_rows
+                     and (stats["_sp"] or 0) <= 64_000_000)
+        else:
+            n_flagged = agg.count()
+            force = n_flagged <= bcast_rows
         dup_grams.unpersist()
-        tab = F.broadcast(agg) if n_flagged <= bcast_rows else agg
+        tab = F.broadcast(agg) if force else agg
     else:
         # lazy: one action computes everything; AQE broadcasts the
         # per-doc aggregate off its runtime size
@@ -2384,12 +2406,19 @@ def read_band_store(
     a mismatch raises instead of silently joining incompatible band
     hashes. Pre-sidecar stores skip the check."""
     if params is not None:
+        unknown = [k for k in params if k not in _BAND_STORE_PARAM_KEYS]
+        if unknown:
+            # same loud rejection as write_band_store: silently
+            # dropping a typo'd key would skip the mismatch check the
+            # sidecar exists for
+            raise ValueError(
+                f"read_band_store: unknown params {unknown}; "
+                f"expected a subset of {list(_BAND_STORE_PARAM_KEYS)}"
+            )
         stored = read_band_store_params(spark, path)
         if stored is not None:
             _check_band_params(
-                {k: int(v) for k, v in params.items()
-                 if k in _BAND_STORE_PARAM_KEYS},
-                stored, path,
+                {k: int(v) for k, v in params.items()}, stored, path,
             )
     df = spark.read.parquet(path)
     missing = [c for c in _BAND_STORE_COLS if c not in df.columns]
@@ -2421,20 +2450,42 @@ def compact_band_store(spark: SparkSession, path: str,
     monolith. Content is contract-identical: same (_id, _band, _bh)
     rows, just fewer files.
 
-    Swap is rename-based through the Hadoop FS API (local/HDFS/object
-    stores alike): the old store moves aside before the compacted copy
-    moves in, and rolls back if the second rename fails — readers never
-    see a half-written store. Returns the data-file count after
-    compaction."""
+    SINGLE-WRITER maintenance step: schedule it in the DAG that owns
+    the store's appends (after them, never concurrently) — a store
+    cannot atomically swap under a live writer. The guard is still
+    real, not assumed: the data-file listing is re-checked after the
+    store moves aside, and if an append slipped in between snapshot
+    and swap the original store is restored untouched and the call
+    raises instead of silently dropping that batch's bands. Swap is
+    rename-based through the Hadoop FS API (local/HDFS/object stores
+    alike) with rollback on failure; between the two renames there is
+    a brief window where the path does not exist, so concurrent
+    READERS should also run outside the maintenance slot. Returns the
+    data-file count after compaction."""
     import math
 
+    def _data_files(fs, p) -> dict[str, int]:
+        it = fs.listFiles(p, True)
+        out: dict[str, int] = {}
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().toUri().getPath()
+            if name.endswith(".parquet"):
+                out[name.rsplit("/", 2)[-2] + "/"
+                    + name.rsplit("/", 1)[-1]] = st.getLen()
+        return out
+
     params = read_band_store_params(spark, path)
-    df = read_band_store(spark, path)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     root = hpath(path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    total_bytes = fs.getContentSummary(root).getLength()
+    # snapshot BEFORE the read resolves its file index: an append
+    # landing in between then fails the post-swap check (false
+    # positive, safe) instead of silently missing from the copy
+    snapshot = _data_files(fs, root)
+    df = read_band_store(spark, path)
+    total_bytes = sum(snapshot.values())
     n_bands = max(1, sum(
         1 for st in fs.listStatus(root)
         if st.isDirectory() and st.getPath().getName().startswith("_band=")
@@ -2460,6 +2511,17 @@ def compact_band_store(spark: SparkSession, path: str,
         fs.delete(back, True)
     if not fs.rename(root, back):
         raise IOError(f"compact_band_store: could not move {path} aside")
+    if _data_files(fs, back) != snapshot:
+        # an append landed after the snapshot — its rows are NOT in the
+        # compacted copy. Restore the original (which has them) and
+        # refuse: losing a batch silently is the one unacceptable
+        # outcome for a dedup history store.
+        fs.rename(back, root)
+        fs.delete(hpath(tmp), True)
+        raise IOError(
+            f"compact_band_store: {path} changed during compaction "
+            "(concurrent append?); original store restored — rerun "
+            "compaction when no writer is active")
     if not fs.rename(hpath(tmp), root):
         fs.rename(back, root)  # roll back — old store restored intact
         raise IOError(f"compact_band_store: could not swap {tmp} into "

@@ -399,6 +399,10 @@ class TestDedup:
             spark, bare, params=dict(num_hashes=9)).count() > 0
         with pytest.raises(ValueError, match="unknown params"):
             write_band_store(hb, bare, params=dict(threshold=0.7))
+        # read must reject typo'd keys too — silently filtering them
+        # would skip the very mismatch check the sidecar exists for
+        with pytest.raises(ValueError, match="unknown params"):
+            read_band_store(spark, bare, params=dict(num_hashs=64))
         # operator wrappers forward config keys into the sidecar
         path2 = str(tmp_path / "store_ops")
         run("sink.band_store", spark, [hb], path=path2, **{
@@ -831,6 +835,9 @@ class TestTextOps:
             "dedup.spans", spark, [df], eager=True, **cfg).collect()))
         assert rows_lazy == rows_auto == rows_eager
         assert any(r[2] > 0 for r in rows_lazy)  # the dup actually fired
+        # stringly-typed 'false' must fail loudly, not select eager
+        with pytest.raises(ValueError, match="eager"):
+            run("dedup.spans", spark, [df], eager="false", **cfg)
         spark.catalog.clearCache()
 
     def test_dedup_spans_scope_and_adjacency(self, spark):
