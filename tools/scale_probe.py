@@ -2030,6 +2030,154 @@ def probe_hotbucket(spark, n_docs=510_000, hot=300):
     base.unpersist()
 
 
+def probe_media(spark, n_imgs=200_000, n_wavs=200_000):
+    """Round-8 real decoders at corpus scale: media.decode
+    decoder='png' (zlib inflate + numpy unfilter per payload, Arrow
+    batches) over n_imgs distinct 16x16 RGB PNGs, and media.audio_stats
+    over n_wavs 1k-frame 16-bit PCM WAVs. Payloads are GENERATED INSIDE
+    the executors (mapInPandas builders keyed on id — no driver-side
+    corpus), so the probe measures decode throughput, not fixture I/O.
+    Sanity: every decode must succeed, and per-row invariants
+    (dimensions, exact flat-image pixel bytes spot-check, wav rms of a
+    constant half-scale square wave = 0.5) hold on a sample."""
+    import pandas as pd
+
+    def make_pngs(it):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d)))
+
+        ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 0))
+        for pdf in it:
+            payloads = []
+            for i in pdf["id"]:
+                # deterministic per-id pixels: row y = (id+y) % 256 gray
+                rows = b"".join(
+                    b"\x00" + bytes([(int(i) + y) % 256]) * 48
+                    for y in range(16)
+                )
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n" + ihdr
+                    + chunk(b"IDAT", zlib.compress(rows))
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["id"], "payload": payloads})
+
+    imgs = (
+        spark.range(n_imgs).repartition(64)
+        .mapInPandas(make_pngs, schema="doc_id long, payload binary")
+    )
+    t0 = time.perf_counter()
+    dec = get_operator("media.decode")(
+        spark, [imgs], {"binary_col": "payload", "decoder": "png"}, {})
+    ok, n = dec.agg(
+        F.sum(F.col("decode_ok").cast("long")), F.count(F.lit(1))
+    ).first()
+    dt_png = time.perf_counter() - t0
+    assert ok == n == n_imgs, (ok, n)
+    spot = dec.filter("doc_id = 1000").select("pixels").first()[0]
+    expect0 = bytes([(1000 + 0) % 256]) * 48
+    assert bytes(spot)[:48] == expect0, "pixel spot-check failed"
+    print(
+        f"PROBE media png: n={n_imgs} decode={dt_png:.1f}s "
+        f"({n_imgs/dt_png:,.0f} imgs/s) all ok, pixels spot-checked"
+    )
+
+    def make_wavs(it):
+        import struct
+
+        hdr_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        frames = b"".join(
+            struct.pack("<h", 16384 if j % 2 == 0 else -16384)
+            for j in range(1000)
+        )
+        wav = (b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + len(frames))
+               + b"WAVE" + b"fmt " + struct.pack("<I", 16) + hdr_fmt
+               + b"data" + struct.pack("<I", len(frames)) + frames)
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["id"], "payload": [wav] * len(pdf)})
+
+    wavs = (
+        spark.range(n_wavs).repartition(64)
+        .mapInPandas(make_wavs, schema="doc_id long, payload binary")
+    )
+    t0 = time.perf_counter()
+    st = get_operator("media.audio_stats")(
+        spark, [wavs], {"binary_col": "payload"}, {})
+    row = st.agg(
+        F.sum(F.col("audio_ok").cast("long")).alias("ok"),
+        F.min("rms").alias("rmin"), F.max("rms").alias("rmax"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    dt_wav = time.perf_counter() - t0
+    assert row["ok"] == row["n"] == n_wavs
+    assert row["rmin"] == row["rmax"] == 0.5  # half-scale square wave
+    print(
+        f"PROBE media wav: n={n_wavs} decode={dt_wav:.1f}s "
+        f"({n_wavs/dt_wav:,.0f} wavs/s) all ok, rms exact 0.5"
+    )
+
+
+def probe_band_compact(spark, n_rows=20_000_000, bands=16, appends=8):
+    """maintenance.compact_band_store at 20M band rows accreted over
+    8 'daily' appends: measures append-era file count, compaction wall
+    time, post-compaction file count, and pins content equality via
+    corpus-level aggregates (count + sum/xor-ish of _bh) before/after.
+    The store layout keeps _band partitioning, so the incremental-dedup
+    probe's partition pruning survives compaction."""
+    import shutil
+    import tempfile
+
+    from ssis_to_pyspark_agent_spark.operators.dedup import (
+        compact_band_store, read_band_store, write_band_store)
+
+    per = n_rows // appends
+    root = tempfile.mkdtemp(prefix="graft_band_compact_")
+    path = root + "/store"
+    t0 = time.perf_counter()
+    for a in range(appends):
+        batch = (
+            spark.range(per).repartition(8)
+            .select(
+                (F.col("id") + a * per).alias("_id"),
+                F.pmod(F.xxhash64("id", F.lit(a)), F.lit(bands))
+                .cast("int").alias("_band"),
+                F.xxhash64("id", F.lit(a + 100)).alias("_bh"),
+            )
+        )
+        write_band_store(batch, path, mode="append",
+                         params={"bands": bands})
+    dt_app = time.perf_counter() - t0
+
+    def agg_sig(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_bh") % 1_000_003).alias("s"),
+            F.sum(F.col("_id")).alias("i"),
+        ).first()
+
+    import glob
+    files_before = len(glob.glob(f"{path}/_band=*/*.parquet"))
+    sig_before = agg_sig(read_band_store(spark, path))
+    t0 = time.perf_counter()
+    n_files = compact_band_store(spark, path, target_mb=64)
+    dt = time.perf_counter() - t0
+    sig_after = agg_sig(read_band_store(spark, path))
+    assert sig_before == sig_after, (sig_before, sig_after)
+    print(
+        f"PROBE band_compact: rows={n_rows} appends={appends} "
+        f"append_total={dt_app:.1f}s files {files_before} -> {n_files} "
+        f"compact={dt:.1f}s ({n_rows/dt:,.0f} rows/s) content identical"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(
@@ -2108,6 +2256,10 @@ def main():
         probe_semdedup_recipe(spark)
     if which in ("bloom", "all"):
         probe_bloom(spark)
+    if which in ("media", "all"):
+        probe_media(spark)
+    if which in ("band_compact", "all"):
+        probe_band_compact(spark)
 
 
 if __name__ == "__main__":
