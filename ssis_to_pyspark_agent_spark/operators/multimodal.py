@@ -5,14 +5,16 @@ struct. The Spark-side plumbing (schema, partition sizing, Arrow-batched
 UDF signatures) is real and tested. Metadata extraction is REAL for
 container headers — PNG IHDR, JPEG SOFn, GIF logical screen descriptor,
 WAV fmt/data chunks — via stdlib ``struct`` (no codec deps needed for
-dimensions/duration). PNG pixel decode (``decoder='png'``) is REAL too:
-stdlib ``zlib`` inflate + the PNG unfilter pass in numpy (see
-:func:`decode_png_pixels`), as is WAV PCM sample decode
-(``media.audio_stats`` / :func:`decode_wav_samples` — for PCM the
-container parse IS the codec). Only compressed-format decode — JPEG's
-DCT/Huffman, mp3/opus — (``decoder='stub'``) stays a clearly marked
-deterministic fake, because those codec libs (libjpeg/ffmpeg) are not
-in this container; swap `_decode_image_stub` on a real cluster.
+dimensions/duration). PNG and GIF pixel decode (``decoder='png'`` /
+``'gif'``) are REAL too: stdlib ``zlib`` inflate + the PNG unfilter
+pass in numpy (:func:`decode_png_pixels`), and the GIF spec's
+variable-width LZW + palette expansion (:func:`decode_gif_pixels`);
+WAV PCM sample decode likewise (``media.audio_stats`` /
+:func:`decode_wav_samples` — for PCM the container parse IS the
+codec). Only entropy-coded-format decode — JPEG's DCT/Huffman,
+mp3/opus — (``decoder='stub'``) stays a clearly marked deterministic
+fake, because those codec libs (libjpeg/ffmpeg) are not in this
+container; swap `_decode_image_stub` on a real cluster.
 
 Scale notes: binary payloads blow past `spark.sql.files.maxPartitionBytes`
 assumptions — repartition by count, not bytes (`rows_per_partition`), so an
@@ -309,16 +311,20 @@ def decode(spark: SparkSession, inputs, config, context) -> DataFrame:
     numpy unfilter, :func:`decode_png_pixels`): output additionally gains
     `decoded_channels int` and `pixels binary` (raw row-major RGB(A)/gray
     bytes after palette expansion); non-PNG or unsupported payloads come
-    back ok=False with null pixels. 'stub' — the deterministic md5 fake
-    that stands in for the JPEG/audio codecs absent from this container
-    (q67 uses it so the full Arrow chain is still hash-checked against a
+    back ok=False with null pixels. 'gif' — REAL pixel decode too
+    (variable-width LZW + palette, :func:`decode_gif_pixels`): the png
+    columns plus `decoded_n_frames int`; pixels are the first frame's
+    rect. 'stub' — the deterministic md5 fake that stands in for the
+    compressed codecs absent from this container (JPEG DCT, mp3/opus;
+    q67 uses it so the full Arrow chain is still hash-checked against a
     SQL oracle over synthetic payloads)."""
     df: DataFrame = inputs[0]
     bin_col = config["binary_col"]
     mode = config.get("decoder", "headers")
-    pixel_mode = mode == "png"
+    pixel_mode = mode in ("png", "gif")
     decode_fn = (
-        decode_png_pixels if pixel_mode
+        decode_png_pixels if mode == "png"
+        else decode_gif_pixels if mode == "gif"
         else _decode_image_stub if mode == "stub"
         else parse_media_header
     )
@@ -328,14 +334,16 @@ def decode(spark: SparkSession, inputs, config, context) -> DataFrame:
         total = df.count()
         df = df.repartition(max(1, math.ceil(total / n)))
 
-    extra_cols = (
-        ["decoded_format string", "decoded_width int", "decoded_height int",
-         "decoded_channels int", "decode_ok boolean", "pixels binary"]
-        if pixel_mode
-        else ["decoded_format string", "decoded_width int",
-              "decoded_height int", "decoded_duration_ms bigint",
-              "decode_ok boolean"]
-    )
+    if pixel_mode:
+        extra_cols = ["decoded_format string", "decoded_width int",
+                      "decoded_height int", "decoded_channels int"]
+        if mode == "gif":
+            extra_cols.append("decoded_n_frames int")
+        extra_cols += ["decode_ok boolean", "pixels binary"]
+    else:
+        extra_cols = ["decoded_format string", "decoded_width int",
+                      "decoded_height int", "decoded_duration_ms bigint",
+                      "decode_ok boolean"]
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
         + extra_cols
@@ -349,7 +357,7 @@ def decode(spark: SparkSession, inputs, config, context) -> DataFrame:
             # assign order MUST mirror out_schema — mapInPandas pairs the
             # pandas columns with the declared schema positionally
             if pixel_mode:
-                pdf = pdf.assign(
+                cols = dict(
                     decoded_format=[d["format"] for d in decoded],
                     decoded_width=pd.array(
                         [d["width"] for d in decoded], dtype="Int32"
@@ -360,6 +368,13 @@ def decode(spark: SparkSession, inputs, config, context) -> DataFrame:
                     decoded_channels=pd.array(
                         [d["channels"] for d in decoded], dtype="Int32"
                     ),
+                )
+                if mode == "gif":
+                    cols["decoded_n_frames"] = pd.array(
+                        [d["n_frames"] for d in decoded], dtype="Int32"
+                    )
+                pdf = pdf.assign(
+                    **cols,
                     decode_ok=[d["ok"] for d in decoded],
                     pixels=[d["pixels"] for d in decoded],
                 )
@@ -380,6 +395,171 @@ def decode(spark: SparkSession, inputs, config, context) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int):
+    """GIF-variant LZW (variable code width, LSB-first bit packing,
+    clear/end codes, 12-bit table cap with deferred-clear tolerance).
+    Returns exactly ``max_pixels`` decoded index bytes or None on any
+    inconsistency — never a padded/truncated guess."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    base = [bytes([c]) for c in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+    prev = None
+    while bitpos + width <= nbits:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            return None
+        out += entry
+        if len(out) > max_pixels:
+            return None
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out) if len(out) == max_pixels else None
+
+
+def _gif_deinterlace(idx: bytes, w: int, h: int) -> bytes:
+    """Undo GIF's 4-pass row interlace (rows stored in pass order
+    0,8,16,... / 4,12,... / 2,6,... / 1,3,...)."""
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    rows: list[bytes] = [b""] * h
+    for src, dst in enumerate(order):
+        rows[dst] = idx[src * w:(src + 1) * w]
+    return b"".join(rows)
+
+
+def decode_gif_pixels(payload: bytes) -> dict[str, Any]:
+    """REAL GIF pixel decode — the spec's variable-width LZW
+    (:func:`_lzw_decode`) plus palette expansion, pure stdlib+numpy.
+    Walks every block of a GIF87a/89a stream: ``n_frames`` counts all
+    image descriptors, ``pixels`` is the FIRST frame's rect expanded
+    through its (local-else-global) color table — RGB, or RGBA with
+    alpha 0 at the graphic-control transparent index. Interlaced frames
+    are de-interlaced. width/height are the FRAME rect (what the pixels
+    describe), not the logical screen. Anything inconsistent —
+    truncated sub-blocks, LZW stream not yielding exactly w*h indices,
+    palette overrun — returns ``ok=False``, never guessed pixels.
+    (Frame COMPOSITION across disposal methods is out of scope: frames
+    after the first are counted, not composed.)"""
+    import struct as _s
+
+    import numpy as np
+
+    bad = {"format": None, "width": None, "height": None,
+           "channels": None, "n_frames": None, "pixels": None,
+           "ok": False}
+    p = payload or b""
+    if p[:6] not in (b"GIF87a", b"GIF89a"):
+        return bad
+    try:
+        _w, _h, flags, _bg, _aspect = _s.unpack("<HHBBB", p[6:13])
+        i = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gct = p[i:i + 3 * n]
+            if len(gct) != 3 * n:
+                return bad
+            i += 3 * n
+        frames = 0
+        first = None
+        transparent = None
+        while i < len(p):
+            b = p[i]
+            i += 1
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: label + sub-blocks
+                label = p[i]
+                i += 1
+                if label == 0xF9 and p[i] >= 4:
+                    blk = p[i + 1:i + 1 + p[i]]
+                    transparent = blk[3] if blk[0] & 1 else None
+                while p[i] != 0:
+                    i += p[i] + 1
+                i += 1
+            elif b == 0x2C:  # image descriptor
+                left, top, fw, fh, f2 = _s.unpack("<HHHHB", p[i:i + 9])
+                i += 9
+                pal = gct
+                if f2 & 0x80:
+                    n = 2 << (f2 & 7)
+                    pal = p[i:i + 3 * n]
+                    if len(pal) != 3 * n:
+                        return bad
+                    i += 3 * n
+                min_code = p[i]
+                i += 1
+                data = bytearray()
+                while p[i] != 0:
+                    sz = p[i]
+                    sub = p[i + 1:i + 1 + sz]
+                    if len(sub) != sz:
+                        return bad
+                    data += sub
+                    i += 1 + sz
+                i += 1
+                frames += 1
+                if first is None:
+                    if pal is None or fw == 0 or fh == 0 or fw * fh > 1 << 26:
+                        return bad
+                    idx = _lzw_decode(bytes(data), min_code, fw * fh)
+                    if idx is None:
+                        return bad
+                    if f2 & 0x40:
+                        idx = _gif_deinterlace(idx, fw, fh)
+                    first = (fw, fh, idx, pal, transparent)
+                transparent = None
+            else:
+                return bad  # unknown block type — corrupt
+        if first is None:
+            return bad
+        fw, fh, idx, pal, tr = first
+        pal_arr = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+        ia = np.frombuffer(idx, np.uint8)
+        if int(ia.max(initial=0)) >= len(pal_arr):
+            return bad
+        rgb = pal_arr[ia]
+        if tr is not None:
+            alpha = np.where(ia == tr, 0, 255).astype(np.uint8)
+            out = np.concatenate([rgb, alpha[:, None]], axis=1)
+            ch = 4
+        else:
+            out, ch = rgb, 3
+        return {"format": "gif", "width": int(fw), "height": int(fh),
+                "channels": ch, "n_frames": frames,
+                "pixels": out.tobytes(), "ok": True}
+    except (IndexError, ValueError, _s.error):
+        return bad
 
 
 def decode_wav_samples(payload: bytes) -> dict[str, Any]:

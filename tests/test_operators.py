@@ -1756,6 +1756,184 @@ def _png_encode(arr, color: int, ftypes: list[int], plte: bytes | None = None,
     return b"\x89PNG\r\n\x1a\n" + body
 
 
+def _gif_lzw_pack(indices: bytes, min_code: int) -> bytes:
+    """Test-local GIF LZW ENCODER: greedy longest-match coding, then a
+    width-packing pass that REPLAYS the decoder's table bookkeeping to
+    pick each code's bit width — decoder-compatible by construction,
+    written from the spec's encode side so a round-trip checks both
+    directions."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    codes = [clear]
+    w = b""
+    for ch in indices:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+        else:
+            codes.append(table[w])
+            if next_code < 4096:
+                table[wc] = next_code
+                next_code += 1
+            w = bytes([ch])
+    if w:
+        codes.append(table[w])
+    codes.append(end)
+    # width per code = decoder's view of the table when READING it
+    bits: list[int] = []
+    width, tlen, started = min_code + 1, clear + 2, False
+    for code in codes:
+        for b in range(width):
+            bits.append((code >> b) & 1)
+        if code == clear:
+            width, tlen, started = min_code + 1, clear + 2, False
+        elif code != end:
+            if started and tlen < 4096:
+                tlen += 1
+            started = True
+            if tlen == (1 << width) and width < 12:
+                width += 1
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        out.append(sum(bit << j for j, bit in enumerate(bits[i:i + 8])))
+    return bytes(out)
+
+
+def _gif_encode(indices: bytes, w: int, h: int, palette: bytes,
+                min_code: int = 2, interlace: bool = False,
+                transparent: int | None = None, frames: int = 1) -> bytes:
+    """Test-local GIF89a writer around :func:`_gif_lzw_pack`."""
+    import struct
+
+    n_colors = len(palette) // 3
+    size_bits = max(0, (n_colors - 1).bit_length() - 1)
+    pal = palette + b"\x00" * 3 * ((2 << size_bits) - n_colors)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_bits, 0, 0) + pal
+    for _ in range(frames):
+        if transparent is not None:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+        idx = indices
+        if interlace:
+            order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                     + list(range(2, h, 4)) + list(range(1, h, 2)))
+            idx = b"".join(indices[r * w:(r + 1) * w] for r in order)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                           0x40 if interlace else 0)
+        out += bytes([min_code])
+        data = _gif_lzw_pack(idx, min_code)
+        for i in range(0, len(data), 255):
+            blk = data[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+class TestGifPixelDecode:
+    """decode_gif_pixels: hand-computed LZW bitstream fixture (checked
+    against spec arithmetic done by hand, independent of the test
+    encoder), round-trips over random images, interlace, transparency,
+    multi-frame counting, and loud failure."""
+
+    def _dec(self, gif: bytes):
+        from ssis_to_pyspark_agent_spark.operators.multimodal import (
+            decode_gif_pixels,
+        )
+        return decode_gif_pixels(gif)
+
+    def test_hand_computed_lzw_fixture(self):
+        """2x2 two-color image, indices [0,1,1,0], min_code=2. Hand
+        derivation: codes [clear=4, 0, 1, 1, 0, end=5]; decoder table
+        hits 8 entries after the THIRD data code, so the last two codes
+        read at width 4; LSB-first packing gives 0x44 0x02 0x05."""
+        gif = (b"GIF89a"
+               + b"\x02\x00\x02\x00\x80\x00\x00"   # screen: 2x2, GCT(2)
+               + b"\xff\x00\x00" + b"\x00\xff\x00"  # red, green
+               + b"\x2c\x00\x00\x00\x00\x02\x00\x02\x00\x00"
+               + b"\x02" + b"\x03\x44\x02\x05" + b"\x00"
+               + b"\x3b")
+        d = self._dec(gif)
+        assert d["ok"] and (d["width"], d["height"], d["channels"]) == (2, 2, 3)
+        assert d["n_frames"] == 1
+        assert d["pixels"] == (b"\xff\x00\x00" b"\x00\xff\x00"
+                               b"\x00\xff\x00" b"\xff\x00\x00")
+
+    def test_roundtrip_random_and_interlace(self):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        pal = bytes(rng.randint(0, 256, 4 * 3, dtype=np.uint8))
+        idx = bytes(rng.randint(0, 4, 13 * 7, dtype=np.uint8))
+        expect = b"".join(pal[3 * i:3 * i + 3] for i in idx)
+        d = self._dec(_gif_encode(idx, 13, 7, pal))
+        assert d["ok"] and (d["width"], d["height"]) == (13, 7)
+        assert d["pixels"] == expect
+        d2 = self._dec(_gif_encode(idx, 13, 7, pal, interlace=True))
+        assert d2["ok"] and d2["pixels"] == expect
+        # a long image forces the LZW table through width growth
+        big = bytes(rng.randint(0, 4, 64 * 64, dtype=np.uint8))
+        d3 = self._dec(_gif_encode(big, 64, 64, pal))
+        assert d3["ok"]
+        assert d3["pixels"] == b"".join(pal[3 * i:3 * i + 3] for i in big)
+
+    def test_transparency_and_frames(self):
+        pal = bytes([255, 0, 0, 0, 255, 0])
+        idx = bytes([0, 1, 1, 0])
+        d = self._dec(_gif_encode(idx, 2, 2, pal, transparent=1))
+        assert d["ok"] and d["channels"] == 4
+        px = d["pixels"]
+        assert px[0:4] == bytes([255, 0, 0, 255])  # idx 0 opaque
+        assert px[4:8] == bytes([0, 255, 0, 0])    # idx 1 transparent
+        d2 = self._dec(_gif_encode(idx, 2, 2, pal, frames=3))
+        assert d2["ok"] and d2["n_frames"] == 3
+        assert d2["pixels"] == self._dec(_gif_encode(idx, 2, 2, pal))["pixels"]
+
+    def test_fail_loudly(self):
+        pal = bytes([255, 0, 0, 0, 255, 0])
+        whole = _gif_encode(bytes([0, 1, 1, 0]), 2, 2, pal)
+        assert self._dec(whole[:-4])["ok"] is False  # truncated
+        assert self._dec(b"GIF89a junk")["ok"] is False
+        assert self._dec(b"")["ok"] is False
+        # LZW stream decoding to fewer indices than the claimed rect
+        assert self._dec(_gif_encode_rect_mismatch(pal))["ok"] is False
+
+    def test_spark_decoder_gif_mode(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        pal = bytes(rng.randint(0, 256, 4 * 3, dtype=np.uint8))
+        idx = bytes(rng.randint(0, 4, 6 * 4, dtype=np.uint8))
+        gif = _gif_encode(idx, 6, 4, pal, frames=2)
+        df = spark.createDataFrame(
+            [(1, bytearray(gif)), (2, bytearray(b"junk"))],
+            "id int, payload binary",
+        )
+        got = {r.id: r for r in
+               run("media.decode", spark, [df], binary_col="payload",
+                   decoder="gif").collect()}
+        assert got[1].decode_ok and got[1].decoded_n_frames == 2
+        assert (got[1].decoded_width, got[1].decoded_height,
+                got[1].decoded_channels) == (6, 4, 3)
+        assert bytes(got[1].pixels) == b"".join(
+            pal[3 * i:3 * i + 3] for i in idx)
+        assert got[2].decode_ok is False and got[2].pixels is None
+
+
+def _gif_encode_rect_mismatch(pal: bytes) -> bytes:
+    """A GIF whose image descriptor claims 2x2 but whose LZW stream
+    decodes to only 2 indices — the decoder must refuse."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x80, 0, 0) + pal
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+    data = _gif_lzw_pack(bytes([0, 1]), 2)
+    out += bytes([2, len(data)]) + data + b"\x00" + b"\x3b"
+    return bytes(out)
+
+
 class TestPngPixelDecode:
     """decode_png_pixels is a REAL pixel decoder (zlib + numpy unfilter) —
     round-trip against a test-local spec encoder, hand-computed filter
