@@ -457,6 +457,15 @@ def _gif_deinterlace(idx: bytes, w: int, h: int) -> bytes:
     return b"".join(rows)
 
 
+def decode_gif_frames(payload: bytes) -> list[dict[str, Any]]:
+    """All frames of a GIF as independent rects (no cross-frame disposal
+    composition — each dict is that image descriptor's own pixels):
+    ``[{frame_idx, left, top, width, height, channels, pixels}, ...]``.
+    Empty list on any inconsistency. Shares the block walk and LZW core
+    with :func:`decode_gif_pixels`."""
+    return _decode_gif(payload, all_frames=True)["frames"] or []
+
+
 def decode_gif_pixels(payload: bytes) -> dict[str, Any]:
     """REAL GIF pixel decode — the spec's variable-width LZW
     (:func:`_lzw_decode`) plus palette expansion, pure stdlib+numpy.
@@ -468,15 +477,35 @@ def decode_gif_pixels(payload: bytes) -> dict[str, Any]:
     describe), not the logical screen. Anything inconsistent —
     truncated sub-blocks, LZW stream not yielding exactly w*h indices,
     palette overrun — returns ``ok=False``, never guessed pixels.
-    (Frame COMPOSITION across disposal methods is out of scope: frames
-    after the first are counted, not composed.)"""
-    import struct as _s
+    (Frame COMPOSITION across disposal methods is out of scope; use
+    :func:`decode_gif_frames` for every frame's own rect.)"""
+    d = _decode_gif(payload, all_frames=False)
+    d.pop("frames", None)
+    return d
 
+
+def _expand_gif_palette(idx: bytes, pal: bytes, transparent):
+    """(channels, pixel bytes) for an index stream through a GIF color
+    table, or None on palette overrun."""
     import numpy as np
+
+    pal_arr = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+    ia = np.frombuffer(idx, np.uint8)
+    if int(ia.max(initial=0)) >= len(pal_arr):
+        return None
+    rgb = pal_arr[ia]
+    if transparent is not None:
+        alpha = np.where(ia == transparent, 0, 255).astype(np.uint8)
+        return 4, np.concatenate([rgb, alpha[:, None]], axis=1).tobytes()
+    return 3, rgb.tobytes()
+
+
+def _decode_gif(payload: bytes, all_frames: bool) -> dict[str, Any]:
+    import struct as _s
 
     bad = {"format": None, "width": None, "height": None,
            "channels": None, "n_frames": None, "pixels": None,
-           "ok": False}
+           "frames": None, "ok": False}
     p = payload or b""
     if p[:6] not in (b"GIF87a", b"GIF89a"):
         return bad
@@ -492,6 +521,7 @@ def decode_gif_pixels(payload: bytes) -> dict[str, Any]:
             i += 3 * n
         frames = 0
         first = None
+        frames_out: list[dict[str, Any]] = []
         transparent = None
         while i < len(p):
             b = p[i]
@@ -529,7 +559,7 @@ def decode_gif_pixels(payload: bytes) -> dict[str, Any]:
                     i += 1 + sz
                 i += 1
                 frames += 1
-                if first is None:
+                if first is None or all_frames:
                     if pal is None or fw == 0 or fh == 0 or fw * fh > 1 << 26:
                         return bad
                     idx = _lzw_decode(bytes(data), min_code, fw * fh)
@@ -537,27 +567,28 @@ def decode_gif_pixels(payload: bytes) -> dict[str, Any]:
                         return bad
                     if f2 & 0x40:
                         idx = _gif_deinterlace(idx, fw, fh)
-                    first = (fw, fh, idx, pal, transparent)
+                    expanded = _expand_gif_palette(idx, pal, transparent)
+                    if expanded is None:
+                        return bad
+                    ch, px = expanded
+                    if first is None:
+                        first = (fw, fh, ch, px)
+                    if all_frames:
+                        frames_out.append({
+                            "frame_idx": frames - 1, "left": int(left),
+                            "top": int(top), "width": int(fw),
+                            "height": int(fh), "channels": ch,
+                            "pixels": px,
+                        })
                 transparent = None
             else:
                 return bad  # unknown block type — corrupt
         if first is None:
             return bad
-        fw, fh, idx, pal, tr = first
-        pal_arr = np.frombuffer(pal, np.uint8).reshape(-1, 3)
-        ia = np.frombuffer(idx, np.uint8)
-        if int(ia.max(initial=0)) >= len(pal_arr):
-            return bad
-        rgb = pal_arr[ia]
-        if tr is not None:
-            alpha = np.where(ia == tr, 0, 255).astype(np.uint8)
-            out = np.concatenate([rgb, alpha[:, None]], axis=1)
-            ch = 4
-        else:
-            out, ch = rgb, 3
+        fw, fh, ch, px = first
         return {"format": "gif", "width": int(fw), "height": int(fh),
-                "channels": ch, "n_frames": frames,
-                "pixels": out.tobytes(), "ok": True}
+                "channels": ch, "n_frames": frames, "pixels": px,
+                "frames": frames_out, "ok": True}
     except (IndexError, ValueError, _s.error):
         return bad
 
@@ -720,9 +751,56 @@ def features(spark: SparkSession, inputs, config, context) -> DataFrame:
 def frame_sample(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Frame sampling plumbing: explode each media row into `n` frame rows
     (frame_idx, frame payload stub). A real implementation replaces the
-    slicer with an ffmpeg keyframe extractor inside the same mapInPandas."""
+    slicer with an ffmpeg keyframe extractor inside the same mapInPandas.
+
+    ``mode='gif'`` IS that real implementation for animated GIFs: every
+    image descriptor decodes through the LZW core
+    (:func:`decode_gif_frames`) and explodes into one row per frame with
+    its rect (frame_left/top/width/height/channels) and raw RGB(A) pixel
+    bytes — each frame's own rect, no disposal composition. Undecodable
+    payloads yield zero frame rows (gate on a decode_ok leg upstream if
+    they must be surfaced). ``n`` caps frames per doc (evenly strided,
+    first frame always included); omit for all frames."""
     df: DataFrame = inputs[0]
     bin_col = config["binary_col"]
+    if config.get("mode") == "gif":
+        n_cap = config.get("n")
+        out_schema = ", ".join(
+            [f"{f.name} {f.dataType.simpleString()}"
+             for f in df.schema.fields]
+            + ["frame_idx int", "frame_left int", "frame_top int",
+               "frame_width int", "frame_height int",
+               "frame_channels int", "frame binary"]
+        )
+
+        def gif_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for _, r in pdf.iterrows():
+                    b = r[bin_col]
+                    frames = decode_gif_frames(
+                        bytes(b) if b is not None else b"")
+                    if n_cap and len(frames) > n_cap:
+                        # even stride, first frame always kept
+                        step = len(frames) / n_cap
+                        frames = [frames[int(j * step)]
+                                  for j in range(n_cap)]
+                    for fr in frames:
+                        rows.append({
+                            **r, "frame_idx": fr["frame_idx"],
+                            "frame_left": fr["left"],
+                            "frame_top": fr["top"],
+                            "frame_width": fr["width"],
+                            "frame_height": fr["height"],
+                            "frame_channels": fr["channels"],
+                            "frame": fr["pixels"],
+                        })
+                cols = list(pdf.columns) + [
+                    "frame_idx", "frame_left", "frame_top", "frame_width",
+                    "frame_height", "frame_channels", "frame"]
+                yield pd.DataFrame(rows, columns=cols)
+
+        return df.mapInPandas(gif_batches, schema=out_schema)
     n = config.get("n", 4)
     frames = F.transform(
         F.sequence(F.lit(0), F.lit(n - 1)),

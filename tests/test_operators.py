@@ -1899,6 +1899,32 @@ class TestGifPixelDecode:
         # LZW stream decoding to fewer indices than the claimed rect
         assert self._dec(_gif_encode_rect_mismatch(pal))["ok"] is False
 
+    def test_frame_sample_gif_real_frames(self, spark):
+        """media.frame_sample mode='gif': one row per REAL decoded frame
+        (rect + RGB bytes), n caps with first frame kept, junk yields
+        zero rows."""
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        pal = bytes(rng.randint(0, 256, 4 * 3, dtype=np.uint8))
+        idx = bytes(rng.randint(0, 4, 3 * 2, dtype=np.uint8))
+        gif = _gif_encode(idx, 3, 2, pal, frames=5)
+        df = spark.createDataFrame(
+            [(1, bytearray(gif)), (2, bytearray(b"junk"))],
+            "id int, payload binary",
+        )
+        out = run("media.frame_sample", spark, [df], binary_col="payload",
+                  mode="gif").collect()
+        assert sorted(r.frame_idx for r in out) == [0, 1, 2, 3, 4]
+        assert all(r.id == 1 for r in out)  # junk produced no rows
+        expect = b"".join(pal[3 * i:3 * i + 3] for i in idx)
+        for r in out:
+            assert (r.frame_width, r.frame_height, r.frame_channels) == (3, 2, 3)
+            assert bytes(r.frame) == expect
+        capped = run("media.frame_sample", spark, [df],
+                     binary_col="payload", mode="gif", n=2).collect()
+        assert sorted(r.frame_idx for r in capped) == [0, 2]
+
     def test_spark_decoder_gif_mode(self, spark):
         import numpy as np
 
