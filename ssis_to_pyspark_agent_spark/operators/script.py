@@ -153,14 +153,30 @@ def xml_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     return df
 
 
+def _jdbc_missing_driver(exc: Exception) -> bool:
+    """True only when the failure is a MISSING DRIVER (jar not on the
+    classpath) — real SQL/connectivity errors must surface as
+    themselves now that the JDBC path executes in-image (Derby)."""
+    msg = str(exc)
+    return ("ClassNotFoundException" in msg
+            or "No suitable driver" in msg
+            or "JDBC_NO_SUITABLE_DRIVER" in msg
+            or "CANNOT_FIND_JDBC_DRIVER" in msg)
+
+
 @operator("source.jdbc")
 def jdbc_source(spark: SparkSession, inputs, config, context) -> DataFrame:
     """JDBC source family: ADO.NET/ODBC/Oracle/MySQL/PostgreSQL scans
     (reference models.py:25-28, conn URLs control_flow_mapper.py:183-200;
     codegen enhanced_json_mapper.py:1655-1713). Option assembly /
     connection-string parsing / partitioned-read ranges live in
-    sources/jdbc.py (pure, unit-tested against mocks — the driver jars
-    are not in this image). Partitioned parallel reads via either
+    sources/jdbc.py. EXECUTED in-image against Apache Derby embedded
+    (the RDBMS+JDBC driver pyspark bundles for its metastore): write
+    modes and plain/partitioned/predicate/query reads run for real in
+    tests AND in q46's oracle-load-bearing round-trip leg; external
+    RDBMS flavors (sqlserver/postgres/mysql/oracle) remain jar-gated
+    with the contract pinned against mocks. Partitioned parallel reads
+    via either
     (partition_column, num_partitions, lower/upper bound) or an explicit
     `predicates` list (one partition per predicate — for skewed or
     non-numeric keys); single-stream without them, which caps ingest at
@@ -176,25 +192,30 @@ def jdbc_source(spark: SparkSession, inputs, config, context) -> DataFrame:
                 url=opts["url"], table=opts["dbtable"],
                 predicates=list(preds), properties=props,
             )
-        except Exception as exc:  # pragma: no cover — no driver in image
-            raise NotImplementedError(
-                "source.jdbc requires the RDBMS driver jar on the cluster"
-            ) from exc
+        except Exception as exc:
+            if _jdbc_missing_driver(exc):  # pragma: no cover — jar-gated
+                raise NotImplementedError(
+                    "source.jdbc requires the RDBMS driver jar on the "
+                    "cluster") from exc
+            raise
     r = spark.read.format("jdbc").options(**opts)
     try:
         return r.load()
-    except Exception as exc:  # pragma: no cover — no driver in image
-        raise NotImplementedError(
-            "source.jdbc requires the RDBMS driver jar on the cluster"
-        ) from exc
+    except Exception as exc:
+        if _jdbc_missing_driver(exc):  # pragma: no cover — jar-gated
+            raise NotImplementedError(
+                "source.jdbc requires the RDBMS driver jar on the cluster"
+            ) from exc
+        raise
 
 
 @operator("sink.jdbc")
 def jdbc_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     """JDBC destination (reference enhanced_json_mapper.py:2103-2138).
     SSIS access modes (append/fastLoad/truncate/...) map to Spark
-    SaveModes in sources/jdbc.py:jdbc_write_plan (unit-tested against a
-    mocked writer)."""
+    SaveModes in sources/jdbc.py:jdbc_write_plan. EXECUTED in-image
+    against Derby embedded (every mode, tests + q46's leg); external
+    RDBMS jars remain env-gated."""
     from ssis_to_pyspark_agent_spark.sources.jdbc import jdbc_write_plan
 
     df: DataFrame = inputs[0]
@@ -202,8 +223,10 @@ def jdbc_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     w = df.write.format("jdbc").mode(mode).options(**opts)
     try:
         w.save()
-    except Exception as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "sink.jdbc requires the RDBMS driver jar on the cluster"
-        ) from exc
+    except Exception as exc:
+        if _jdbc_missing_driver(exc):  # pragma: no cover — jar-gated
+            raise NotImplementedError(
+                "sink.jdbc requires the RDBMS driver jar on the cluster"
+            ) from exc
+        raise
     return df

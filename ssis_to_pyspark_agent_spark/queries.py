@@ -2835,10 +2835,18 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge (sorted union) — with each input arriving through a file
     format round-trip: branch A via the Flat-File/CSV destination+source
     (declared DDL schema, no inferSchema double-scan), branch B via the
-    Spark-4-native XML destination+source, branch C via the native ORC
-    columnar writer+reader. All three file paths are oracle-load-bearing:
-    a mis-parsed row or type would hash-mismatch."""
+    Spark-4-native XML destination+source, branch C via a REAL JDBC
+    round-trip (sink.jdbc into Apache Derby embedded — the RDBMS+driver
+    pyspark bundles for its metastore — then a bounds-PARTITIONED
+    source.jdbc read back) feeding the native ORC columnar
+    writer+reader. All four transport paths are oracle-load-bearing: a
+    mis-parsed row, type, or a partition-range bug dropping/duplicating
+    rows would hash-mismatch. The JDBC bounds are deliberately loose
+    (Spark's range partitioning clamps, never filters — rows outside
+    the bounds land in the edge partitions), so the leg is exact at any
+    sf."""
     scratch = _scratch("q46_files")
+    derby_url = f"jdbc:derby:{scratch}/derbydb;create=true"
     p = (
         _p("q46", sf_dir, "orders")
         .step("a0", "filter", "orders", predicate='[o_orderstatus] == "O"')
@@ -2858,7 +2866,14 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         .step("c0", "filter", "orders", predicate='[o_orderstatus] == "P"')
         .step("c", "select", "c0", columns={"k": "o_orderkey"})
         .step("cl", "derived_column", "c", columns={"src": '"C"'})
-        .step("orc_out", "sink.orc", "cl", path=f"{scratch}/c_orc",
+        .step("jdbc_out", "sink.jdbc", "cl", url=derby_url,
+              table="q46_c", mode="overwrite")
+        # the input edge on a source step is the ordering dependency
+        # (write-before-read), not a data edge — NOTES invariant 12
+        .step("jdbc_rt", "source.jdbc", "jdbc_out", url=derby_url,
+              table="q46_c", partition_column="k", lower_bound=0,
+              upper_bound=6_000_000, num_partitions=4)
+        .step("orc_out", "sink.orc", "jdbc_rt", path=f"{scratch}/c_orc",
               mode="overwrite")
         .step("cl_rt", "source.orc", "orc_out", path=f"{scratch}/c_orc")
         .step("m", "merge_sorted", ["al_rt", "bl_rt", "cl_rt"], keys=["k"])

@@ -1,9 +1,11 @@
 """JDBC contract: option assembly, URL building, partition predicates.
 
-The RDBMS driver jars are not in this image, so ``source.jdbc``/
-``sink.jdbc`` cannot execute here — but everything up to the actual
-``.load()``/``.save()`` is pure logic and is pinned by unit tests against
-mocked readers/writers (tests/test_jdbc_contract.py). Mirrors what the
+EXTERNAL RDBMS driver jars are not in this image, but pyspark bundles
+Apache Derby (a real embedded RDBMS with a JDBC 4 driver) for its Hive
+metastore — so ``source.jdbc``/``sink.jdbc`` EXECUTE here for real
+(tests/test_jdbc_contract.py::TestJdbcExecutedDerby and q46's
+round-trip leg); the jar-gated flavors' option assembly is pinned by
+unit tests against mocked readers/writers. Mirrors what the
 reference's codegen emits for ADO.NET/OLE DB connection managers
 (reference mapping/control_flow_mapper.py:178-205 driver-class dispatch;
 mapping/enhanced_json_mapper.py:1676-1713 read, 2103-2138 write), but
