@@ -5,16 +5,20 @@ struct. The Spark-side plumbing (schema, partition sizing, Arrow-batched
 UDF signatures) is real and tested. Metadata extraction is REAL for
 container headers — PNG IHDR, JPEG SOFn, GIF logical screen descriptor,
 WAV fmt/data chunks — via stdlib ``struct`` (no codec deps needed for
-dimensions/duration). PNG and GIF pixel decode (``decoder='png'`` /
-``'gif'``) are REAL too: stdlib ``zlib`` inflate + the PNG unfilter
-pass in numpy (:func:`decode_png_pixels`), and the GIF spec's
+dimensions/duration). Pixel/sample decode is REAL for every image
+format and for PCM audio — no codec library needed:
+``decoder='png'`` = stdlib zlib inflate + the PNG unfilter pass in
+numpy (:func:`decode_png_pixels`); ``decoder='gif'`` = the spec's
 variable-width LZW + palette expansion (:func:`decode_gif_pixels`);
-WAV PCM sample decode likewise (``media.audio_stats`` /
-:func:`decode_wav_samples` — for PCM the container parse IS the
-codec). Only entropy-coded-format decode — JPEG's DCT/Huffman,
-mp3/opus — (``decoder='stub'``) stays a clearly marked deterministic
-fake, because those codec libs (libjpeg/ffmpeg) are not in this
-container; swap `_decode_image_stub` on a real cluster.
+``decoder='jpeg'`` = baseline marker walk + canonical Huffman entropy
+decode + dequant + exact float64 IDCT + YCbCr->RGB
+(:func:`decode_jpeg_pixels`); WAV PCM via ``media.audio_stats`` /
+:func:`decode_wav_samples` (for PCM the container parse IS the
+codec). Only compressed AUDIO (mp3/opus — needs ffmpeg-class libs)
+has no real path; ``decoder='stub'`` remains as the md5 deterministic
+fake whose output an engine-neutral SQL oracle can re-derive (q67
+runs it over synthetic payloads so the Arrow chain stays
+hash-checked).
 
 Scale notes: binary payloads blow past `spark.sql.files.maxPartitionBytes`
 assumptions — repartition by count, not bytes (`rows_per_partition`), so an
@@ -68,15 +72,12 @@ def attach_meta(spark: SparkSession, inputs, config, context) -> DataFrame:
 
 
 def _decode_image_stub(payload: bytes) -> dict[str, Any]:
-    """JPEG/audio SAMPLE-DECODE HOOK (stub): replace with libjpeg/ffmpeg
-    on a real cluster. (PNG pixel decode is REAL — decoder='png' /
-    :func:`decode_png_pixels` — so the stub now stands in only for
-    entropy-coded formats whose codecs aren't in this container.)
-
-    Deterministic fake: 'decodes' width/height from a hash of the payload
-    so tests exercise the full Arrow round-trip with stable values that an
-    engine-neutral SQL oracle can re-derive (q67).
-    """
+    """ORACLE-CHECKABLE deterministic fake: 'decodes' width/height from
+    an md5 of the payload, so q67 can run it over synthetic utf-8
+    payloads and hash-check the full Arrow decode chain against an
+    engine-neutral SQL oracle. Real formats use the real decoders
+    (decoder='png'/'gif'/'jpeg', media.audio_stats); only compressed
+    audio (mp3/opus) still needs an external lib."""
     import hashlib
 
     h = hashlib.md5(payload or b"").digest()
@@ -321,10 +322,11 @@ def decode(spark: SparkSession, inputs, config, context) -> DataFrame:
     df: DataFrame = inputs[0]
     bin_col = config["binary_col"]
     mode = config.get("decoder", "headers")
-    pixel_mode = mode in ("png", "gif")
+    pixel_mode = mode in ("png", "gif", "jpeg")
     decode_fn = (
         decode_png_pixels if mode == "png"
         else decode_gif_pixels if mode == "gif"
+        else decode_jpeg_pixels if mode == "jpeg"
         else _decode_image_stub if mode == "stub"
         else parse_media_header
     )
@@ -589,6 +591,303 @@ def _decode_gif(payload: bytes, all_frames: bool) -> dict[str, Any]:
         return {"format": "gif", "width": int(fw), "height": int(fh),
                 "channels": ch, "n_frames": frames, "pixels": px,
                 "frames": frames_out, "ok": True}
+    except (IndexError, ValueError, _s.error):
+        return bad
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over JPEG entropy-coded data: un-stuffs
+    0xFF00, stops at (and reports) RSTn / other markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+        self.marker = None  # set when a non-stuffing marker is hit
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.d):
+                return
+            b = self.d[self.pos]
+            if b == 0xFF:
+                nxt = (self.d[self.pos + 1]
+                       if self.pos + 1 < len(self.d) else None)
+                if nxt == 0x00:  # byte-stuffed literal 0xFF
+                    self.pos += 2
+                    self.bits = (self.bits << 8) | 0xFF
+                    self.nbits += 8
+                else:  # a real marker (or truncation) ends the segment
+                    self.marker = nxt if nxt is not None else 0xD9
+                    return
+            else:
+                self.pos += 1
+                self.bits = (self.bits << 8) | b
+                self.nbits += 8
+
+    def read(self, n: int):
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            before = self.nbits
+            self._fill()
+            if self.nbits == before:
+                return None  # truncated
+        v = (self.bits >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def align_restart(self) -> bool:
+        """Discard pad bits and consume the expected RSTn marker. The
+        reader may not have LOOKED at the marker yet (it stops filling
+        once it has enough bits), so probe the byte stream directly
+        when no marker has been latched."""
+        self.bits = 0
+        self.nbits = 0
+        if self.marker is None and self.pos + 1 < len(self.d) \
+                and self.d[self.pos] == 0xFF \
+                and 0xD0 <= self.d[self.pos + 1] <= 0xD7:
+            self.marker = self.d[self.pos + 1]
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2  # we stopped AT the 0xFF; skip FF + RSTn
+            self.marker = None
+            return True
+        return False
+
+
+def _huff_decode(rd: _JpegBitReader, table: dict):
+    code, length = 0, 0
+    while length < 16:
+        bit = rd.read(1)
+        if bit is None:
+            return None
+        code = (code << 1) | bit
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_matrix():
+    import numpy as np
+
+    u = np.arange(8)
+    a = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    a[0, :] /= np.sqrt(2)
+    return a  # A[u, x] scaled; f = A.T @ F @ A
+
+
+def decode_jpeg_pixels(payload: bytes) -> dict[str, Any]:
+    """REAL baseline JPEG decode — pure stdlib+numpy: marker walk
+    (DQT/DHT/SOF0/DRI/SOS), canonical Huffman entropy decode with
+    0xFF00 un-stuffing and restart-marker handling, DC prediction,
+    zigzag + dequantization, exact float64 8x8 IDCT (the spec's
+    separable cosine basis as one matrix product per block), replicated
+    chroma upsampling for subsampled scans, and BT.601 YCbCr->RGB.
+    Supports baseline sequential (SOF0), 8-bit, 1 component (gray) or
+    3 components with sampling factors in {1,2} (4:4:4 / 4:2:2 /
+    4:2:0). Progressive (SOF2), arithmetic coding, 12-bit, and
+    hierarchical modes return ``ok=False`` — fail loudly, never a
+    guessed pixel. Output pixels are ``clamp(round(idct + 128))`` per
+    the spec's level shift, so the entropy-decode -> IDCT path is
+    EXACTLY reproducible by an independent direct-formula IDCT over
+    the same integer coefficients (how the tests pin it).
+
+    This is the correctness-complete slow path (pure-Python Huffman,
+    ~ms per small image inside an Arrow batch); swap a codec lib into
+    the same mapInPandas for production throughput."""
+    import struct as _s
+
+    import numpy as np
+
+    bad = {"format": None, "width": None, "height": None,
+           "channels": None, "pixels": None, "ok": False}
+    p = payload or b""
+    if p[:2] != b"\xff\xd8":
+        return bad
+    try:
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict] = {}  # (class, id) -> code table
+        comps = None  # list of (cid, h, v, tq)
+        scan_sel = None  # per-scan (cid -> (dc_table, ac_table))
+        w = h = 0
+        restart_interval = 0
+        i = 2
+        scan_start = None
+        while i + 4 <= len(p):
+            if p[i] != 0xFF:
+                return bad
+            marker = p[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:
+                break
+            (seglen,) = _s.unpack(">H", p[i + 2:i + 4])
+            seg = p[i + 4:i + 2 + seglen]
+            if len(seg) != seglen - 2:
+                return bad
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    j += 1
+                    if pq != 0:
+                        return bad  # 16-bit tables: not baseline-8
+                    qt[tq] = np.frombuffer(
+                        seg[j:j + 64], np.uint8).astype(np.int32)
+                    j += 64
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    counts = list(seg[j + 1:j + 17])
+                    j += 17
+                    table: dict[tuple[int, int], int] = {}
+                    code = 0
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            table[(length, code)] = seg[j]
+                            j += 1
+                            code += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+                prec, h, w, nc = seg[0], *_s.unpack(">HH", seg[1:5]), seg[5]
+                if prec != 8 or nc not in (1, 3) or w == 0 or h == 0 \
+                        or w * h > 1 << 26:
+                    return bad
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                    hs, vs = hv >> 4, hv & 15
+                    if hs not in (1, 2) or vs not in (1, 2):
+                        return bad
+                    comps.append((cid, hs, vs, tq))
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return bad  # progressive / arithmetic / hierarchical
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = _s.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                scan_sel = {}
+                for c in range(ns):
+                    cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan_sel[cid] = (tt >> 4, tt & 15)
+                scan_start = i + 2 + seglen
+                break
+            i += 2 + seglen
+        if comps is None or scan_sel is None or scan_start is None:
+            return bad
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        # per-component block grids (over the padded MCU canvas)
+        grids = []
+        for cid, hs, vs, tq in comps:
+            if tq not in qt or cid not in scan_sel:
+                return bad
+            td, ta = scan_sel[cid]
+            if (0, td) not in huff or (1, ta) not in huff:
+                return bad
+            grids.append(np.zeros(
+                (mcuy * vs, mcux * hs, 64), dtype=np.int32))
+        rd = _JpegBitReader(p, scan_start)
+        pred = [0] * len(comps)
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count \
+                        and mcu_count % restart_interval == 0:
+                    if not rd.align_restart():
+                        return bad
+                    pred = [0] * len(comps)
+                for ci, (cid, hs, vs, tq) in enumerate(comps):
+                    td, ta = scan_sel[cid]
+                    dct, act = huff[(0, td)], huff[(1, ta)]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = grids[ci][my * vs + by, mx * hs + bx]
+                            s = _huff_decode(rd, dct)
+                            if s is None or s > 11:
+                                return bad
+                            diff = 0
+                            if s:
+                                v = rd.read(s)
+                                if v is None:
+                                    return bad
+                                diff = _jpeg_extend(v, s)
+                            pred[ci] += diff
+                            blk[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(rd, act)
+                                if rs is None:
+                                    return bad
+                                r, sz = rs >> 4, rs & 15
+                                if sz == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return bad
+                                v = rd.read(sz)
+                                if v is None:
+                                    return bad
+                                blk[k] = _jpeg_extend(v, sz)
+                                k += 1
+                mcu_count += 1
+        # dequantize + IDCT per component, crop, upsample
+        A = _jpeg_idct_matrix()
+        planes = []
+        for ci, (cid, hs, vs, tq) in enumerate(comps):
+            g = grids[ci]
+            by, bx = g.shape[0], g.shape[1]
+            coeff = np.zeros((by, bx, 64), np.float64)
+            coeff[:, :, _JPEG_ZIGZAG] = g * qt[tq][None, None, :]
+            F = coeff.reshape(by, bx, 8, 8)
+            # per block: f = A.T @ F @ A  (A[u, x] = c(u)/2 cos((2x+1)uπ/16))
+            f = np.einsum("ux,abuv,vw->abxw", A, F, A)
+            plane = np.clip(np.round(f + 128), 0, 255).astype(np.uint8)
+            full = plane.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+            cw = -(-w * hs // hmax)
+            ch = -(-h * vs // vmax)
+            full = full[:ch, :cw]
+            if hs != hmax or vs != vmax:
+                full = np.repeat(np.repeat(full, vmax // vs, axis=0),
+                                 hmax // hs, axis=1)
+            planes.append(full[:h, :w].astype(np.float64))
+        if len(planes) == 1:
+            return {"format": "jpeg", "width": int(w), "height": int(h),
+                    "channels": 1,
+                    "pixels": planes[0].astype(np.uint8).tobytes(),
+                    "ok": True}
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        gch = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, gch, b], axis=-1)
+        out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return {"format": "jpeg", "width": int(w), "height": int(h),
+                "channels": 3, "pixels": out.tobytes(), "ok": True}
     except (IndexError, ValueError, _s.error):
         return bad
 

@@ -1831,6 +1831,445 @@ def _gif_encode(indices: bytes, w: int, h: int, palette: bytes,
     return bytes(out)
 
 
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per spec
+
+
+def _jpeg_cat(v: int):
+    """(category, appended bits) for a DC diff / AC coefficient."""
+    s = abs(v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _jpeg_encode(img, sampling=(1, 1), quant=None, restart=0):
+    """Test-local BASELINE JPEG ENCODER (spec forward side): RGB->YCbCr,
+    chroma mean-downsample, edge-pad to the MCU canvas, float FDCT,
+    quantize, canonical per-image Huffman tables (every symbol at 8
+    bits), MCU-interleaved entropy coding with byte stuffing and
+    optional restart markers. Returns (jpeg_bytes, grids, Q, layout) so
+    tests can compute the EXPECTED decode independently from the
+    integer coefficients."""
+    import struct
+
+    import numpy as np
+
+    from ssis_to_pyspark_agent_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_idct_matrix,
+    )
+
+    A = _jpeg_idct_matrix()
+    Q = (np.ones(64, np.int32) if quant is None
+         else np.asarray(quant, np.int32))
+    h, w = img.shape[:2]
+    gray = img.ndim == 2
+    if gray:
+        comps = [(1, 1, 1)]
+        planes = [img.astype(np.float64)]
+    else:
+        rf = img[..., 0].astype(np.float64)
+        gf = img[..., 1].astype(np.float64)
+        bf = img[..., 2].astype(np.float64)
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = 128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf
+        cr = 128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf
+        hs, vs = sampling
+        comps = [(1, hs, vs), (2, 1, 1), (3, 1, 1)]
+        planes = [y]
+        for c in (cb, cr):
+            if (hs, vs) == (1, 1):
+                planes.append(c)
+            else:
+                ph = -(-h // vs) * vs
+                pw = -(-w // hs) * hs
+                cp = np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
+                planes.append(
+                    cp.reshape(ph // vs, vs, pw // hs, hs).mean((1, 3)))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    grids = []
+    for (cid, hs, vs), plane in zip(comps, planes):
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        ph, pw = plane.shape
+        plane = np.pad(np.round(plane),
+                       ((0, th - ph), (0, tw - pw)), mode="edge")
+        g = np.zeros((th // 8, tw // 8, 64), np.int32)
+        for by in range(th // 8):
+            for bx in range(tw // 8):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                F = A @ blk @ A.T
+                g[by, bx] = np.round(
+                    F.reshape(64)[_JPEG_ZIGZAG] / Q[None, :]).astype(
+                    np.int32)
+        grids.append(g)
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                yield [(ci, grids[ci][my * vs + by, mx * hs + bx])
+                       for ci, (cid, hs, vs) in enumerate(comps)
+                       for by in range(vs) for bx in range(hs)], (my, mx)
+
+    # pass 1: symbol histograms (one DC + one AC table for everything)
+    dc_syms, ac_syms = set(), set()
+    pred = [0] * len(comps)
+    nmcu = 0
+    for blocks, _ in mcu_blocks():
+        if restart and nmcu and nmcu % restart == 0:
+            pred = [0] * len(comps)
+        for ci, zz in blocks:
+            s, _ = _jpeg_cat(int(zz[0]) - pred[ci])
+            pred[ci] = int(zz[0])
+            dc_syms.add(s)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms.add(0xF0)
+                    run -= 16
+                sz, _ = _jpeg_cat(v)
+                ac_syms.add((run << 4) | sz)
+                run = 0
+            if run:
+                ac_syms.add(0x00)
+        nmcu += 1
+
+    def table(symbols):
+        vals = sorted(symbols)
+        codes = {sym: i for i, sym in enumerate(vals)}  # 8-bit canonical
+        bits = [0] * 16
+        bits[7] = len(vals)
+        return vals, codes, bits
+
+    dc_vals, dc_codes, dc_bits = table(dc_syms)
+    ac_vals, ac_codes, ac_bits = table(ac_syms)
+
+    bw = _JpegBitWriter()
+    pred = [0] * len(comps)
+    nmcu = 0
+    for blocks, _ in mcu_blocks():
+        if restart and nmcu and nmcu % restart == 0:
+            bw.flush()
+            bw.buf += bytes([0xFF, 0xD0 + (nmcu // restart - 1) % 8])
+            pred = [0] * len(comps)
+        for ci, zz in blocks:
+            s, extra = _jpeg_cat(int(zz[0]) - pred[ci])
+            pred[ci] = int(zz[0])
+            bw.put(dc_codes[s], 8)
+            if s:
+                bw.put(extra, s)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(ac_codes[0xF0], 8)
+                    run -= 16
+                sz, extra = _jpeg_cat(v)
+                bw.put(ac_codes[(run << 4) | sz], 8)
+                bw.put(extra, sz)
+                run = 0
+            if run:
+                bw.put(ac_codes[0x00], 8)
+        nmcu += 1
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(q) for q in Q)
+    nc = len(comps)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid, hs, vs in comps:
+        out += bytes([cid, (hs << 4) | vs, 0])
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)),
+                             (1, (ac_bits, ac_vals))):
+        out += b"\xff\xc4" + struct.pack(
+            ">H", 19 + len(vals)) + bytes([tc << 4]) + bytes(bits) + bytes(
+            vals)
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for cid, _, _ in comps:
+        out += bytes([cid, 0x00])
+    out += b"\x00\x3f\x00" + bytes(bw.buf) + b"\xff\xd9"
+    layout = (comps, hmax, vmax, mcux, mcuy)
+    return bytes(out), grids, Q, layout
+
+
+def _jpeg_expected(grids, Q, layout, w, h):
+    """INDEPENDENT reference decode from integer coefficients: direct
+    double-loop IDCT (textbook formula, not the decoder's einsum),
+    crop, replicated upsample, BT.601 conversion."""
+    import math
+
+    import numpy as np
+
+    from ssis_to_pyspark_agent_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+    )
+
+    comps, hmax, vmax, mcux, mcuy = layout
+    cos = [[math.cos((2 * x + 1) * u * math.pi / 16)
+            for u in range(8)] for x in range(8)]
+    c = [1 / math.sqrt(2)] + [1.0] * 7
+    planes = []
+    for ci, (cid, hs, vs) in enumerate(comps):
+        g = grids[ci]
+        by, bx = g.shape[0], g.shape[1]
+        full = np.zeros((by * 8, bx * 8), np.uint8)
+        for yb in range(by):
+            for xb in range(bx):
+                F = np.zeros((8, 8))
+                for k in range(64):
+                    F.flat[_JPEG_ZIGZAG[k]] = g[yb, xb, k] * Q[k]
+                for x in range(8):
+                    for y in range(8):
+                        acc = 0.0
+                        for u in range(8):
+                            for v in range(8):
+                                acc += (c[u] * c[v] * F[u, v]
+                                        * cos[x][u] * cos[y][v])
+                        px = round(acc / 4 + 128)
+                        full[yb * 8 + x, xb * 8 + y] = min(255, max(0, px))
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        full = full[:ch, :cw]
+        if hs != hmax or vs != vmax:
+            full = np.repeat(np.repeat(full, vmax // vs, axis=0),
+                             hmax // hs, axis=1)
+        planes.append(full[:h, :w].astype(np.float64))
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8).tobytes(), 1
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    gch = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, gch, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes(), 3
+
+
+class TestJpegPixelDecode:
+    """decode_jpeg_pixels: a hand-derived DC-only fixture (markers,
+    Huffman codes, bit packing and the flat-IDCT value all computed by
+    hand from the spec), exact-match round-trips against an INDEPENDENT
+    direct-formula IDCT over the encoder's integer coefficients
+    (gray / 4:4:4 / 4:2:0, odd sizes, restart markers, ZRL), and loud
+    failure on progressive/truncated/junk streams."""
+
+    def _dec(self, b: bytes):
+        from ssis_to_pyspark_agent_spark.operators.multimodal import (
+            decode_jpeg_pixels,
+        )
+        return decode_jpeg_pixels(b)
+
+    def test_hand_computed_dc_only(self):
+        """8x8 grayscale, Q=all-1s, single DC coeff 80, custom 8-bit
+        Huffman tables with one symbol each. Scan bits hand-packed:
+        dc-code(8x0) + 80 as 7 bits (1010000) + eob-code(8x0) + 1-pad
+        -> bytes 00 A0 01. IDCT of a lone F00=80 is flat 80/8 = 10;
+        +128 level shift -> every pixel exactly 138."""
+        import struct
+
+        dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+        sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) \
+            + bytes([1, 0x11, 0])
+        dht_dc = (b"\xff\xc4" + struct.pack(">H", 20) + b"\x00"
+                  + bytes([0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0])
+                  + bytes([7]))
+        dht_ac = (b"\xff\xc4" + struct.pack(">H", 20) + b"\x10"
+                  + bytes([0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0])
+                  + bytes([0x00]))
+        sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) \
+            + b"\x00\x3f\x00"
+        jpg = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+               + b"\x00\xa0\x01" + b"\xff\xd9")
+        d = self._dec(jpg)
+        assert d["ok"] and (d["width"], d["height"], d["channels"]) == (8, 8, 1)
+        assert d["pixels"] == bytes([138]) * 64
+
+    @pytest.mark.parametrize("shape,sampling,restart", [
+        ((24, 17), None, 0),        # gray, odd width
+        ((24, 17), None, 3),        # gray with restart markers
+        ((16, 32, 3), (1, 1), 0),   # color 4:4:4
+        ((20, 12, 3), (2, 2), 0),   # color 4:2:0, odd crop
+        ((12, 20, 3), (2, 1), 2),   # color 4:2:2-ish + restarts
+    ])
+    def test_exact_vs_independent_idct(self, shape, sampling, restart):
+        import numpy as np
+
+        rng = np.random.RandomState(sum(shape))
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        # a non-trivial quant table exercises dequantization
+        q = np.clip(np.arange(1, 65) // 8 + 1, 1, 12)
+        jpg, grids, Q, layout = _jpeg_encode(
+            img, sampling=sampling or (1, 1), quant=q, restart=restart)
+        h, w = shape[:2]
+        expect, ch = _jpeg_expected(grids, Q, layout, w, h)
+        d = self._dec(jpg)
+        assert d["ok"] and (d["width"], d["height"]) == (w, h)
+        assert d["channels"] == ch
+        assert d["pixels"] == expect
+
+    def test_zrl_long_zero_runs(self):
+        """A block whose only AC coefficient sits past two 16-zero runs
+        forces ZRL symbols through the encoder AND decoder."""
+        import numpy as np
+
+        from ssis_to_pyspark_agent_spark.operators.multimodal import (
+            _JPEG_ZIGZAG,
+        )
+
+        img = np.zeros((8, 8), np.uint8)
+        jpg, grids, Q, layout = _jpeg_encode(img)
+        # splice a coefficient at zigzag index 40 into the grid and
+        # re-encode through the public encoder path instead: craft via
+        # an image IS hard — so verify on the grid level that a
+        # hand-set sparse grid round-trips
+        grids[0][0, 0, 0] = -16
+        grids[0][0, 0, 40] = 3
+        jpg2 = _reencode_from_grids(grids, Q, layout, 8, 8)
+        expect, _ = _jpeg_expected(grids, Q, layout, 8, 8)
+        d = self._dec(jpg2)
+        assert d["ok"] and d["pixels"] == expect
+
+    def test_fail_loudly(self):
+        import numpy as np
+
+        img = np.zeros((8, 8), np.uint8)
+        jpg, *_ = _jpeg_encode(img)
+        assert self._dec(jpg[:-12])["ok"] is False     # truncated scan
+        assert self._dec(b"\xff\xd8junk")["ok"] is False
+        assert self._dec(b"")["ok"] is False
+        prog = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)  # progressive
+        assert self._dec(prog)["ok"] is False
+
+    def test_spark_decoder_jpeg_mode(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(2)
+        img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        jpg, grids, Q, layout = _jpeg_encode(img, sampling=(2, 2))
+        expect, _ = _jpeg_expected(grids, Q, layout, 16, 16)
+        df = spark.createDataFrame(
+            [(1, bytearray(jpg)), (2, bytearray(b"junk"))],
+            "id int, payload binary",
+        )
+        got = {r.id: r for r in
+               run("media.decode", spark, [df], binary_col="payload",
+                   decoder="jpeg").collect()}
+        assert got[1].decode_ok and got[1].decoded_channels == 3
+        assert bytes(got[1].pixels) == expect
+        assert got[2].decode_ok is False and got[2].pixels is None
+
+
+def _reencode_from_grids(grids, Q, layout, w, h):
+    """Entropy-encode pre-set coefficient grids (for sparse hand cases
+    like the ZRL test) — same marker layout as _jpeg_encode."""
+    import struct
+
+    comps, hmax, vmax, mcux, mcuy = layout
+    dc_syms, ac_syms = set(), set()
+
+    def blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, hs, vs) in enumerate(comps):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, grids[ci][my * vs + by, mx * hs + bx]
+
+    pred = [0] * len(comps)
+    for ci, zz in blocks():
+        s, _ = _jpeg_cat(int(zz[0]) - pred[ci])
+        pred[ci] = int(zz[0])
+        dc_syms.add(s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.add(0xF0)
+                run -= 16
+            sz, _ = _jpeg_cat(v)
+            ac_syms.add((run << 4) | sz)
+            run = 0
+        if run:
+            ac_syms.add(0x00)
+    dc_vals = sorted(dc_syms)
+    ac_vals = sorted(ac_syms)
+    dc_codes = {s: i for i, s in enumerate(dc_vals)}
+    ac_codes = {s: i for i, s in enumerate(ac_vals)}
+    bw = _JpegBitWriter()
+    pred = [0] * len(comps)
+    for ci, zz in blocks():
+        s, extra = _jpeg_cat(int(zz[0]) - pred[ci])
+        pred[ci] = int(zz[0])
+        bw.put(dc_codes[s], 8)
+        if s:
+            bw.put(extra, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.put(ac_codes[0xF0], 8)
+                run -= 16
+            sz, extra = _jpeg_cat(v)
+            bw.put(ac_codes[(run << 4) | sz], 8)
+            bw.put(extra, sz)
+            run = 0
+        if run:
+            bw.put(ac_codes[0x00], 8)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(q) for q in Q)
+    nc = len(comps)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid, hs, vs in comps:
+        out += bytes([cid, (hs << 4) | vs, 0])
+    for tc, vals in ((0, dc_vals), (1, ac_vals)):
+        bits = [0] * 16
+        bits[7] = len(vals)
+        out += b"\xff\xc4" + struct.pack(
+            ">H", 19 + len(vals)) + bytes([tc << 4]) + bytes(bits) + bytes(
+            vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for cid, _, _ in comps:
+        out += bytes([cid, 0x00])
+    out += b"\x00\x3f\x00" + bytes(bw.buf) + b"\xff\xd9"
+    return bytes(out)
+
+
 class TestGifPixelDecode:
     """decode_gif_pixels: hand-computed LZW bitstream fixture (checked
     against spec arithmetic done by hand, independent of the test
