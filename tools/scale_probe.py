@@ -2088,6 +2088,61 @@ def probe_media(spark, n_imgs=200_000, n_wavs=200_000):
         f"({n_imgs/dt_png:,.0f} imgs/s) all ok, pixels spot-checked"
     )
 
+    def make_jpegs(it):
+        # one fixed 16x16 gray baseline JPEG built inline (DC-only
+        # blocks, hand-style custom tables) — decode cost is what's
+        # being measured, so payload variety doesn't matter here
+        import struct
+
+        dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+        sof = (b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 16, 16, 1)
+               + bytes([1, 0x11, 0]))
+        dht_dc = (b"\xff\xc4" + struct.pack(">H", 20) + b"\x00"
+                  + bytes([0, 0, 0, 0, 0, 0, 0, 1] + [0] * 8) + bytes([7]))
+        dht_ac = (b"\xff\xc4" + struct.pack(">H", 20) + b"\x10"
+                  + bytes([0, 0, 0, 0, 0, 0, 0, 1] + [0] * 8)
+                  + bytes([0x00]))
+        sos = (b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+               + b"\x00\x3f\x00")
+        # 4 MCU blocks: first DC diff=80 (cat7), then three diff=0 (the
+        # single-symbol DC table only has cat 7 -> use 4 identical
+        # blocks each coding diff 80/…; simplest exact stream: block1
+        # diff=80, blocks 2-4 need cat 7 too — emit diff 64 each time?
+        # cat(64)=7 ✓ (64..127). bits: code(0,8)+7bits+eob(0,8).
+        bits = []
+        for diff in (80, 64, 64, 64):
+            bits += [0] * 8 + [int(b) for b in format(diff, "07b")]
+            bits += [0] * 8
+        while len(bits) % 8:
+            bits.append(1)
+        data = bytes(
+            int("".join(map(str, bits[i:i + 8])), 2)
+            for i in range(0, len(bits), 8))
+        assert 0xFF not in data
+        jpg = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + data \
+            + b"\xff\xd9"
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["id"], "payload": [jpg] * len(pdf)})
+
+    jpgs = (
+        spark.range(n_imgs // 4).repartition(64)
+        .mapInPandas(make_jpegs, schema="doc_id long, payload binary")
+    )
+    t0 = time.perf_counter()
+    jd = get_operator("media.decode")(
+        spark, [jpgs], {"binary_col": "payload", "decoder": "jpeg"}, {})
+    jok, jn = jd.agg(
+        F.sum(F.col("decode_ok").cast("long")), F.count(F.lit(1))
+    ).first()
+    dt_jpg = time.perf_counter() - t0
+    assert jok == jn == n_imgs // 4, (jok, jn)
+    print(
+        f"PROBE media jpeg: n={n_imgs // 4} decode={dt_jpg:.1f}s "
+        f"({(n_imgs // 4)/dt_jpg:,.0f} imgs/s) all ok "
+        f"(pure-Python Huffman — the honest slow-path number)"
+    )
+
     def make_wavs(it):
         import struct
 
