@@ -260,3 +260,36 @@ def test_state_partitions_scoped_and_restored(spark, batch_events):
         .collect()
     }
     assert len(expected) > 0 and got == expected
+
+
+def test_state_partitions_parquet_sink(spark, tmp_path, batch_events):
+    """The foreachBatch parquet sink honors state_partitions the same
+    way the memory sink does: conf scoped around start, restored after,
+    stateful results unchanged (windowed agg here)."""
+    from ssis_to_pyspark_agent_spark.operators import get_operator
+    from ssis_to_pyspark_agent_spark.streaming.runner import (
+        stream_events,
+        windowed_agg,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    agg = windowed_agg(
+        stream_events(spark, EVENTS, max_files_per_trigger=1),
+        ts_col="ts", window="10 minutes", aggs={"n": ("count", "*")},
+    )
+    out = get_operator("sink.stream_parquet")(
+        spark, [agg],
+        {"path": str(tmp_path / "out"), "mode": "append",
+         "checkpoint": str(tmp_path / "ckpt"), "state_partitions": 2},
+        {},
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    batch = windowed_agg(
+        batch_events, ts_col="ts", window="10 minutes",
+        aggs={"n": ("count", "*")},
+    )
+    got = {(r.window_start, r.n) for r in out.collect()}
+    expect = {(r.window_start, r.n) for r in batch.collect()}
+    # append mode only emits watermark-EXPIRED windows; every emitted
+    # window must carry the exact batch count at 2 state partitions
+    assert len(got) > 0 and got <= expect

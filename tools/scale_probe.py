@@ -2143,6 +2143,41 @@ def probe_media(spark, n_imgs=200_000, n_wavs=200_000):
         f"(pure-Python Huffman — the honest slow-path number)"
     )
 
+    def make_gifs(it):
+        import struct
+
+        # 2x2 two-color GIF with the hand-derived LZW stream (see
+        # tests::TestGifPixelDecode) — indices [0,1,1,0]
+        def chunk_gif():
+            return (b"GIF89a"
+                    + b"\x02\x00\x02\x00\x80\x00\x00"
+                    + b"\xff\x00\x00" + b"\x00\xff\x00"
+                    + b"\x2c\x00\x00\x00\x00\x02\x00\x02\x00\x00"
+                    + b"\x02" + b"\x03\x44\x02\x05" + b"\x00" + b"\x3b")
+
+        gif = chunk_gif()
+        assert struct.calcsize("<H") == 2
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["id"], "payload": [gif] * len(pdf)})
+
+    gifs = (
+        spark.range(n_imgs).repartition(64)
+        .mapInPandas(make_gifs, schema="doc_id long, payload binary")
+    )
+    t0 = time.perf_counter()
+    gd = get_operator("media.decode")(
+        spark, [gifs], {"binary_col": "payload", "decoder": "gif"}, {})
+    gok, gn = gd.agg(
+        F.sum(F.col("decode_ok").cast("long")), F.count(F.lit(1))
+    ).first()
+    dt_gif = time.perf_counter() - t0
+    assert gok == gn == n_imgs, (gok, gn)
+    print(
+        f"PROBE media gif: n={n_imgs} decode={dt_gif:.1f}s "
+        f"({n_imgs/dt_gif:,.0f} imgs/s) all ok"
+    )
+
     def make_wavs(it):
         import struct
 
