@@ -233,9 +233,14 @@ def decode_png_pixels(payload: bytes) -> dict[str, Any]:
         if (depth != 8 or comp != 0 or filt != 0 or interlace != 0
                 or n_ch is None or w == 0 or h == 0 or w * h > 1 << 26):
             return bad  # unsupported shape — never guess pixels
-        raw = zlib.decompress(b"".join(idat))
         stride = w * n_ch
-        if len(raw) != (stride + 1) * h:
+        expect = (stride + 1) * h
+        # Bounded inflate: payloads are untrusted web-corpus bytes, and a
+        # crafted IDAT can expand ~1000x past its declared dimensions. Cap
+        # the output at expect+1 so an oversize stream costs one extra
+        # byte, not a multi-GB executor allocation (ADVICE round 8).
+        raw = zlib.decompressobj().decompress(b"".join(idat), expect + 1)
+        if len(raw) != expect:
             return bad
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
         ftypes = rows[:, 0]
@@ -322,6 +327,14 @@ def decode(spark: SparkSession, inputs, config, context) -> DataFrame:
     df: DataFrame = inputs[0]
     bin_col = config["binary_col"]
     mode = config.get("decoder", "headers")
+    if mode not in ("headers", "png", "gif", "jpeg", "stub"):
+        # loud, like dedup.spans eager / funnel materialize: a typo'd
+        # decoder ('jpg', 'PNG') must not silently fall back to the
+        # header parser's different output schema (ADVICE round 8)
+        raise ValueError(
+            "media.decode: decoder must be one of "
+            f"headers|png|gif|jpeg|stub, got {mode!r}"
+        )
     pixel_mode = mode in ("png", "gif", "jpeg")
     decode_fn = (
         decode_png_pixels if mode == "png"

@@ -2484,6 +2484,45 @@ class TestPngPixelDecode:
         bad = self._dec(_png_encode(idx, 3, [0], plte=pal[:9]))
         assert bad["ok"] is False and bad["pixels"] is None
 
+    def test_zlib_bomb_bounded(self):
+        """A crafted IDAT that inflates far past the declared dimensions
+        must come back ok=False WITHOUT materializing the oversized
+        buffer (ADVICE round 8): the inflate is capped at expect+1 bytes,
+        so a 64 MB bomb behind a 2x2 header costs 8 bytes of output."""
+        import struct
+        import time
+        import zlib
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d)))
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 gray
+        bomb = zlib.compress(b"\x00" * (64 << 20), 9)  # ~64 KB compressed
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+        t0 = time.monotonic()
+        d = self._dec(png)
+        assert d["ok"] is False and d["pixels"] is None
+        # capped inflate stops after 7 bytes; a full 64 MB inflate takes
+        # orders of magnitude longer than this generous bound
+        assert time.monotonic() - t0 < 1.0
+        # and the cap must not break an exact-size stream
+        ok = self._dec(_png_encode(
+            __import__("numpy").zeros((2, 2), dtype="uint8"), 0, [0]))
+        assert ok["ok"] is True
+
+    def test_decoder_value_validated(self, spark):
+        """media.decode raises on an unknown decoder value instead of
+        silently falling back to the header parser's different schema
+        (ADVICE round 8)."""
+        df = spark.createDataFrame(
+            [(1, bytearray(b"x"))], "id int, payload binary")
+        for typo in ("jpg", "PNG", "pixels", ""):
+            with pytest.raises(ValueError, match="decoder must be"):
+                run("media.decode", spark, [df],
+                    binary_col="payload", decoder=typo)
+
     def test_unsupported_fail_loudly(self):
         import numpy as np
 
