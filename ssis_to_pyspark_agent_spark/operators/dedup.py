@@ -2456,34 +2456,29 @@ def compact_band_store(spark: SparkSession, path: str,
     real, not assumed: the data-file listing is re-checked after the
     store moves aside, and if an append slipped in between snapshot
     and swap the original store is restored untouched and the call
-    raises instead of silently dropping that batch's bands. Swap is
-    rename-based through the Hadoop FS API (local/HDFS/object stores
-    alike) with rollback on failure; between the two renames there is
-    a brief window where the path does not exist, so concurrent
-    READERS should also run outside the maintenance slot. Returns the
-    data-file count after compaction."""
+    raises instead of silently dropping that batch's bands. The swap
+    (rename + rollback + append guard, Hadoop FS API so local / HDFS /
+    object stores behave alike) is the shared
+    :func:`ssis_to_pyspark_agent_spark.fs.swap_compacted` —
+    ``maintenance.compact`` runs the identical path; between the two
+    renames there is a brief window where the path does not exist, so
+    concurrent READERS should also run outside the maintenance slot.
+    Returns the data-file count after compaction."""
     import math
 
-    def _data_files(fs, p) -> dict[str, int]:
-        it = fs.listFiles(p, True)
-        out: dict[str, int] = {}
-        while it.hasNext():
-            st = it.next()
-            name = st.getPath().toUri().getPath()
-            if name.endswith(".parquet"):
-                out[name.rsplit("/", 2)[-2] + "/"
-                    + name.rsplit("/", 1)[-1]] = st.getLen()
-        return out
+    from ssis_to_pyspark_agent_spark.fs import (
+        count_data_files,
+        hadoop_fs,
+        list_data_files,
+        swap_compacted,
+    )
 
     params = read_band_store_params(spark, path)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    root = hpath(path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, hpath, root = hadoop_fs(spark, path)
     # snapshot BEFORE the read resolves its file index: an append
     # landing in between then fails the post-swap check (false
     # positive, safe) instead of silently missing from the copy
-    snapshot = _data_files(fs, root)
+    snapshot = list_data_files(fs, root)
     df = read_band_store(spark, path)
     total_bytes = sum(snapshot.values())
     n_bands = max(1, sum(
@@ -2506,33 +2501,8 @@ def compact_band_store(spark: SparkSession, path: str,
                 json.dumps(params, sort_keys=True).encode("utf-8")))
         finally:
             sink.close()
-    back = hpath(path.rstrip("/") + "._compact_old")
-    if fs.exists(back):
-        fs.delete(back, True)
-    if not fs.rename(root, back):
-        raise IOError(f"compact_band_store: could not move {path} aside")
-    if _data_files(fs, back) != snapshot:
-        # an append landed after the snapshot — its rows are NOT in the
-        # compacted copy. Restore the original (which has them) and
-        # refuse: losing a batch silently is the one unacceptable
-        # outcome for a dedup history store.
-        fs.rename(back, root)
-        fs.delete(hpath(tmp), True)
-        raise IOError(
-            f"compact_band_store: {path} changed during compaction "
-            "(concurrent append?); original store restored — rerun "
-            "compaction when no writer is active")
-    if not fs.rename(hpath(tmp), root):
-        fs.rename(back, root)  # roll back — old store restored intact
-        raise IOError(f"compact_band_store: could not swap {tmp} into "
-                      f"{path}; original store restored")
-    fs.delete(back, True)
-    it = fs.listFiles(root, True)
-    n_files = 0
-    while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            n_files += 1
-    return n_files
+    swap_compacted(spark, path, tmp, snapshot, label="compact_band_store")
+    return count_data_files(fs, root)
 
 
 @operator("maintenance.compact_band_store")

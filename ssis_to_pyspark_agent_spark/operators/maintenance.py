@@ -23,29 +23,35 @@ def compact(spark: SparkSession, inputs, config, context) -> DataFrame:
 
     Reads the dataset, computes the file count from the on-disk bytes, and
     rewrites via coalesce (no shuffle) or repartition (`shuffle=True`, for
-    rebalancing skewed files)."""
+    rebalancing skewed files). All filesystem traffic (sizing listing,
+    rename-swap with rollback, concurrent-append guard) goes through the
+    Hadoop FileSystem API shared with ``maintenance.compact_band_store``
+    — local / HDFS / object stores alike; ``os.rename`` would be a crash
+    on exactly the filesystems a 100 TB compaction runs on."""
     import math
-    import os
+
+    from ssis_to_pyspark_agent_spark.fs import (
+        count_data_files,
+        hadoop_fs,
+        list_data_files,
+        swap_compacted,
+    )
 
     path = config["path"]
     target_mb = config.get("target_mb", 128)
-    total = 0
-    for root, _, files in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f)) for f in files
-                     if f.endswith(".parquet"))
+    fs, _, root = hadoop_fs(spark, path)
+    # snapshot BEFORE the read resolves its file index: an append landing
+    # in between fails the post-swap check (false positive, safe) instead
+    # of silently missing from the compacted copy
+    snapshot = list_data_files(fs, root)
+    total = sum(snapshot.values())
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     out = df.repartition(n_files) if config.get("shuffle") else df.coalesce(n_files)
     tmp = path.rstrip("/") + "._compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap (single-filesystem rename)
-    import shutil
-
-    back = path.rstrip("/") + "._compact_old"
-    os.rename(path, back)
-    os.rename(tmp, path)
-    shutil.rmtree(back)
-    context[config.get("into", "_compacted_files")] = n_files
+    swap_compacted(spark, path, tmp, snapshot, label="maintenance.compact")
+    context[config.get("into", "_compacted_files")] = count_data_files(fs, root)
     return spark.read.parquet(path)
 
 

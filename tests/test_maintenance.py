@@ -37,6 +37,70 @@ class TestCompact:
         assert out.count() == 10_000
 
 
+class TestSwapCompacted:
+    """The shared Hadoop-FS rename-swap both compactors use
+    (``fs.swap_compacted``): rollback on a failed swap, restore+raise on
+    a concurrent append — losing a batch silently is the one
+    unacceptable outcome (round-8 verdict item 3)."""
+
+    def _setup(self, spark, tmp_path):
+        from ssis_to_pyspark_agent_spark.fs import hadoop_fs, list_data_files
+
+        path = str(tmp_path / "ds")
+        spark.range(100).coalesce(1).write.parquet(path)
+        fs, _, root = hadoop_fs(spark, path)
+        return path, list_data_files(fs, root)
+
+    def test_concurrent_append_restores_and_raises(self, spark, tmp_path):
+        from ssis_to_pyspark_agent_spark.fs import swap_compacted
+
+        path, snapshot = self._setup(spark, tmp_path)
+        tmp = path + "._compact_tmp"
+        spark.read.parquet(path).coalesce(1).write.parquet(tmp)
+        # an append lands AFTER the snapshot: its rows are not in tmp
+        spark.range(100, 150).coalesce(1).write.mode("append").parquet(path)
+        with pytest.raises(IOError, match="changed during compaction"):
+            swap_compacted(spark, path, tmp, snapshot)
+        # original restored WITH the appended rows; tmp cleaned up
+        assert spark.read.parquet(path).count() == 150
+        assert not os.path.exists(tmp)
+        assert not os.path.exists(path + "._compact_old")
+
+    def test_failed_swap_rolls_back(self, spark, tmp_path):
+        from ssis_to_pyspark_agent_spark.fs import swap_compacted
+
+        path, snapshot = self._setup(spark, tmp_path)
+        tmp = path + "._compact_tmp"  # never written -> swap must fail
+        with pytest.raises(IOError, match="could not swap"):
+            swap_compacted(spark, path, tmp, snapshot)
+        assert spark.read.parquet(path).count() == 100
+        assert not os.path.exists(path + "._compact_old")
+
+    def test_none_snapshot_skips_guard(self, spark, tmp_path):
+        from ssis_to_pyspark_agent_spark.fs import swap_compacted
+
+        path, _ = self._setup(spark, tmp_path)
+        tmp = path + "._compact_tmp"
+        spark.range(7).coalesce(1).write.parquet(tmp)
+        spark.range(100, 150).coalesce(1).write.mode("append").parquet(path)
+        swap_compacted(spark, path, tmp, None)  # caller opted out
+        assert spark.read.parquet(path).count() == 7
+
+    def test_compact_operator_survives_partitioned_input(
+            self, spark, tmp_path):
+        """maintenance.compact on the Hadoop FS path: still merges, still
+        counts the REAL post-swap files."""
+        path = str(tmp_path / "frag")
+        spark.range(5_000).repartition(17).write.parquet(path)
+        assert len(parquet_files(path)) == 17
+        ctx = {}
+        out = get_operator("maintenance.compact")(
+            spark, [], {"path": path, "target_mb": 64, "shuffle": True}, ctx
+        )
+        assert len(parquet_files(path)) == ctx["_compacted_files"] == 1
+        assert out.count() == 5_000
+
+
 class TestCluster:
     def test_sorted_within_partitions(self, spark):
         df = spark.range(1000).withColumn("k", F.pmod(F.xxhash64("id"), 100))
