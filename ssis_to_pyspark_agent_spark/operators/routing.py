@@ -175,6 +175,9 @@ def sample_holdout(spark: SparkSession, inputs, config, context):
         prop = _propagate_labels(
             second, config.get("max_rounds", 20),
             config.get("cc_impl", "auto"),
+            # reliable per-round checkpoints for cluster-scale runs —
+            # same contract as dedup.cluster's checkpoint_dir
+            checkpoint_dir=config.get("checkpoint_dir"),
         )
     lbl = prop.select(F.col("x").alias(id_col), F.col("comp").alias("_hc"))
     if config.get("broadcast_components", True):  # off for degenerate pair sets
