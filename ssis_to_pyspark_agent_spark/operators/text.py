@@ -1299,29 +1299,53 @@ def lm_score(spark: SparkSession, inputs, config, context) -> DataFrame:
     engines round identically). Docs with < n tokens: zeros + NULL bpt.
 
     Plan — the DOC stream (the 100 TB side) pays ONE hash per gram and
-    ONE join: the train side builds a (gram_hash, c, cc) MERGED table by
-    joining context totals into the distinct-gram counts frame
-    (counts-sized work, never stream-sized), and V is the classic vocab
-    size (distinct train tokens, one map-side-combined pass over token
-    hashes) kept in-plan as a 1-row broadcast. Self-trained, the
-    ngram_novelty hapax inference generalizes to the PAIR: a doc gram
-    occurs >= 1 time by construction, so a merged row is droppable
-    exactly when c == 1 AND cc == 1 (absence then implies both values)
-    — on web corpora the typo/junk tail, often the difference between
-    broadcast and shuffle for the join-back. With an external train
-    corpus nothing is inferable from absence, so the doc stream falls
-    back to carrying (gram, ctx) hashes and two join-backs (c -> 0,
-    cc -> 0). stats_broadcast='auto' runs ONE counts-sized probe job at
-    invocation and broadcasts the stats table into the doc stream when
-    it fits — the multi-executor-cluster option (see the plan note at
-    the join site); the default 'off' keeps the fully-lazy zero-job SMJ
-    plan, which MEASURED faster on local[32] where shuffles never cross
-    a network (35.7s vs 40.1s at 2M docs / 2k vocab). A first-cut
-    formulation hashed ctx and nxt separately per position on BOTH
-    sides — the double hashing alone was ~2x the single-hash stream
-    (measured 46.2s vs 21.4s for the 31.6M-gram count pass) and the doc
-    side paid a second stream-sized SortMergeJoin for the ctx table;
-    this shape removes both.
+    ONE join: the train side builds the per-gram stats by joining
+    context totals into the distinct-gram counts frame (counts-sized
+    work, never stream-sized), and V is the classic vocab size
+    (distinct train tokens, one map-side-combined pass over token
+    hashes) kept in-plan as a 1-row broadcast.
+
+    Self-trained, the stats table is pruned by QUANTIZATION-FLOOR
+    COLLAPSE (round-9, generalizing the ngram_novelty hapax inference
+    from values to SCORES): a doc gram occurs >= 1 time by
+    construction, so absence from the table implies (c=1, cc=1) and the
+    fallback score q_fb = (2*QGRID) div (1+V). But the 1/QGRID grid
+    cannot distinguish MOST real (c, cc) pairs from that floor either —
+    for V > 2*QGRID every gram with (c+1)*QGRID < (cc+V) also lands on
+    q = 1 = q_fb — so the table keeps only rows whose QUANTIZED score
+    differs from q_fb, exactness preserved by integer-equality
+    construction. On a Zipf(50k-vocab)+boilerplate 1M-doc corpus this
+    is 21.8M distinct grams -> 40,703 rows (536x), the table drops
+    under the AQE broadcast threshold at runtime, and the doc-side join
+    becomes a broadcast hash join (verified in the final adaptive
+    plan): the 100 TB gram stream is never shuffled OR sorted (the
+    prior SortMergeJoin sorted all 79M gram rows). Two more exact cuts
+    ride along self-trained: the prune's row-level NECESSARY condition
+    (cc >= c, see the code comment) runs before the counts->ctx join so
+    the counts-sized frame never reshuffles on _ctx, and for n=2 the
+    vocabulary is folded into the context table (contexts are unigram
+    hashes; an extended final position per doc makes them cover every
+    token, so V = |ctx_tab| and the third corpus scan disappears).
+    Measured fresh-session A/B at 2M docs on a noisy shared host, min
+    of 8-9 alternating runs each: 104.2s -> 58.9s (1.77x; medians 129
+    -> 118 under heavy steal), outputs bit-identical
+    (tools/lm_decomp.py). The surviving cost is the counts groupBy
+    (stream-sized partial agg, the exact-model floor) and the doc-side
+    explode+aggregate. With an extreme vocabulary (V < QGRID) or an
+    all-boilerplate corpus the surviving table is genuinely large and
+    AQE falls back to the SMJ plan — graceful, not wrong. With an
+    external train corpus nothing is inferable from absence (and
+    c == 0 must stay visible as lm_oov), so that mode keeps the two
+    join-backs (c -> 0, cc -> 0) un-pruned.
+    stats_broadcast='auto' runs ONE counts-sized probe job at
+    invocation and broadcasts the (pruned) stats table explicitly —
+    the belt-and-suspenders cluster option where AQE statistics are
+    unavailable; default 'off' keeps the fully-lazy zero-job plan. A
+    first-cut formulation hashed ctx and nxt separately per position on
+    BOTH sides — the double hashing alone was ~2x the single-hash
+    stream (measured 46.2s vs 21.4s for the 31.6M-gram count pass) and
+    the doc side paid a second stream-sized SortMergeJoin for the ctx
+    table; this shape removes both.
 
     config: id_col, text_col, n (default 2), train_text_col (column in
     the train input; default text_col), stats_broadcast ('off' default
@@ -1379,31 +1403,61 @@ def lm_score(spark: SparkSession, inputs, config, context) -> DataFrame:
             ),
         )
 
+    def gram_ctx_pairs_ext(tcol: str) -> Column:
+        # n == 2 only: positions 1..L, the FINAL position carrying
+        # (_g = NULL, _ctx = hash of the last word). Contexts are then
+        # unigram hashes covering EVERY token, so V = |ctx_tab| and the
+        # separate vocabulary scan of the corpus disappears (the
+        # all-empty doc, whose split is [""], is excluded like the old
+        # vocab pass's _w != '' filter; _norm_text guarantees no other
+        # empty tokens). Null-_g rows are excluded from counts'
+        # scoring rows and from _cc, so c/cc are untouched.
+        return _lambda_bind(
+            _words(F.col(tcol)),
+            lambda w: F.when(
+                (F.size(w) > 1) | (F.element_at(w, 1) != ""),
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w)),
+                    lambda i: F.struct(
+                        F.when(i < F.size(w), _gh(w, i, 2)).alias("_g"),
+                        _gh(w, i, 1).alias("_ctx"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<_g:bigint,_ctx:bigint>>")
+            ),
+        )
+
     tcol = train_text_col if not self_trained else text_col
-    tg = train.select(F.explode(gram_ctx_pairs(tcol)).alias("_p")).select(
+    folded_vocab = self_trained and n == 2
+    pair_col = (gram_ctx_pairs_ext if folded_vocab else gram_ctx_pairs)(tcol)
+    tg = train.select(F.explode(pair_col).alias("_p")).select(
         "_p._g", "_p._ctx"
     )
     counts = tg.groupBy("_g", "_ctx").agg(F.count(F.lit(1)).alias("_c"))
-    ctx_tab = counts.groupBy("_ctx").agg(F.sum("_c").alias("_cc"))
-    tw = train.select(F.explode(_words(F.col(tcol))).alias("_w")).filter(
-        F.col("_w") != ""
-    )
-    vocab = tw.agg(F.count_distinct(F.xxhash64(F.col("_w"))).alias("_v"))
+    if folded_vocab:
+        ctx_tab = counts.groupBy("_ctx").agg(
+            F.sum(F.when(F.col("_g").isNotNull(), F.col("_c"))
+                  .otherwise(0)).alias("_cc")
+        )
+        vocab = ctx_tab.agg(F.count(F.lit(1)).alias("_v"))
+    else:
+        ctx_tab = counts.groupBy("_ctx").agg(F.sum("_c").alias("_cc"))
+        tw = train.select(
+            F.explode(_words(F.col(tcol))).alias("_w")
+        ).filter(F.col("_w") != "")
+        vocab = tw.agg(
+            F.count_distinct(F.xxhash64(F.col("_w"))).alias("_v"))
 
-    # stats_broadcast='auto': probe the merged stats table's row count
-    # (ONE counts-sized job at invocation) and BROADCAST it into the
-    # doc stream when it fits. On a real multi-executor cluster this is
-    # the plan lever: a broadcast stats join means the exploded doc
-    # stream never shuffles on the gram key (the SortMergeJoin sorts
-    # and SHIPS all corpus_tokens rows) AND the per-doc groupBy keeps
-    # each doc's grams in their input partition, so its partial
-    # aggregation collapses to ~1 row/doc before the shuffle. On
-    # local[32], where a "shuffle" is an SSD write with no network, the
-    # A/B measured the SMJ FASTER (35.7s vs 40.1s at 2M docs / 2k
-    # vocab — the probe + broadcast-build pay two extra train passes),
-    # so the zero-job lazy plan stays the DEFAULT; flip to 'auto' on
-    # deployments where the corpus-sized gram shuffle crosses a
-    # network. Measured, not assumed: tools/scale_probe.py lm.
+    # stats_broadcast='auto': probe the (pruned) stats table's row count
+    # (ONE counts-sized job at invocation) and BROADCAST it explicitly
+    # into the doc stream when it fits. Since the round-9 quantization-
+    # floor prune, AQE usually reaches the same broadcast plan lazily at
+    # runtime from the post-shuffle size, so the default 'off' stays the
+    # zero-job plan; 'auto' remains the belt-and-suspenders option for
+    # deployments where adaptive stats are unavailable (external-train
+    # mode, where no prune applies, still benefits the old way).
+    # Measured, not assumed: tools/scale_probe.py lm / tools/lm_decomp.py.
     stats_bcast = config.get("stats_broadcast", "off")
     if stats_bcast not in ("auto", "off"):
         raise ValueError(
@@ -1417,21 +1471,60 @@ def lm_score(spark: SparkSession, inputs, config, context) -> DataFrame:
             return F.broadcast(stats)
         return stats
 
+    # quantized score as a Column; needs _v in scope (crossJoin vocab)
+    def _q_col(num_sql: str) -> Column:
+        return F.least(
+            F.lit(LM_QGRID),
+            F.greatest(F.lit(1), F.expr(num_sql).cast("int")),
+        )
+
+    q_row = _q_col(f"((_c + 1) * {LM_QGRID}) div (_cc + _v)")
+    q_fb = _q_col(f"(2 * {LM_QGRID}) div (1 + _v)")  # absent => c=1, cc=1
+
     if self_trained:
-        merged = maybe_broadcast(
-            counts.join(ctx_tab, "_ctx")
-            .filter(~((F.col("_c") == 1) & (F.col("_cc") == 1)))
-            .select("_g", "_c", "_cc")
+        # quantization-floor prune (docstring): keep only grams whose
+        # quantized score differs from the absent-gram fallback — the
+        # left join's null path reproduces every pruned row EXACTLY.
+        # The prune runs in TWO stages so the counts->ctx join never
+        # shuffles the counts-sized frame: (1) a row-level necessary
+        # condition using cc >= c (a gram's context total is at least
+        # its own count): when V >= QGRID the fallback q is 1, and a
+        # survivor needs (c+1)*QGRID >= 2*(cc+V) >= 2*(c+V), so any row
+        # with (c+1)*(QGRID/2) < c+V is PROVABLY q = 1 = q_fb before cc
+        # is known — on a Zipf corpus that is ~99.8% of distinct grams;
+        # (2) the exact q != q_fb filter after joining cc onto the tiny
+        # surviving head. When V < QGRID (extreme small-vocab corpora)
+        # stage 1 keeps everything and stage 2 alone decides — still
+        # exact, just un-pruned.
+        hot = (
+            counts.where(F.col("_g").isNotNull())
+            .crossJoin(F.broadcast(vocab))
+            .filter(
+                F.when(
+                    F.col("_v") >= F.lit(LM_QGRID),
+                    (F.col("_c") + 1) * F.lit(LM_QGRID // 2)
+                    >= F.col("_c") + F.col("_v"),
+                ).otherwise(F.lit(True))
+            )
+        )
+        qtab = maybe_broadcast(
+            hot.join(ctx_tab, "_ctx")
+            .withColumn("_q", q_row)
+            .filter(F.col("_q") != q_fb)
+            .select("_g", "_q")
         )
         dg = df.select(
             F.col(id_col).alias("_id"),
             F.explode(gram_hashes(text_col)).alias("_g"),
         )
-        joined = (
-            dg.join(merged, "_g", "left")
-            .withColumn("_c", F.coalesce(F.col("_c"), F.lit(1)))
-            .withColumn("_cc", F.coalesce(F.col("_cc"), F.lit(1)))
+        scored = (
+            dg.join(qtab, "_g", "left")
+            .crossJoin(F.broadcast(vocab))
+            .withColumn("_q", F.coalesce(F.col("_q"), q_fb))
+            .withColumn("_bits", F.element_at(F.lit(LM_ILOG), F.col("_q")))
         )
+        # self-trained: every doc gram has c >= 1 by construction
+        oov = F.sum(F.lit(0)).cast("bigint")
     else:
         dg = df.select(
             F.col(id_col).alias("_id"),
@@ -1450,27 +1543,15 @@ def lm_score(spark: SparkSession, inputs, config, context) -> DataFrame:
             .join(x_tab, "_ctx", "left")
             .withColumn("_cc", F.coalesce(F.col("_cc"), F.lit(0)))
         )
-    scored = (
-        joined.crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "_q",
-            F.least(
-                F.lit(LM_QGRID),
-                F.greatest(
-                    F.lit(1),
-                    F.expr(
-                        f"(( _c + 1 ) * {LM_QGRID}) div (_cc + _v)"
-                    ).cast("int"),
-                ),
-            ),
+        scored = (
+            joined.crossJoin(F.broadcast(vocab))
+            .withColumn("_q", q_row)
+            .withColumn("_bits", F.element_at(F.lit(LM_ILOG), F.col("_q")))
         )
-        .withColumn("_bits", F.element_at(F.lit(LM_ILOG), F.col("_q")))
-    )
+        oov = F.sum(F.when(F.col("_c") == 0, 1).otherwise(0)).cast("bigint")
     per_doc = scored.groupBy("_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("lm_ngrams"),
-        F.sum(F.when(F.col("_c") == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("lm_oov"),
+        oov.alias("lm_oov"),
         F.sum("_bits").cast("bigint").alias("lm_bits_fp"),
     )
     out = df.join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")

@@ -1235,6 +1235,29 @@ class TestTextOps:
         assert a == b
         assert all(r[2] == 0 for r in a)  # self-corpus: no OOV possible
 
+    def test_lm_score_empty_docs_not_in_vocab(self, spark):
+        """Round-9 folded vocabulary (V = |ctx| with the extended final
+        position): empty and whitespace-only docs split to [''] and must
+        NOT add a token to V, exactly like the old vocab pass's
+        _w != '' filter. V here is |{a, b}| = 2: grams (a,b)x2, (b,a)x1;
+        ctx totals a->2, b->1."""
+        from ssis_to_pyspark_agent_spark.operators.text import (
+            LM_ILOG, LM_QGRID,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, ""), (3, "   "), (4, None)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in run(
+            "text.lm_score", spark, [df], id_col="doc_id",
+            text_col="text", n=2).collect()}
+        q_ab = (3 * LM_QGRID) // 4   # (2+1)*2048 div (2+2)
+        q_ba = (2 * LM_QGRID) // 3   # (1+1)*2048 div (1+2)
+        assert out[1].lm_bits_fp == 2 * LM_ILOG[q_ab - 1] + LM_ILOG[q_ba - 1]
+        for d in (2, 3, 4):
+            assert (out[d].lm_ngrams, out[d].lm_bits_fp) == (0, 0)
+
     def test_lm_score_config_validation(self, spark):
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="n must be >= 2"):
