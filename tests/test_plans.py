@@ -95,10 +95,12 @@ class TestJoinStrategies:
         assert "BroadcastNestedLoopJoin" not in p
         assert "CartesianProduct" not in p
         # full-query guard: a real cartesian is still forbidden, and the
-        # only tolerated BNLJ build side is the 1-row scalar
+        # only tolerated BNLJ build sides are lm_score's 1-row vocab
+        # scalars (round 9: the quantization-floor prune adds a second
+        # one — stats-side prune filter + doc-side fallback)
         pq = plan_of(QUERIES["q53_term_text_stats"](spark, SF))
         assert "CartesianProduct" not in pq
-        assert pq.count("BroadcastNestedLoopJoin") <= 1
+        assert pq.count("BroadcastNestedLoopJoin") <= 2
 
     def test_semi_anti_strategies(self, spark):
         both = QUERIES["q06_join_semi_anti"](spark, SF)

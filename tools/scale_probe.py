@@ -2278,9 +2278,13 @@ def probe_state_partitions(spark, n_events=400_000):
     more partitions start winning as keys grow.
 
     Fixture: n_events rows over a 2-hour span in 8 contiguous-time
-    parquet files (one micro-batch each at maxFilesPerTrigger=1),
-    user_id in [0, K). K sweeps 1e2 / 1e4 / 4e5-cap; partitions sweep
-    2 / 8 / 32 / 128. Output rows are P-invariant (asserted)."""
+    parquet files (one micro-batch each at maxFilesPerTrigger=1);
+    events come in (view, purchase) pairs sharing user_id =
+    (id div 2) mod K so every view has >= 1 in-window partner at every
+    K (a first cut used id mod K with alternating types — views got
+    even residues, purchases odd, and the join was silently EMPTY).
+    K sweeps 1e2 / 1e4 / n-cap; partitions sweep 2 / 8 / 32 / 128.
+    Output rows are P-invariant (asserted)."""
     import shutil
     import tempfile
 
@@ -2294,13 +2298,13 @@ def probe_state_partitions(spark, n_events=400_000):
     sink = get_operator("sink.memory_stream")
     results = []
     try:
-        for kk in (100, 10_000, 400_000):
-            K = min(kk, n_events)
+        for kk in (100, 10_000, n_events // 2):
+            K = min(kk, n_events // 2)
             path = f"{base}/ev_{K}"
             (
                 spark.range(n_events)
                 .select(
-                    (F.col("id") % K).alias("user_id"),
+                    ((F.col("id") / 2).cast("long") % K).alias("user_id"),
                     F.timestamp_seconds(
                         F.lit(1_700_000_000)
                         + (F.col("id") * 7200 / n_events).cast("long")
@@ -2328,8 +2332,8 @@ def probe_state_partitions(spark, n_events=400_000):
                         j = stream_stream_join(
                             views, buys, keys=["user_id"],
                             left_ts="v_ts", right_ts="b_ts",
-                            watermark="5 minutes",
-                            time_bound="10 minutes")
+                            watermark="1 minute",
+                            time_bound="30 seconds")
                     else:
                         j = windowed_agg(
                             stream_events(spark, path), "ts",
