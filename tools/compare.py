@@ -177,9 +177,12 @@ def main() -> int:
         )
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        pat = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(pat):
+            # Spark-written multi-part dataset (the make_sf.py sf1 rig);
+            # the driver's testdata is single-file
+            pat += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = 0

@@ -113,13 +113,42 @@ def main() -> int:
             units[own_col] = int(mx) + 1
         units[col] = units[own_col]
     os.makedirs(dst, exist_ok=True)
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     for t in TABLES:
+        if only and t not in only:
+            continue
         t0 = time.time()
         df = scale_table(spark, src, t, k, units)
         # keep enough splits that downstream scans parallelize
         n_rows = df.count()
         target = max(8, min(64, n_rows // 200_000 + 1))
-        df.repartition(target).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        if t == "events":
+            # ts-ORDERED file layout: the streaming file source delivers
+            # one file per micro-batch, so arrival order must respect
+            # event time within the watermark — exactly what a real
+            # file-drop ingest produces. Round-robin repartition
+            # interleaves the K replicas' time ranges across files and
+            # the watermark silently DROPS whole files as late (found
+            # by the round-9 sf1 oracle sweep: q78 spark=30 rows vs
+            # oracle=590). Range-partition by ts + equalized mtimes
+            # (path breaks the FileStreamSource tie) make file order ==
+            # event-time order.
+            out = df.repartitionByRange(target, "ts").sortWithinPartitions("ts")
+        else:
+            out = df.repartition(target)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        if t == "events":
+            # strictly increasing mtimes in part-index order: the file
+            # source orders by modification time, and parallel write
+            # tasks finish in arbitrary order — equal or shuffled
+            # mtimes would randomize micro-batch order and re-introduce
+            # the late-drop
+            import glob as _glob
+
+            base_t = time.time()
+            for j, f in enumerate(
+                    sorted(_glob.glob(f"{dst}/{t}.parquet/part-*"))):
+                os.utime(f, (base_t + j, base_t + j))
         print(f"{t}: {n_rows} rows in {time.time()-t0:.1f}s")
     print(f"done -> {dst}")
     return 0
