@@ -1235,6 +1235,30 @@ class TestTextOps:
         assert a == b
         assert all(r[2] == 0 for r in a)  # self-corpus: no OOV possible
 
+    def test_lm_score_trigram_self_equals_external(self, spark):
+        """n=3 takes the NON-folded vocab branch (contexts are bigram
+        hashes, so V can't come from ctx_tab) — the self-trained
+        quantization-floor prune must still match the un-pruned
+        external-train plan on the same corpus exactly."""
+        import random
+        rng = random.Random(29)
+        rows = [
+            (i, " ".join(f"w{rng.randrange(50)}" for _ in range(20)))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(
+            (r.doc_id, r.lm_ngrams, r.lm_oov, r.lm_bits_fp)
+            for r in run("text.lm_score", spark, [df],
+                         id_col="doc_id", text_col="text", n=3).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.lm_ngrams, r.lm_oov, r.lm_bits_fp)
+            for r in run("text.lm_score", spark, [df, df.select("text")],
+                         id_col="doc_id", text_col="text", n=3).collect()
+        )
+        assert a == b and all(r[2] == 0 for r in a)
+
     def test_lm_score_empty_docs_not_in_vocab(self, spark):
         """Round-9 folded vocabulary (V = |ctx| with the extended final
         position): empty and whitespace-only docs split to [''] and must
