@@ -76,42 +76,19 @@ def stream_join(spark: SparkSession, inputs, config, context) -> DataFrame:
     )
 
 
-class _state_partitions:
-    """Scope `spark.sql.shuffle.partitions` around a streaming-query
-    START. Stateful streaming operators allocate one state store per
-    shuffle partition per stateful op PER MICRO-BATCH (a stream-stream
-    join keeps FOUR stores per partition), and each store pays fixed
-    WAL/commit/maintenance overhead every batch regardless of rows — at
-    the cluster default of 32+ partitions a 59-row join spends its whole
-    wall time on store bookkeeping (measured 16.4s -> 2.9s at 4
-    partitions, identical output). Size to expected KEYS PER WATERMARK
-    WINDOW, not to the batch-side cluster default; the setting is
-    captured into the query's checkpoint at first start, so it is also
-    the one knob that CANNOT be changed later without a new checkpoint.
-    Restoring after start is safe — StreamExecution clones the session
-    conf when the query starts."""
-
-    def __init__(self, spark: SparkSession, n):
-        self.spark, self.n, self.old = spark, n, None
-
-    def __enter__(self):
-        if self.n is not None:
-            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-            self.spark.conf.set(
-                "spark.sql.shuffle.partitions", str(int(self.n)))
-
-    def __exit__(self, *exc):
-        if self.old is not None:
-            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
-
-
 @operator("sink.stream_parquet")
 def stream_parquet_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Production-shaped streaming sink: foreachBatch writing parquet with
     a checkpoint dir (exactly-once via batch-id idempotence; on Delta the
     same foreachBatch does MERGE). Runs the bounded stream to completion
-    and returns the written data. `state_partitions` scopes the stateful
-    shuffle-partition count for this query (see _state_partitions)."""
+    and returns the written data. `state_partitions` (int or 'auto' with
+    `expected_live_keys`) scopes the stateful shuffle-partition count for
+    this query's START only (see streaming.runner._state_partitions)."""
+    from ssis_to_pyspark_agent_spark.streaming.runner import (
+        _state_partitions,
+        resolve_state_partitions,
+    )
+
     path = config["path"]
     checkpoint = config.get("checkpoint", path.rstrip("/") + "._checkpoint")
     mode = config.get("mode", "append")
@@ -119,7 +96,7 @@ def stream_parquet_sink(spark: SparkSession, inputs, config, context) -> DataFra
     def write_batch(batch_df, batch_id: int) -> None:
         batch_df.write.mode(mode).parquet(path)
 
-    with _state_partitions(spark, config.get("state_partitions")):
+    with _state_partitions(spark, resolve_state_partitions(config)):
         q = (
             inputs[0]
             .writeStream.foreachBatch(write_batch)
@@ -139,15 +116,22 @@ def memory_stream_sink(spark: SparkSession, inputs, config, context) -> DataFram
     """Drive the streaming plan to completion into an in-memory table and
     return the (batch) result. For production use foreachBatch/parquet
     sinks with checkpointing; this is the synchronous test/demo sink.
-    `state_partitions` scopes the stateful shuffle-partition count for
-    this query (see _state_partitions)."""
+    `state_partitions` (int or 'auto' with `expected_live_keys`) scopes
+    the stateful shuffle-partition count around query START only — the
+    synchronous drain runs with the session conf restored, so batch jobs
+    planned meanwhile (another thread, a foreachBatch body) don't
+    inherit the streaming override (round-8 ADVICE item)."""
     from ssis_to_pyspark_agent_spark.streaming import run_stream_to_memory
+    from ssis_to_pyspark_agent_spark.streaming.runner import (
+        resolve_state_partitions,
+    )
 
     # key is `table`, not `name`: step config kwargs must not collide with
     # Pipeline.step(name=...)
     name = config["table"]
-    with _state_partitions(spark, config.get("state_partitions")):
-        run_stream_to_memory(
-            inputs[0], name, output_mode=config.get("output_mode", "append")
-        )
+    run_stream_to_memory(
+        inputs[0], name,
+        output_mode=config.get("output_mode", "append"),
+        state_partitions=resolve_state_partitions(config),
+    )
     return spark.table(name)

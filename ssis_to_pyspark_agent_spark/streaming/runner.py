@@ -129,17 +129,91 @@ def stream_stream_join(
     return joined.drop(*[F.col(f"r.{k}") for k in keys])
 
 
+class _state_partitions:
+    """Scope `spark.sql.shuffle.partitions` around a streaming-query
+    START. Stateful streaming operators allocate one state store per
+    shuffle partition per stateful op PER MICRO-BATCH (a stream-stream
+    join keeps FOUR stores per partition), and each store pays fixed
+    WAL/commit/maintenance overhead every batch regardless of rows — at
+    the cluster default of 32+ partitions a 59-row join spends its whole
+    wall time on store bookkeeping (measured 16.4s -> 2.9s at 4
+    partitions, identical output). Size to expected KEYS PER WATERMARK
+    WINDOW, not to the batch-side cluster default; the setting is
+    captured into the query's checkpoint at first start, so it is also
+    the one knob that CANNOT be changed later without a new checkpoint.
+    Restoring after start is safe — StreamExecution clones the session
+    conf when the query starts. ONLY ``.start()`` belongs inside the
+    scope: holding it across the synchronous drain would leak the
+    override to every batch job another thread plans meanwhile."""
+
+    def __init__(self, spark: SparkSession, n):
+        self.spark, self.n, self.old = spark, n, None
+
+    def __enter__(self):
+        if self.n is not None:
+            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(int(self.n)))
+
+    def __exit__(self, *exc):
+        if self.old is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
+#: 'auto' sizing constant — the K x P sweep (PLANS.md round-9) measured
+#: state-store cost ~linear in P (~25-40 ms WAL/commit per store per
+#: micro-batch) with the more-partitions crossover NOT reached even at
+#: 200k live keys on local[32]: a partition comfortably holds ~1M keys
+#: of small per-key state before memory pressure argues for more.
+_KEYS_PER_STATE_PARTITION = 1_000_000
+
+
+def resolve_state_partitions(config: dict):
+    """Resolve a sink's ``state_partitions`` config: an int passes
+    through, ``'auto'`` applies the sweep-pinned rule
+    ``max(ceil(expected_live_keys / ~1M), min_parallelism)`` — size to
+    live keys per watermark horizon, never to cluster width. 'auto'
+    REQUIRES ``expected_live_keys`` (explicit beats guessing: the
+    engine cannot know the key cardinality of an unbounded source);
+    ``min_parallelism`` (default 1) floors at the cores a batch's CPU
+    actually needs."""
+    n = config.get("state_partitions")
+    if n != "auto":
+        return n
+    keys = config.get("expected_live_keys")
+    if keys is None:
+        raise ValueError(
+            "state_partitions='auto' requires expected_live_keys (the "
+            "key cardinality per watermark horizon) — pass an integer "
+            "state_partitions to size by hand"
+        )
+    keys = int(keys)
+    if keys < 0:
+        raise ValueError(f"expected_live_keys must be >= 0, got {keys}")
+    floor = int(config.get("min_parallelism", 1))
+    if floor < 1:
+        raise ValueError(f"min_parallelism must be >= 1, got {floor}")
+    return max(-(-keys // _KEYS_PER_STATE_PARTITION), floor)
+
+
 def run_stream_to_memory(
-    df: DataFrame, name: str, output_mode: str = "append"
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> None:
     """Drive a (bounded-source) streaming DataFrame to completion into an
-    in-memory table `name` — synchronous, for tests/smoke."""
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    in-memory table `name` — synchronous, for tests/smoke.
+    ``state_partitions`` scopes the stateful shuffle-partition count
+    around ``.start()`` ONLY (see _state_partitions) — the drain runs
+    with the session conf restored."""
+    with _state_partitions(df.sparkSession, state_partitions):
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:

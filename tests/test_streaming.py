@@ -293,3 +293,103 @@ def test_state_partitions_parquet_sink(spark, tmp_path, batch_events):
     # append mode only emits watermark-EXPIRED windows; every emitted
     # window must carry the exact batch count at 2 state partitions
     assert len(got) > 0 and got <= expect
+
+
+def test_state_partitions_scoped_to_start_only(spark, monkeypatch):
+    """round-9 verdict item 2a: the override must be live exactly at
+    query START (that's when it's captured into the checkpoint = the
+    state-store count) and RESTORED before the synchronous drain — the
+    old memory sink held the session-global override across the whole
+    processAllAvailable(), so batch jobs planned meanwhile (another
+    thread, a foreachBatch body) silently inherited the streaming
+    partition count."""
+    from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+
+    from ssis_to_pyspark_agent_spark.operators import get_operator
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    seen = {}
+    orig_start = DataStreamWriter.start
+    orig_drain = StreamingQuery.processAllAvailable
+
+    def spy_start(self, *a, **kw):
+        seen["at_start"] = spark.conf.get("spark.sql.shuffle.partitions")
+        return orig_start(self, *a, **kw)
+
+    def spy_drain(self):
+        seen["during_drain"] = spark.conf.get("spark.sql.shuffle.partitions")
+        return orig_drain(self)
+
+    monkeypatch.setattr(DataStreamWriter, "start", spy_start)
+    monkeypatch.setattr(StreamingQuery, "processAllAvailable", spy_drain)
+    agg = windowed_agg(
+        stream_events(spark, EVENTS, max_files_per_trigger=1),
+        ts_col="ts", window="10 minutes", aggs={"n": ("count", "*")},
+    )
+    get_operator("sink.memory_stream")(
+        spark, [agg], {"table": "t_scope_drain", "state_partitions": 3}, {},
+    )
+    assert seen["at_start"] == "3"          # captured into the checkpoint
+    assert seen["during_drain"] == before   # restored BEFORE the drain
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_resolve_state_partitions_auto():
+    """round-9 verdict item 6: state_partitions='auto' applies the
+    sweep-pinned rule ceil(expected_live_keys / ~1M) floored at
+    min_parallelism; ints pass through untouched; 'auto' without the
+    declared cardinality is a config error (explicit beats guessing)."""
+    from ssis_to_pyspark_agent_spark.streaming.runner import (
+        resolve_state_partitions,
+    )
+
+    # int/None pass-through (q43/q78 configs unchanged)
+    assert resolve_state_partitions({"state_partitions": 8}) == 8
+    assert resolve_state_partitions({}) is None
+    # the sweep's shapes: every measured K (100 / 10k / 200k live keys)
+    # lands on the table's winning small-P answer
+    for keys in (100, 10_000, 200_000):
+        assert resolve_state_partitions(
+            {"state_partitions": "auto", "expected_live_keys": keys}) == 1
+    assert resolve_state_partitions(
+        {"state_partitions": "auto", "expected_live_keys": 1_000_000}) == 1
+    assert resolve_state_partitions(
+        {"state_partitions": "auto", "expected_live_keys": 1_000_001}) == 2
+    assert resolve_state_partitions(
+        {"state_partitions": "auto", "expected_live_keys": 3_500_000}) == 4
+    # floored at the cores the batch CPU needs, never below
+    assert resolve_state_partitions(
+        {"state_partitions": "auto", "expected_live_keys": 100,
+         "min_parallelism": 8}) == 8
+    with pytest.raises(ValueError, match="expected_live_keys"):
+        resolve_state_partitions({"state_partitions": "auto"})
+    with pytest.raises(ValueError, match=">= 0"):
+        resolve_state_partitions(
+            {"state_partitions": "auto", "expected_live_keys": -1})
+    with pytest.raises(ValueError, match="min_parallelism"):
+        resolve_state_partitions(
+            {"state_partitions": "auto", "expected_live_keys": 5,
+             "min_parallelism": 0})
+
+
+def test_state_partitions_auto_end_to_end(spark, batch_events):
+    """'auto' on a real sink: declared 50 live users -> 1 partition;
+    results identical to the batch oracle."""
+    from ssis_to_pyspark_agent_spark.operators import get_operator
+
+    agg = windowed_agg(
+        stream_events(spark, EVENTS, max_files_per_trigger=1),
+        ts_col="ts", window="10 minutes", aggs={"n": ("count", "*")},
+    )
+    out = get_operator("sink.memory_stream")(
+        spark, [agg],
+        {"table": "t_auto_sp", "state_partitions": "auto",
+         "expected_live_keys": 50, "output_mode": "complete"}, {},
+    )
+    batch = windowed_agg(
+        batch_events, ts_col="ts", window="10 minutes",
+        aggs={"n": ("count", "*")},
+    )
+    got = {(r.window_start, r.n) for r in out.collect()}
+    expect = {(r.window_start, r.n) for r in batch.collect()}
+    assert got == expect
