@@ -471,15 +471,33 @@ class _CCCheckpointer:
 
     ``finish(df)`` lands the final frame and prunes the per-round
     scratch, so the steady-state footprint is one dup-volume-sized
-    dataset; the caller owns the directory itself."""
+    dataset; the caller owns the directory itself.
+
+    The scratch is NAMESPACED PER INVOCATION — ``<dir>/cc_rounds/iNNNN``
+    with NNNN = max existing index + 1 — so two cc invocations sharing
+    one checkpoint_dir (natural: same config key on dedup.cluster and
+    sample.holdout in one plan) never clobber each other: the second
+    run's writes and pruning touch only its own subdir, while the first
+    run's returned frames keep lazily reading ``i0001/final`` (round-9
+    ADVICE item — previously the shared ``cc_rounds/final`` was
+    silently overwritten)."""
 
     def __init__(self, spark: SparkSession | None, checkpoint_dir):
         self.spark = spark
         self.i = 0
-        self.root = (
-            checkpoint_dir.rstrip("/") + "/cc_rounds"
-            if checkpoint_dir else None
-        )
+        self.root = None
+        if checkpoint_dir:
+            base = checkpoint_dir.rstrip("/") + "/cc_rounds"
+            from ssis_to_pyspark_agent_spark.fs import hadoop_fs
+
+            fs, hpath, broot = hadoop_fs(spark, base)
+            last = 0
+            if fs.exists(broot):
+                for st in fs.listStatus(broot):
+                    name = st.getPath().getName()
+                    if name.startswith("i") and name[1:].isdigit():
+                        last = max(last, int(name[1:]))
+            self.root = f"{base}/i{last + 1:04d}"
 
     def cut(self, df: DataFrame) -> DataFrame:
         self.i += 1
@@ -488,6 +506,20 @@ class _CCCheckpointer:
         path = f"{self.root}/r{self.i:04d}"
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
+
+    def abort(self) -> None:
+        """Delete this invocation's entire scratch subdir — called on
+        the error paths (lp non-convergence, star non-convergence),
+        where ``finish`` never runs and repeated failed runs would
+        otherwise accumulate dup-volume-sized parquet dirs (round-9
+        ADVICE item). Only THIS invocation's namespace is touched."""
+        if self.root is None:
+            return
+        from ssis_to_pyspark_agent_spark.fs import hadoop_fs
+
+        fs, _, root = hadoop_fs(self.spark, self.root)
+        if fs.exists(root):
+            fs.delete(root, True)
 
     def finish(self, df: DataFrame) -> DataFrame:
         """Land the final frame in one ``final`` parquet dir and prune
@@ -663,32 +695,44 @@ def _propagate_labels(
         # fail-fast paths exist to prevent
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     ckpt = _CCCheckpointer(pairs.sparkSession, checkpoint_dir)
-    if impl == "star":
-        return ckpt.finish(_star_components(pairs, max_rounds, ckpt))
-    lp_rounds = min(max_rounds, _AUTO_LP_ROUNDS) if impl == "auto" else max_rounds
-    labels, converged = _lp_labels(pairs, lp_rounds, ckpt)
-    if converged:
-        return ckpt.finish(labels)
-    if impl == "auto":
-        # deep component: reroute to the diameter-independent algorithm.
-        # The caller's max_rounds was sized for propagation (~diameter);
-        # star needs ~log2(component size) rounds, so floor the bound at
-        # 32 — enough for any physically possible component.
-        return ckpt.finish(
-            _star_components(pairs, max(max_rounds, 32), ckpt)
+    # on ANY failure path (lp/star non-convergence, a mid-loop error)
+    # finish() never runs — drop this invocation's round scratch before
+    # re-raising so repeated failed runs don't accumulate
+    # dup-volume-sized parquet dirs (round-9 ADVICE item)
+    try:
+        if impl == "star":
+            return ckpt.finish(_star_components(pairs, max_rounds, ckpt))
+        lp_rounds = (
+            min(max_rounds, _AUTO_LP_ROUNDS) if impl == "auto" else max_rounds
         )
-    # labels are still moving: some component has diameter > max_rounds
-    # and its far nodes hold INTERMEDIATE labels. Returning them
-    # silently would hand dedup.cluster wrong components and break
-    # sample.holdout's no-straddle guarantee (two linked docs with
-    # different labels can land on different sides) — fail fast instead.
-    raise ValueError(
-        f"label propagation did not converge within max_rounds="
-        f"{max_rounds}: a near-dup component has a chain diameter "
-        f"above that. Raise max_rounds to >= the component diameter "
-        f"(longest pair-chain hops; the quiet confirmation round is "
-        f"free), or use cc_impl='auto'/'star'."
-    )
+        labels, converged = _lp_labels(pairs, lp_rounds, ckpt)
+        if converged:
+            return ckpt.finish(labels)
+        if impl == "auto":
+            # deep component: reroute to the diameter-independent
+            # algorithm. The caller's max_rounds was sized for
+            # propagation (~diameter); star needs ~log2(component size)
+            # rounds, so floor the bound at 32 — enough for any
+            # physically possible component.
+            return ckpt.finish(
+                _star_components(pairs, max(max_rounds, 32), ckpt)
+            )
+        # labels are still moving: some component has diameter >
+        # max_rounds and its far nodes hold INTERMEDIATE labels.
+        # Returning them silently would hand dedup.cluster wrong
+        # components and break sample.holdout's no-straddle guarantee
+        # (two linked docs with different labels can land on different
+        # sides) — fail fast instead.
+        raise ValueError(
+            f"label propagation did not converge within max_rounds="
+            f"{max_rounds}: a near-dup component has a chain diameter "
+            f"above that. Raise max_rounds to >= the component diameter "
+            f"(longest pair-chain hops; the quiet confirmation round is "
+            f"free), or use cc_impl='auto'/'star'."
+        )
+    except BaseException:
+        ckpt.abort()
+        raise
 
 
 def _lp_labels(
@@ -765,9 +809,11 @@ def dedup_cluster(spark: SparkSession, inputs, config, context):
     impossible here because each round references the previous frame
     multiple times, so carried lineage grows geometrically (see
     _CCCheckpointer). Outputs land in
-    ``<checkpoint_dir>/cc_rounds/final`` and per-round scratch is
-    pruned; use one directory per invocation (the returned frames read
-    from it lazily) and remove it after consuming the outputs.
+    ``<checkpoint_dir>/cc_rounds/i<N>/final`` (N = per-invocation
+    counter, so the directory is safely SHAREABLE across invocations —
+    a second run never clobbers frames the first run still reads
+    lazily) and per-round scratch is pruned, on failure entirely;
+    remove the directory after consuming the outputs.
 
     Returns {'components': (id, component), 'out': one surviving row per
     component (min id), 'labels': the dup-volume propagated (x, comp)

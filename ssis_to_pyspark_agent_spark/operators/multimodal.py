@@ -239,8 +239,14 @@ def decode_png_pixels(payload: bytes) -> dict[str, Any]:
         # crafted IDAT can expand ~1000x past its declared dimensions. Cap
         # the output at expect+1 so an oversize stream costs one extra
         # byte, not a multi-GB executor allocation (ADVICE round 8).
-        raw = zlib.decompressobj().decompress(b"".join(idat), expect + 1)
-        if len(raw) != expect:
+        # Strictness preserved from the uncapped zlib.decompress days
+        # (ADVICE round 9): the stream must TERMINATE (eof — a truncated
+        # deflate body is corrupt, not short) with nothing after the
+        # adler32 trailer (unused_data — trailing garbage in IDAT is
+        # corrupt, not ignorable).
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expect + 1)
+        if len(raw) != expect or not d.eof or d.unused_data:
             return bad
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
         ftypes = rows[:, 0]
@@ -1086,10 +1092,21 @@ def frame_sample(spark: SparkSession, inputs, config, context) -> DataFrame:
         )
 
         def gif_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # Pass-through columns are carried by POSITIONAL take on the
+            # incoming pdf (row index repeated once per frame), never by
+            # rebuilding rows through iterrows()+dicts: the dict
+            # round-trip re-infers every dtype, so a null in an int
+            # pass-through column became float64 NaN and could break the
+            # cast back to the declared schema (round-8 ADVICE item).
+            frame_keys = ("frame_idx", "left", "top", "width", "height",
+                          "channels", "pixels")
+            frame_cols = ["frame_idx", "frame_left", "frame_top",
+                          "frame_width", "frame_height", "frame_channels",
+                          "frame"]
             for pdf in it:
-                rows = []
-                for _, r in pdf.iterrows():
-                    b = r[bin_col]
+                take: list[int] = []
+                extra: list[list] = [[] for _ in frame_cols]
+                for pos, b in enumerate(pdf[bin_col]):
                     frames = decode_gif_frames(
                         bytes(b) if b is not None else b"")
                     if n_cap and len(frames) > n_cap:
@@ -1098,19 +1115,15 @@ def frame_sample(spark: SparkSession, inputs, config, context) -> DataFrame:
                         frames = [frames[int(j * step)]
                                   for j in range(n_cap)]
                     for fr in frames:
-                        rows.append({
-                            **r, "frame_idx": fr["frame_idx"],
-                            "frame_left": fr["left"],
-                            "frame_top": fr["top"],
-                            "frame_width": fr["width"],
-                            "frame_height": fr["height"],
-                            "frame_channels": fr["channels"],
-                            "frame": fr["pixels"],
-                        })
-                cols = list(pdf.columns) + [
-                    "frame_idx", "frame_left", "frame_top", "frame_width",
-                    "frame_height", "frame_channels", "frame"]
-                yield pd.DataFrame(rows, columns=cols)
+                        take.append(pos)
+                        for vals, k in zip(extra, frame_keys):
+                            vals.append(fr[k])
+                out = pdf.iloc[take].reset_index(drop=True)
+                for col, vals in zip(frame_cols, extra):
+                    # 'frame' holds bytes -> object; the rects are ints
+                    dtype = object if col == "frame" else "int64"
+                    out[col] = pd.Series(vals, dtype=dtype)
+                yield out
 
         return df.mapInPandas(gif_batches, schema=out_schema)
     n = config.get("n", 4)

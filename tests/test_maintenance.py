@@ -76,6 +76,54 @@ class TestSwapCompacted:
         assert spark.read.parquet(path).count() == 100
         assert not os.path.exists(path + "._compact_old")
 
+    def test_rollback_failure_names_recovery_path(self, spark, tmp_path):
+        """round-9 verdict item 5 / ADVICE: the rollback rename itself is
+        CHECKED — if restoring the moved-aside original fails (e.g. a
+        concurrent writer recreated ``path``), the error must NOT claim
+        'original dataset restored'; it names the ``._<label>_old``
+        location where the data actually resides. Pinned at the
+        ``_rollback`` seam with stub filesystems (the real FS can't be
+        interrupted between the move-aside and the rollback)."""
+        from ssis_to_pyspark_agent_spark.fs import _rollback
+
+        back_str = "/data/ds._compact_old"
+
+        class RenameFalse:
+            def rename(self, a, b):
+                return False
+
+            def exists(self, p):
+                return False
+
+        class RenameThrows:
+            def rename(self, a, b):
+                raise RuntimeError("dst exists")
+
+        class RenameLies:  # returns true but root still missing
+            def rename(self, a, b):
+                return True
+
+            def exists(self, p):
+                return False
+
+        for fs in (RenameFalse(), RenameThrows(), RenameLies()):
+            with pytest.raises(IOError, match="NOT restored") as ei:
+                _rollback(fs, "back", "root", "compact", "/data/ds",
+                          back_str)
+            # the message names where the original actually resides
+            assert back_str in str(ei.value)
+            assert "restored intact" not in str(ei.value).split(back_str)[0]
+
+        class RenameOk:
+            def rename(self, a, b):
+                return True
+
+            def exists(self, p):
+                return True
+
+        _rollback(RenameOk(), "back", "root", "compact", "/data/ds",
+                  back_str)  # happy path: no raise
+
     def test_none_snapshot_skips_guard(self, spark, tmp_path):
         from ssis_to_pyspark_agent_spark.fs import swap_compacted
 

@@ -2411,6 +2411,37 @@ class TestGifPixelDecode:
                      binary_col="payload", mode="gif", n=2).collect()
         assert sorted(r.frame_idx for r in capped) == [0, 2]
 
+    def test_frame_sample_gif_null_int_passthrough(self, spark):
+        """Pass-through columns survive gif-mode explosion with their
+        dtypes and NULLS intact (round-8 ADVICE item): the old
+        iterrows()+dict rebuild re-inferred every dtype, so a null in an
+        int pass-through column became float64 NaN on the way back to
+        the declared schema. Rows are now carried by positional take on
+        the Arrow batch — an int column with a null round-trips as an
+        int column with a null."""
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        pal = bytes(rng.randint(0, 256, 4 * 3, dtype=np.uint8))
+        idx = bytes(rng.randint(0, 4, 2 * 2, dtype=np.uint8))
+        gif = _gif_encode(idx, 2, 2, pal, frames=3)
+        df = spark.createDataFrame(
+            [(1, 7, bytearray(gif)), (2, None, bytearray(gif))],
+            "id int, flag int, payload binary",
+        )
+        out = run("media.frame_sample", spark, [df], binary_col="payload",
+                  mode="gif")
+        assert dict(out.dtypes)["flag"] == "int"
+        got = out.select("id", "flag", "frame_idx").collect()
+        assert len(got) == 6  # 2 docs x 3 frames
+        assert {(r.id, r.flag) for r in got} == {(1, 7), (2, None)}
+        # empty batches (all-junk partition) keep the schema too
+        junk = spark.createDataFrame(
+            [(3, None, bytearray(b"junk"))], "id int, flag int, payload binary")
+        empty = run("media.frame_sample", spark, [junk],
+                    binary_col="payload", mode="gif")
+        assert empty.count() == 0 and dict(empty.dtypes)["flag"] == "int"
+
     def test_spark_decoder_gif_mode(self, spark):
         import numpy as np
 
@@ -2530,6 +2561,35 @@ class TestPngPixelDecode:
         # out-of-range palette index fails loudly
         bad = self._dec(_png_encode(idx, 3, [0], plte=pal[:9]))
         assert bad["ok"] is False and bad["pixels"] is None
+
+    def test_trailing_garbage_and_truncated_stream_rejected(self):
+        """Strictness preserved across the r9 bounded-inflate switch
+        (round-9 ADVICE item): trailing garbage AFTER a correctly-sized
+        deflate stream in IDAT is corrupt (the uncapped zlib.decompress
+        used to raise on it; decompressobj silently ignores it unless
+        unused_data is checked), and a TRUNCATED stream that happens to
+        yield exactly the expected bytes (no eof) is corrupt too."""
+        import struct
+        import zlib
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d)))
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 gray
+        raw = b"\x00\x0a\x14" b"\x00\x1e\x28"
+
+        def png_with_idat(idat):
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+        assert self._dec(png_with_idat(zlib.compress(raw)))["ok"] is True
+        garbage = self._dec(png_with_idat(zlib.compress(raw) + b"EXTRA"))
+        assert garbage["ok"] is False and garbage["pixels"] is None
+        # strip the 4-byte adler trailer + final-block terminator: same
+        # output bytes, but the stream never terminates -> not eof
+        trunc = self._dec(png_with_idat(zlib.compress(raw)[:-5]))
+        assert trunc["ok"] is False
 
     def test_zlib_bomb_bounded(self):
         """A crafted IDAT that inflates far past the declared dimensions
@@ -3035,10 +3095,67 @@ class TestSampleModes:
             got = sorted(
                 (r.id, r.comp) for r in out["components"].collect())
             assert got == want, impl
-            # scratch pruned: cc_rounds holds exactly the final dataset
-            assert os.listdir(os.path.join(d, "cc_rounds")) == ["final"]
+            # scratch pruned: the invocation namespace holds exactly the
+            # final dataset (r9 ADVICE: scratch is per-invocation now)
+            assert os.listdir(os.path.join(d, "cc_rounds")) == ["i0001"]
+            assert os.listdir(
+                os.path.join(d, "cc_rounds", "i0001")) == ["final"]
         # default path never touches a checkpoint directory
         assert not os.path.exists(str(tmp_path / "never"))
+
+    def test_cluster_checkpoint_dir_shared_invocations(self, spark, tmp_path):
+        """Two cc invocations sharing ONE checkpoint_dir (natural: same
+        config key across a plan) must not clobber each other — the
+        second run writes its own i0002 namespace while the FIRST run's
+        returned frames, collected only afterwards, still lazily read
+        i0001/final with the right components (round-9 ADVICE item:
+        previously the shared cc_rounds/final was overwritten and the
+        first frame silently yielded the second graph's labels)."""
+        import os
+
+        d = str(tmp_path / "shared")
+        docs1 = spark.createDataFrame([(i,) for i in range(6)], "id long")
+        pairs1 = spark.createDataFrame(
+            [(0, 1), (1, 2), (3, 4)], "a long, b long")
+        first = run("dedup.cluster", spark, [docs1, pairs1], id_col="id",
+                    checkpoint_dir=d)
+        # second invocation, same dir, DIFFERENT graph — collect it first
+        docs2 = spark.createDataFrame([(i,) for i in range(4)], "id long")
+        pairs2 = spark.createDataFrame([(2, 3)], "a long, b long")
+        second = run("dedup.cluster", spark, [docs2, pairs2], id_col="id",
+                     checkpoint_dir=d)
+        assert sorted((r.id, r.comp)
+                      for r in second["components"].collect()) == \
+            [(0, 0), (1, 1), (2, 2), (3, 2)]
+        # NOW collect the first run's lazy frames: must still be graph 1
+        assert sorted((r.id, r.comp)
+                      for r in first["components"].collect()) == \
+            [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5)]
+        assert sorted(os.listdir(os.path.join(d, "cc_rounds"))) == \
+            ["i0001", "i0002"]
+
+    def test_cc_failure_prunes_checkpoint_scratch(self, spark, tmp_path):
+        """When the cc loop FAILS (lp non-convergence here), finish()
+        never runs — the invocation's round scratch must be deleted
+        before the raise, so repeated failed runs don't accumulate
+        dup-volume-sized parquet dirs (round-9 ADVICE item). Only the
+        failed invocation's namespace goes; a prior successful one
+        stays."""
+        import os
+
+        d = str(tmp_path / "failck")
+        docs = spark.createDataFrame([(i,) for i in range(12)], "id long")
+        ok_pairs = spark.createDataFrame([(0, 1)], "a long, b long")
+        kept = run("dedup.cluster", spark, [docs, ok_pairs], id_col="id",
+                   checkpoint_dir=d)
+        kept["components"].collect()
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)], "a long, b long")
+        with pytest.raises(ValueError, match="did not converge"):
+            run("dedup.cluster", spark, [docs, chain], id_col="id",
+                cc_impl="lp", max_rounds=2, checkpoint_dir=d)
+        # i0002 (the failed run) pruned entirely; i0001 intact
+        assert sorted(os.listdir(os.path.join(d, "cc_rounds"))) == ["i0001"]
 
     def test_balanced_empty_quota_dict_raises(self, spark):
         # quota={} with no default_quota caps nothing — a config error,
