@@ -199,6 +199,87 @@ def main():
         )
         r = qtab.agg(F.count(F.lit(1))).collect()[0]
         extra = f"survivors={r[0]}"
+    elif stage in ("ext_new", "ext_old"):
+        # External-train A/B (round-10, round-9 verdict item 4): train =
+        # a same-shape Zipf corpus with a DIFFERENT salt, so the doc
+        # stream carries real OOV grams (different Zipf tails) alongside
+        # shared boilerplate/head grams. ext_old inlines the
+        # pre-round-10 plan verbatim (doc stream joins counts on _g,
+        # then ctx_tab on _ctx — TWO stream-sized join-backs); ext_new
+        # runs the operator (score precomputed train-side, ONE stream
+        # join on _g + the quantization-floor-pruned OOV ctx table).
+        # Checksums (grams/bits/oov) must match bit-exactly.
+        from ssis_to_pyspark_agent_spark.operators.text import (
+            LM_ILOG, LM_QGRID)
+
+        train = (
+            spark.range(n_docs)
+            .repartition(64)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.regexp_replace(
+                    _zipf_lines_expr(10, 8, vocab=50_000, salt=22,
+                                     boiler=BOILER),
+                    "\n", " ",
+                ).alias("text"),
+            )
+            .persist()
+        )
+        train.count()
+        t0 = time.perf_counter()  # time the scoring, not the rigs
+        if stage == "ext_new":
+            out = get_operator("text.lm_score")(
+                spark, [docs, train],
+                {"id_col": "doc_id", "text_col": "text", "n": 2}, {})
+        else:
+            tg = train.select(
+                F.explode(gram_ctx_pairs("text")).alias("_p")
+            ).select("_p._g", "_p._ctx")
+            counts = tg.groupBy("_g", "_ctx").agg(
+                F.count(F.lit(1)).alias("_c"))
+            ctx_tab = counts.groupBy("_ctx").agg(F.sum("_c").alias("_cc"))
+            tw = train.select(
+                F.explode(_words(F.col("text"))).alias("_w")
+            ).filter(F.col("_w") != "")
+            vocab = tw.agg(
+                F.count_distinct(F.xxhash64(F.col("_w"))).alias("_v"))
+            dg = docs.select(
+                F.col("doc_id").alias("_id"),
+                F.explode(gram_ctx_pairs("text")).alias("_p"),
+            ).select("_id", "_p._g", "_p._ctx")
+            joined = (
+                dg.join(counts.select("_g", "_c"), "_g", "left")
+                .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+                .join(ctx_tab, "_ctx", "left")
+                .withColumn("_cc", F.coalesce(F.col("_cc"), F.lit(0)))
+            )
+            scored = (
+                joined.crossJoin(F.broadcast(vocab))
+                .withColumn(
+                    "_q",
+                    F.least(
+                        F.lit(LM_QGRID),
+                        F.greatest(
+                            F.lit(1),
+                            F.expr(
+                                f"((_c + 1) * {LM_QGRID}) div (_cc + _v)"
+                            ).cast("int"))))
+                .withColumn(
+                    "_bits", F.element_at(F.lit(LM_ILOG), F.col("_q")))
+            )
+            per_doc = scored.groupBy("_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("lm_ngrams"),
+                F.sum(F.when(F.col("_c") == 0, 1).otherwise(0))
+                .cast("bigint").alias("lm_oov"),
+                F.sum("_bits").cast("bigint").alias("lm_bits_fp"),
+            )
+            out = docs.join(
+                per_doc.withColumnRenamed("_id", "doc_id"),
+                "doc_id", "left")
+        r = out.agg(
+            F.sum("lm_ngrams"), F.sum("lm_bits_fp"), F.sum("lm_oov")
+        ).collect()[0]
+        extra = f"grams={r[0]} bits={r[1]} oov={r[2]}"
     elif stage == "vocab":
         tw = docs.select(F.explode(_words(F.col("text"))).alias("_w")).filter(
             F.col("_w") != "")
