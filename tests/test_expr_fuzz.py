@@ -237,3 +237,108 @@ def test_datetime_function_round_trip(spark):
         if sv != dv:
             bad.append((ssis, d, sv, dv))
     assert not bad, bad[:2]
+
+
+class TestOraclePrefixFilterEquivalence:
+    """The q31/q32 DuckDB oracles generate candidate pairs with the
+    AllPairs prefix bound (round-10) instead of brute-force all-pairs.
+    The bound is recall-complete for exact Jaccard at the threshold, so
+    the filtered and brute-force oracles must return IDENTICAL results
+    on any corpus — pinned here on seeded random corpora (boilerplate
+    clones + shuffles + noise) without Spark, so the oracle SQL itself
+    is guarded, not just the engine-vs-oracle agreement."""
+
+    NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+    SHINGLE = """
+      list_distinct(list_transform(
+        range(1, greatest(len(words) - 2, 1) + 1),
+        i -> array_to_string(words[i:i+2], ' ')))
+    """
+
+    def _corpus(self, seed, n=90):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{k}" for k in range(40)]
+        rows = []
+        for i in range(n):
+            if i % 7 == 1:
+                # near-clone of the previous doc: drop/append one word
+                base = rows[-1][1].split()
+                if rng.random() < 0.5 and len(base) > 4:
+                    base = base[:-1]
+                else:
+                    base = base + [rng.choice(vocab)]
+                rows.append((i, " ".join(base)))
+            else:
+                L = rng.randrange(4, 24)
+                rows.append(
+                    (i, " ".join(rng.choice(vocab) for _ in range(L))))
+        return rows
+
+    def _con(self, rows):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        con.execute(
+            "ALTER TABLE documents ADD COLUMN n_chars INT")
+        con.execute("UPDATE documents SET n_chars = len(text)")
+        return con
+
+    def _common(self):
+        return f"""
+        WITH docs AS (SELECT doc_id, n_chars,
+                             string_split({self.NORM}, ' ') AS words
+                      FROM documents),
+        sh AS (SELECT doc_id, n_chars, {self.SHINGLE} AS shingles
+               FROM docs)
+        """
+
+    def _prefix_pairs(self, t):
+        # the oracle's candidate CTEs, parameterized by threshold
+        return f"""
+        , tok AS (SELECT doc_id, n_chars, len(shingles) AS sz,
+                         unnest(shingles) AS s FROM sh),
+        dfreq AS (SELECT s, COUNT(*) AS df FROM tok GROUP BY s),
+        pref AS (
+          SELECT doc_id, n_chars, sz, s FROM (
+            SELECT tk.doc_id, tk.n_chars, tk.s, tk.sz,
+                   row_number() OVER (PARTITION BY tk.doc_id
+                                      ORDER BY d.df, tk.s) AS rn
+            FROM tok tk JOIN dfreq d USING (s))
+          WHERE rn <= sz - ceil(sz * {t} - 1e-9) + 1),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM pref a JOIN pref b
+            ON a.s = b.s AND a.doc_id < b.doc_id)
+        SELECT c.a, c.b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / (len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles))) >= {t}
+        ORDER BY a, b
+        """
+
+    def _brute_pairs(self, t):
+        return f"""
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= {t}
+        ORDER BY a, b
+        """
+
+    @pytest.mark.parametrize("seed", [3, 11, 42])
+    @pytest.mark.parametrize("t", [0.5, 0.7, 0.9])
+    def test_prefix_filter_recall_complete(self, seed, t):
+        con = self._con(self._corpus(seed))
+        brute = con.execute(self._common() + self._brute_pairs(t)).fetchall()
+        pref = con.execute(
+            self._common() + self._prefix_pairs(t)).fetchall()
+        assert len(brute) > 0  # the clone rule guarantees true pairs
+        assert pref == brute
