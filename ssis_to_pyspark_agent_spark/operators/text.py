@@ -1335,16 +1335,17 @@ def lm_score(spark: SparkSession, inputs, config, context) -> DataFrame:
     all-boilerplate corpus the surviving table is genuinely large and
     AQE falls back to the SMJ plan — graceful, not wrong. With an
     external train corpus nothing is inferable from absence (and
-    c == 0 must stay visible as lm_oov), so the PER-GRAM table cannot
-    be pruned — but (round-10, verdict item 4) the score is
-    precomputed train-side (counts ⋈ ctx ⋈ V — counts-sized work,
-    every counts row's _ctx is in ctx_tab by construction), so the doc
-    stream joins the stats ONCE on the gram hash instead of twice
-    (_g then _ctx), and the OOV path's context lookup prunes by the
-    same quantization-floor argument to rows where QGRID div (cc+V)
-    differs from the cc=0 fallback QGRID div V — an EMPTY table
-    whenever V >= QGRID (both floor to 1), so the second join
-    degenerates to a broadcast against nothing.
+    c == 0 must stay visible as lm_oov), so that mode keeps the two
+    join-backs (c -> 0, cc -> 0) un-pruned. A round-10 restructure
+    (precompute q train-side so the stream joins stats once; prune the
+    OOV ctx lookup by the quantization floor) was built, verified
+    bit-identical, MEASURED, and reverted: fresh-session alternating
+    A/Bs at 2M docs lost in every regime — n=2 wash inside host noise,
+    n=3 train=docs mins 254.5s vs 238.8s old, n=3 docs=10x train (the
+    CCNet shape) 63.4s vs 56.5s old — because the stream explode +
+    per-doc aggregate is the floor and the fused stats build re-shuffles
+    the gram-sized counts on the skewed _ctx; tools/lm_decomp.py
+    ext_old/ext_new keeps the harness (PLANS.md round-10).
     stats_broadcast='auto' runs ONE counts-sized probe job at
     invocation and broadcasts the (pruned) stats table explicitly —
     the belt-and-suspenders cluster option where AQE statistics are
@@ -1538,54 +1539,25 @@ def lm_score(spark: SparkSession, inputs, config, context) -> DataFrame:
             F.col(id_col).alias("_id"),
             F.explode(gram_ctx_pairs(text_col)).alias("_p"),
         ).select("_id", "_p._g", "_p._ctx")
-        # External-train restructure (round-10, verdict item 4): the old
-        # plan paid TWO stream-sized join-backs (counts on _g, then
-        # ctx_tab on _ctx). The per-gram score is a pure function of
-        # (c, cc, V), and every counts row's _ctx IS in ctx_tab (it is a
-        # groupBy over counts), so the quantized score is PRECOMPUTED on
-        # the train side (counts-sized join, never stream-sized) and the
-        # stream joins stats ONCE on _g. The cc lookup then matters only
-        # for OOV grams (stats-join misses, c == 0), where
-        # q = QGRID div (cc + V) clamped to >= 1 — and by the same
-        # quantization-floor argument as the self-trained prune, a ctx
-        # row is kept only when that q DIFFERS from the cc=0 fallback
-        # QGRID div V: with V >= QGRID both floor to 1, so the surviving
-        # table is EMPTY and the second stream join is a broadcast
-        # against nothing (AQE sees the post-shuffle size). lm_oov stays
-        # exact: it counts stats-join misses, which is precisely c == 0.
-        stats = (
-            counts.join(ctx_tab, "_ctx")
-            .crossJoin(F.broadcast(vocab))
-            .withColumn("_qs", q_row)
-            .select("_g", "_qs")
-        )
-        q_oov_row = _q_col(f"{LM_QGRID} div (_cc + _v)")
-        q_oov_fb = _q_col(f"{LM_QGRID} div _v")
-        octx = (
-            ctx_tab.crossJoin(F.broadcast(vocab))
-            .withColumn("_qo", q_oov_row)
-            .filter(F.col("_qo") != q_oov_fb)
-            .select("_ctx", "_qo")
-        )
-        # ONE probe job (the docstring contract): |octx| <= |ctx_tab| <=
-        # |counts| ~ |stats| by construction, so the stats probe decides
-        # broadcastability for both tables — probing each separately
-        # would re-run the train-side lineage twice
-        s_tab, x_tab = stats, octx
-        if stats_bcast == "auto" and stats.count() <= bcast_rows:
-            s_tab, x_tab = F.broadcast(stats), F.broadcast(octx)
-        scored = (
-            dg.join(s_tab, "_g", "left")
+        # ONE probe job (the docstring contract): |ctx_tab| <= |counts|
+        # by construction (it is a groupBy OVER counts), so the counts
+        # probe decides broadcastability for both tables — probing each
+        # separately would re-run the train-side lineage twice
+        c_tab, x_tab = counts.select("_g", "_c"), ctx_tab
+        if stats_bcast == "auto" and counts.count() <= bcast_rows:
+            c_tab, x_tab = F.broadcast(c_tab), F.broadcast(x_tab)
+        joined = (
+            dg.join(c_tab, "_g", "left")
+            .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
             .join(x_tab, "_ctx", "left")
-            .crossJoin(F.broadcast(vocab))
-            .withColumn(
-                "_q", F.coalesce(F.col("_qs"), F.col("_qo"), q_oov_fb)
-            )
+            .withColumn("_cc", F.coalesce(F.col("_cc"), F.lit(0)))
+        )
+        scored = (
+            joined.crossJoin(F.broadcast(vocab))
+            .withColumn("_q", q_row)
             .withColumn("_bits", F.element_at(F.lit(LM_ILOG), F.col("_q")))
         )
-        oov = F.sum(
-            F.when(F.col("_qs").isNull(), 1).otherwise(0)
-        ).cast("bigint")
+        oov = F.sum(F.when(F.col("_c") == 0, 1).otherwise(0)).cast("bigint")
     per_doc = scored.groupBy("_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("lm_ngrams"),
         oov.alias("lm_oov"),
