@@ -87,6 +87,16 @@ def gram_ctx_pairs(tcol, n=2):
 def main():
     stage = sys.argv[1]
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    # LM order for the ext_* stages: n=2 contexts are unigrams (~vocab
+    # rows, AQE already broadcast the old plan's ctx join), n=3 contexts
+    # are bigrams (gram-sized ctx_tab — the regime the round-10
+    # restructure targets: the old plan's second join-back is a
+    # stream-sized SMJ there)
+    order = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    # train-corpus size for ext_* (default: same as docs). The
+    # deployment shape external-train exists for is CCNet scoring:
+    # train = a small clean corpus, docs = the crawl (docs >> train).
+    train_docs = int(sys.argv[4]) if len(sys.argv) > 4 else n_docs
     spark = get_spark(
         extra_conf={"spark.ui.showConsoleProgress": "false"})
     docs = corpus(spark, n_docs)
@@ -213,7 +223,7 @@ def main():
             LM_ILOG, LM_QGRID)
 
         train = (
-            spark.range(n_docs)
+            spark.range(train_docs)
             .repartition(64)
             .select(
                 F.col("id").alias("doc_id"),
@@ -230,10 +240,10 @@ def main():
         if stage == "ext_new":
             out = get_operator("text.lm_score")(
                 spark, [docs, train],
-                {"id_col": "doc_id", "text_col": "text", "n": 2}, {})
+                {"id_col": "doc_id", "text_col": "text", "n": order}, {})
         else:
             tg = train.select(
-                F.explode(gram_ctx_pairs("text")).alias("_p")
+                F.explode(gram_ctx_pairs("text", order)).alias("_p")
             ).select("_p._g", "_p._ctx")
             counts = tg.groupBy("_g", "_ctx").agg(
                 F.count(F.lit(1)).alias("_c"))
@@ -245,7 +255,7 @@ def main():
                 F.count_distinct(F.xxhash64(F.col("_w"))).alias("_v"))
             dg = docs.select(
                 F.col("doc_id").alias("_id"),
-                F.explode(gram_ctx_pairs("text")).alias("_p"),
+                F.explode(gram_ctx_pairs("text", order)).alias("_p"),
             ).select("_id", "_p._g", "_p._ctx")
             joined = (
                 dg.join(counts.select("_g", "_c"), "_g", "left")
@@ -290,7 +300,8 @@ def main():
     else:
         raise SystemExit(f"unknown stage {stage}")
     dt = time.perf_counter() - t0
-    print(f"LM_DECOMP stage={stage} n={n_docs} t={dt:.1f}s {extra}")
+    print(f"LM_DECOMP stage={stage} n={n_docs} order={order} "
+          f"train={train_docs} t={dt:.1f}s {extra}")
 
 
 if __name__ == "__main__":
