@@ -55,6 +55,99 @@ def compact(spark: SparkSession, inputs, config, context) -> DataFrame:
     return spark.read.parquet(path)
 
 
+@operator("maintenance.vacuum")
+def vacuum(spark: SparkSession, inputs, config, context) -> DataFrame:
+    """Age-guarded cleanup of the scratch this engine's own machinery
+    accumulates next to live datasets: failed-swap move-asides
+    (``<ds>._<label>_old`` — after a rollback failure the original
+    data LIVES there, hence the age guard and dry-run default), rewrite
+    temps (``<ds>._*_tmp``), and consumed cc checkpoint scratch
+    (``cc_rounds``, opt-in — the returned frames of a recent
+    dedup.cluster/sample.holdout run still read it lazily).
+
+    config:
+      path             — directory to scan (never itself a candidate)
+      patterns         — fnmatch list matched against BASENAMES;
+                         default ['*._*_old', '*._*_tmp'] (the engine's
+                         own swap scratch; streaming checkpoints and
+                         cc_rounds are live state — opt in explicitly)
+      older_than_hours — age guard on the Hadoop modification time
+                         (default 24; a directory's mtime advances when
+                         children are created, so an in-flight rewrite
+                         is never "old")
+      max_depth        — how deep to look for candidates (default 2:
+                         children + grandchildren — scratch sits next
+                         to each dataset under a warehouse root); never
+                         recurses INTO a matched entry
+      dry_run          — default True: list, don't delete
+
+    Returns a DataFrame (path, size_bytes, modified_ts, deleted) of the
+    candidates — the audit record either way. Pure metadata traffic
+    through the Hadoop FileSystem API (one listStatus per directory
+    level, one delete per stale candidate); no dataset bytes are read,
+    so the cost at 100 TB is the namespace walk, bounded by max_depth.
+
+    Reference has no counterpart (SSIS leaves file hygiene to
+    maintenance plans) — NEW per SURVEY §2.12's lakehouse-maintenance
+    family, closing the loop its own compact/checkpoint scratch opens.
+    """
+    import fnmatch
+    import time as _time
+
+    from ssis_to_pyspark_agent_spark.fs import hadoop_fs
+
+    path = config["path"]
+    patterns = config.get("patterns", ["*._*_old", "*._*_tmp"])
+    if isinstance(patterns, str):
+        patterns = [patterns]
+    if not patterns:
+        raise ValueError("maintenance.vacuum: patterns must be non-empty")
+    hours = float(config.get("older_than_hours", 24))
+    if hours < 0:
+        raise ValueError(
+            f"maintenance.vacuum: older_than_hours must be >= 0, "
+            f"got {hours}")
+    max_depth = int(config.get("max_depth", 2))
+    if max_depth < 1:
+        raise ValueError(
+            f"maintenance.vacuum: max_depth must be >= 1, got {max_depth}")
+    dry_run = config.get("dry_run", True)
+    cutoff_ms = (_time.time() - hours * 3600.0) * 1000.0
+
+    fs, hpath, root = hadoop_fs(spark, path)
+    if not fs.exists(root):
+        raise ValueError(f"maintenance.vacuum: {path} does not exist")
+
+    rows = []
+    frontier = [(root, 1)]
+    while frontier:
+        d, depth = frontier.pop()
+        for st in fs.listStatus(d):
+            p = st.getPath()
+            name = p.getName()
+            if any(fnmatch.fnmatch(name, pat) for pat in patterns):
+                if st.getModificationTime() >= cutoff_ms:
+                    continue  # too fresh — possibly in use
+                size = (
+                    fs.getContentSummary(p).getLength()
+                    if st.isDirectory() else st.getLen()
+                )
+                deleted = False
+                if not dry_run:
+                    deleted = bool(fs.delete(p, True))
+                rows.append((
+                    p.toUri().getPath(), int(size),
+                    int(st.getModificationTime()), deleted,
+                ))
+            elif st.isDirectory() and depth < max_depth:
+                frontier.append((p, depth + 1))
+    return spark.createDataFrame(
+        rows,
+        "path string, size_bytes bigint, modified_ts bigint, "
+        "deleted boolean",
+    )
+
+
 @operator("maintenance.cluster")
 def cluster(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Sort-based clustering for data skipping: range-partition on the

@@ -235,3 +235,91 @@ class TestQualityCheck:
         assert got["n_rows"] == 4
         assert got["name_not_null"] == 1
         assert got["amount_positive"] == 1
+
+
+class TestVacuum:
+    """maintenance.vacuum: age-guarded deletion of the engine's own
+    swap/checkpoint scratch — dry-run default, never the scanned root,
+    never fresh entries, never non-matching siblings."""
+
+    def _mk(self, tmp_path, name, age_hours, files=1):
+        import time
+
+        d = tmp_path / name
+        d.mkdir(parents=True)
+        for i in range(files):
+            (d / f"part-{i}.parquet").write_bytes(b"x" * 10)
+        old = time.time() - age_hours * 3600
+        for p in [d] + list(d.iterdir()):
+            os.utime(p, (old, old))
+        return str(d)
+
+    def test_dry_run_lists_without_deleting(self, spark, tmp_path):
+        self._mk(tmp_path, "ds._compact_old", age_hours=48)
+        self._mk(tmp_path, "ds", age_hours=48)  # live dataset: no match
+        out = run("maintenance.vacuum", spark, [], path=str(tmp_path))
+        rows = out.collect()
+        assert [r.path.rsplit("/", 1)[-1] for r in rows] == \
+            ["ds._compact_old"]
+        assert rows[0].deleted is False and rows[0].size_bytes == 10
+        assert os.path.exists(str(tmp_path / "ds._compact_old"))
+
+    def test_delete_respects_age_and_patterns(self, spark, tmp_path):
+        stale = self._mk(tmp_path, "a._swap_old", age_hours=48)
+        fresh = self._mk(tmp_path, "b._swap_old", age_hours=0)
+        live = self._mk(tmp_path, "dataset", age_hours=300)
+        tmpd = self._mk(tmp_path, "c._rewrite_tmp", age_hours=30)
+        out = run("maintenance.vacuum", spark, [], path=str(tmp_path),
+                  dry_run=False, older_than_hours=24)
+        got = {r.path.rsplit("/", 1)[-1]: r.deleted for r in out.collect()}
+        assert got == {"a._swap_old": True, "c._rewrite_tmp": True}
+        assert not os.path.exists(stale) and not os.path.exists(tmpd)
+        # fresh scratch and the live dataset survive
+        assert os.path.exists(fresh) and os.path.exists(live)
+
+    def test_cc_rounds_opt_in_and_depth(self, spark, tmp_path):
+        # cc scratch sits at <checkpoint_dir>/cc_rounds — one level down
+        # from a warehouse root; default patterns must NOT touch it,
+        # explicit opt-in at max_depth 2 must
+        import time
+
+        ck = tmp_path / "job1" / "cc_rounds"
+        ck.mkdir(parents=True)
+        (ck / "i0001").mkdir()
+        (ck / "i0001" / "final").mkdir()
+        (ck / "i0001" / "final" / "p.parquet").write_bytes(b"y" * 7)
+        old = time.time() - 72 * 3600
+        for p in (ck, ck / "i0001", ck / "i0001" / "final",
+                  ck / "i0001" / "final" / "p.parquet"):
+            os.utime(p, (old, old))
+        out = run("maintenance.vacuum", spark, [], path=str(tmp_path),
+                  dry_run=False)
+        assert out.count() == 0 and os.path.exists(str(ck))
+        out2 = run("maintenance.vacuum", spark, [], path=str(tmp_path),
+                   patterns=["cc_rounds"], dry_run=False)
+        rows = out2.collect()
+        assert len(rows) == 1 and rows[0].deleted is True
+        assert rows[0].size_bytes == 7
+        assert not os.path.exists(str(ck))
+        assert os.path.exists(str(tmp_path / "job1"))
+
+    def test_config_validation(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="does not exist"):
+            run("maintenance.vacuum", spark, [],
+                path=str(tmp_path / "nope"))
+        with pytest.raises(ValueError, match="patterns"):
+            run("maintenance.vacuum", spark, [], path=str(tmp_path),
+                patterns=[])
+        with pytest.raises(ValueError, match="older_than_hours"):
+            run("maintenance.vacuum", spark, [], path=str(tmp_path),
+                older_than_hours=-1)
+        with pytest.raises(ValueError, match="max_depth"):
+            run("maintenance.vacuum", spark, [], path=str(tmp_path),
+                max_depth=0)
+
+    def test_empty_result_schema(self, spark, tmp_path):
+        (tmp_path / "only_live").mkdir()
+        out = run("maintenance.vacuum", spark, [], path=str(tmp_path))
+        assert out.count() == 0
+        assert out.columns == ["path", "size_bytes", "modified_ts",
+                               "deleted"]
