@@ -83,11 +83,17 @@ def swap_compacted(
     back = hpath(back_str)
     if fs.exists(back):
         fs.delete(back, True)
-    if not fs.rename(root, back):
-        raise IOError(f"{label}: could not move {path} aside")
+    move_aside(fs, root, back, label, path)
     if snapshot is not None and list_data_files(fs, back) != snapshot:
-        _rollback(fs, back, root, label, path, back_str)
+        # the compacted copy is missing the appended rows — worthless;
+        # delete it BEFORE attempting the rollback so a rollback failure
+        # can't leak a dataset-sized tmp directory
         fs.delete(hpath(tmp), True)
+        _rollback(
+            fs, back, root, label, path, back_str,
+            reason=f"{label}: {path} changed during compaction "
+                   "(concurrent append?)",
+        )
         raise IOError(
             f"{label}: {path} changed during compaction (concurrent "
             "append?); original dataset restored — rerun when no writer "
@@ -98,13 +104,15 @@ def swap_compacted(
         # source instead of returning false — roll back either way
         swapped = fs.rename(hpath(tmp), root)
     except Exception as exc:
-        _rollback(fs, back, root, label, path, back_str)
+        _rollback(fs, back, root, label, path, back_str,
+                  reason=f"{label}: swap into {path} failed")
         raise IOError(
             f"{label}: could not swap {tmp} into {path}; "
             "original dataset restored"
         ) from exc
     if not swapped:
-        _rollback(fs, back, root, label, path, back_str)
+        _rollback(fs, back, root, label, path, back_str,
+                  reason=f"{label}: swap into {path} failed")
         raise IOError(
             f"{label}: could not swap {tmp} into {path}; "
             "original dataset restored"
@@ -112,27 +120,52 @@ def swap_compacted(
     fs.delete(back, True)
 
 
-def _rollback(fs, back, root, label: str, path: str, back_str: str) -> None:
+def move_aside(fs, root, back, label: str, path: str) -> None:
+    """Rename the live dataset to its ``._<label>_old`` slot and stamp
+    the move-aside's modification time to NOW (best-effort ``setTimes``;
+    some object-store FileSystems don't support it). The stamp matters:
+    rename preserves the inode's mtime, so a move-aside created seconds
+    ago would otherwise carry the dataset's last-write time — and
+    ``maintenance.vacuum``'s age guard would treat a fresh failed-swap
+    move-aside (possibly the ONLY copy of the data after a rollback
+    failure) as weeks-old garbage (round-10 self-review)."""
+    if not fs.rename(root, back):
+        raise IOError(f"{label}: could not move {path} aside")
+    try:
+        import time as _time
+
+        fs.setTimes(back, int(_time.time() * 1000), -1)
+    except Exception:
+        # unsupported on this FileSystem — vacuum's dry-run default and
+        # the operator's own age guard remain the safety layers
+        pass
+
+
+def _rollback(fs, back, root, label: str, path: str, back_str: str,
+              reason: str | None = None) -> None:
     """Restore the moved-aside original to ``root`` — CHECKED. A swap
     failure's error message claims 'original dataset restored', so the
     rollback rename must not be assumed to succeed (e.g. a concurrent
     writer recreated ``path`` after the move-aside): if it fails or the
     restored directory is not there afterwards, raise an error that
-    names the ``._<label>_old`` location where the original dataset
-    actually resides instead of the misleading restored claim
-    (round-9 verdict item 5 / ADVICE)."""
+    carries the ORIGINAL failure (``reason`` — a concurrent-append guard
+    trip reads very differently from a failed swap) and names the
+    ``._<label>_old`` location where the original dataset actually
+    resides instead of the misleading restored claim (round-9 verdict
+    item 5 / ADVICE; reason parameterization round-10 self-review)."""
+    why = reason or f"{label}: swap into {path} failed"
     try:
         ok = bool(fs.rename(back, root)) and fs.exists(root)
     except Exception as exc:
         raise IOError(
-            f"{label}: swap into {path} failed AND the rollback rename "
-            f"failed — the original dataset was NOT restored; it resides "
-            f"intact at {back_str}; move it back to {path} manually"
+            f"{why} — AND the rollback rename failed: the original "
+            f"dataset was NOT restored; it resides intact at {back_str}; "
+            f"move it back to {path} manually"
         ) from exc
     if not ok:
         raise IOError(
-            f"{label}: swap into {path} failed AND the rollback rename "
-            f"failed (something recreated {path}?) — the original "
-            f"dataset was NOT restored; it resides intact at {back_str}; "
-            f"move it back to {path} manually"
+            f"{why} — AND the rollback rename failed (something "
+            f"recreated {path}?): the original dataset was NOT restored; "
+            f"it resides intact at {back_str}; move it back to {path} "
+            f"manually"
         )

@@ -497,7 +497,26 @@ class _CCCheckpointer:
                     name = st.getPath().getName()
                     if name.startswith("i") and name[1:].isdigit():
                         last = max(last, int(name[1:]))
-            self.root = f"{base}/i{last + 1:04d}"
+            # CLAIM the namespace eagerly and atomically: list-then-
+            # pick-max+1 alone races (two concurrent invocations sharing
+            # the dir both see last=N before either writes — round-10
+            # self-review). createNewFile -> create(overwrite=False) is
+            # the atomic primitive; an existing claim (or a racing
+            # create's exception) advances to the next index.
+            for i in range(last + 1, last + 1002):
+                cand = f"{base}/i{i:04d}"
+                try:
+                    claimed = fs.createNewFile(hpath(cand + "/.claim"))
+                except Exception:
+                    claimed = False  # raced: someone else created it
+                if claimed:
+                    self.root = cand
+                    break
+            else:
+                raise IOError(
+                    f"could not claim a cc_rounds namespace under "
+                    f"{base} after 1001 attempts"
+                )
 
     def cut(self, df: DataFrame) -> DataFrame:
         self.i += 1

@@ -179,6 +179,20 @@ def resolve_state_partitions(config: dict):
     actually needs."""
     n = config.get("state_partitions")
     if n != "auto":
+        # validate HERE, with the config key named — deferring to the
+        # int() inside _state_partitions raises a bare "invalid literal"
+        # at query-start time, far from the config mistake ('Auto', 2.7,
+        # ... — round-10 self-review). bool is an int subclass; reject.
+        if n is None:
+            return None
+        if isinstance(n, bool) or not isinstance(n, int):
+            raise ValueError(
+                f"state_partitions must be an int or 'auto', got {n!r}"
+            )
+        if n < 1:
+            raise ValueError(
+                f"state_partitions must be >= 1, got {n}"
+            )
         return n
     keys = config.get("expected_live_keys")
     if keys is None:

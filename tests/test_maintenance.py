@@ -323,3 +323,70 @@ class TestVacuum:
         assert out.count() == 0
         assert out.columns == ["path", "size_bytes", "modified_ts",
                                "deleted"]
+
+
+class TestMoveAsideStamp:
+    def test_move_aside_stamps_mtime_now(self, spark, tmp_path):
+        """rename preserves the inode mtime, so a fresh failed-swap
+        move-aside would look as old as the dataset's last write and
+        maintenance.vacuum's age guard would delete the ONLY copy of
+        the data (round-10 self-review). move_aside re-stamps the
+        moved dir to NOW (best-effort setTimes)."""
+        import time
+
+        from ssis_to_pyspark_agent_spark.fs import hadoop_fs, move_aside
+
+        ds = tmp_path / "ds"
+        ds.mkdir()
+        (ds / "p.parquet").write_bytes(b"x" * 4)
+        old = time.time() - 10 * 86400
+        for p in (ds, ds / "p.parquet"):
+            os.utime(p, (old, old))
+        fs, hpath, root = hadoop_fs(spark, str(ds))
+        back = hpath(str(tmp_path / "ds._compact_old"))
+        move_aside(fs, root, back, "compact", str(ds))
+        got = os.path.getmtime(str(tmp_path / "ds._compact_old"))
+        assert abs(got - time.time()) < 60  # stamped, not inherited
+
+    def test_vacuum_spares_fresh_real_move_aside(self, spark, tmp_path):
+        """End-to-end: a move-aside of a WEEKS-old dataset created via
+        move_aside minutes ago must survive a non-dry-run vacuum with
+        the default 24h guard."""
+        import time
+
+        from ssis_to_pyspark_agent_spark.fs import hadoop_fs, move_aside
+
+        ds = tmp_path / "ds"
+        ds.mkdir()
+        (ds / "p.parquet").write_bytes(b"x" * 4)
+        old = time.time() - 10 * 86400
+        for p in (ds, ds / "p.parquet"):
+            os.utime(p, (old, old))
+        fs, hpath, root = hadoop_fs(spark, str(ds))
+        move_aside(fs, root, hpath(str(tmp_path / "ds._swap_old")),
+                   "swap", str(ds))
+        out = run("maintenance.vacuum", spark, [], path=str(tmp_path),
+                  dry_run=False)
+        assert out.count() == 0
+        assert os.path.exists(str(tmp_path / "ds._swap_old"))
+
+    def test_mismatch_rollback_failure_names_guard_reason(self):
+        """The snapshot-mismatch branch's rollback failure must carry
+        the concurrent-append diagnosis, not a 'swap failed' claim —
+        the incident response differs (round-10 self-review)."""
+        from ssis_to_pyspark_agent_spark.fs import _rollback
+
+        class RenameFalse:
+            def rename(self, a, b):
+                return False
+
+            def exists(self, p):
+                return False
+
+        with pytest.raises(IOError, match="concurrent append") as ei:
+            _rollback(RenameFalse(), "b", "r", "compact", "/d/ds",
+                      "/d/ds._compact_old",
+                      reason="compact: /d/ds changed during compaction "
+                             "(concurrent append?)")
+        assert "swap into" not in str(ei.value)
+        assert "NOT restored" in str(ei.value)

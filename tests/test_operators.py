@@ -3096,10 +3096,16 @@ class TestSampleModes:
                 (r.id, r.comp) for r in out["components"].collect())
             assert got == want, impl
             # scratch pruned: the invocation namespace holds exactly the
-            # final dataset (r9 ADVICE: scratch is per-invocation now)
+            # final dataset + its atomic claim marker (r9 ADVICE:
+            # scratch is per-invocation; r10 self-review: claimed
+            # eagerly via createNewFile so concurrent invocations can't
+            # pick the same index)
             assert os.listdir(os.path.join(d, "cc_rounds")) == ["i0001"]
-            assert os.listdir(
-                os.path.join(d, "cc_rounds", "i0001")) == ["final"]
+            # ignore the local ChecksumFileSystem's .crc sidecars
+            assert sorted(
+                n for n in os.listdir(os.path.join(d, "cc_rounds", "i0001"))
+                if not n.endswith(".crc")
+            ) == [".claim", "final"]
         # default path never touches a checkpoint directory
         assert not os.path.exists(str(tmp_path / "never"))
 
@@ -3156,6 +3162,28 @@ class TestSampleModes:
                 cc_impl="lp", max_rounds=2, checkpoint_dir=d)
         # i0002 (the failed run) pruned entirely; i0001 intact
         assert sorted(os.listdir(os.path.join(d, "cc_rounds"))) == ["i0001"]
+
+    def test_cc_namespace_claimed_eagerly(self, spark, tmp_path):
+        """The iNNNN namespace is CLAIMED at construction via an atomic
+        createNewFile — two checkpointers built back-to-back (before
+        either writes a round) must land on different subdirs, and a
+        stray claim file alone (a racing invocation that hasn't written
+        rounds yet) must push the next index along."""
+        import os
+
+        from ssis_to_pyspark_agent_spark.operators.dedup import (
+            _CCCheckpointer,
+        )
+
+        d = str(tmp_path / "race")
+        a = _CCCheckpointer(spark, d)
+        b = _CCCheckpointer(spark, d)
+        assert a.root != b.root
+        assert sorted(os.listdir(os.path.join(d, "cc_rounds"))) == \
+            ["i0001", "i0002"]
+        # a third sees both claims even though neither wrote rounds
+        c = _CCCheckpointer(spark, d)
+        assert c.root.endswith("i0003")
 
     def test_balanced_empty_quota_dict_raises(self, spark):
         # quota={} with no default_quota caps nothing — a config error,

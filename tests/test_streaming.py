@@ -393,3 +393,16 @@ def test_state_partitions_auto_end_to_end(spark, batch_events):
     got = {(r.window_start, r.n) for r in out.collect()}
     expect = {(r.window_start, r.n) for r in batch.collect()}
     assert got == expect
+
+
+def test_resolve_state_partitions_rejects_junk():
+    """Non-int, non-None, non-'auto' values are config errors named at
+    the key — not a bare int() ValueError at query-start (round-10
+    self-review)."""
+    from ssis_to_pyspark_agent_spark.streaming.runner import (
+        resolve_state_partitions,
+    )
+
+    for bad in ("Auto", "atuo", 2.7, True, 0, -3):
+        with pytest.raises(ValueError, match="state_partitions"):
+            resolve_state_partitions({"state_partitions": bad})
