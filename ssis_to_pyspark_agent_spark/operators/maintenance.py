@@ -72,9 +72,13 @@ def vacuum(spark: SparkSession, inputs, config, context) -> DataFrame:
                          own swap scratch; streaming checkpoints and
                          cc_rounds are live state — opt in explicitly)
       older_than_hours — age guard on the Hadoop modification time
-                         (default 24; a directory's mtime advances when
-                         children are created, so an in-flight rewrite
-                         is never "old")
+                         (default 24). Meaningful for the engine's own
+                         scratch BECAUSE fs.move_aside re-stamps each
+                         move-aside to its creation time — a bare
+                         rename preserves the dataset's last-write
+                         mtime, which would make a seconds-old
+                         move-aside look weeks old; tmp dirs carry
+                         their write time naturally.
       max_depth        — how deep to look for candidates (default 2:
                          children + grandchildren — scratch sits next
                          to each dataset under a warehouse root); never
