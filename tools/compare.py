@@ -176,6 +176,15 @@ def main() -> int:
             shuffle_partitions=8,
         )
     con = duckdb.connect()
+    # The heavy oracles (q31/q32 shingle-list builds at sf1) exceed RAM
+    # when anything else is resident — an in-memory DuckDB has no spill
+    # location by default and dies with a bad-allocation OOM. Give it
+    # one, plus an optional cap so the Spark JVM keeps its headroom.
+    spill = os.environ.get("COMPARE_DUCKDB_TMP", "/tmp/duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    if lim := os.environ.get("COMPARE_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{lim}'")
     for t in TABLES:
         pat = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(pat):
