@@ -284,6 +284,13 @@ def test_state_partitions_parquet_sink(spark, tmp_path, batch_events):
         {},
     )
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # the override actually LANDED in the state store layout — .start()
+    # clones the session synchronously, so restoring the conf right
+    # after it cannot race the streaming thread's capture (probed
+    # empirically round-10; this pins it)
+    state0 = tmp_path / "ckpt" / "state" / "0"
+    part_dirs = [p.name for p in state0.iterdir() if p.name != "_metadata"]
+    assert sorted(part_dirs) == ["0", "1"]
     batch = windowed_agg(
         batch_events, ts_col="ts", window="10 minutes",
         aggs={"n": ("count", "*")},
