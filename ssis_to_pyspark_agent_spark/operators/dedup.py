@@ -1462,7 +1462,10 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
             sh.alias("_sh"),
             F.array(*[c.cast("long") for c in cols]).alias("_blocks"),
         )
-        blocked = base.select("_id", "_sh", F.explode("_blocks").alias("_block"))
+        blocked = base.select(
+            "_id", "_sh", F.col("_blocks").alias("_bs"),
+            F.explode("_blocks").alias("_block"),
+        )
     elif block_by := config.get("block_by"):
         # engine-neutral blocking on declared columns (e.g. lang+source):
         # semantics are then fully SQL-expressible for the oracle
@@ -1473,18 +1476,33 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
                 "_block"
             ),
         )
-        blocked = base.select("_id", "_sh", "_block")
+        blocked = base.select(
+            "_id", "_sh", F.array("_block").alias("_bs"), "_block"
+        )
     else:
         base = src.select(F.col(id_col).alias("_id"), sh.alias("_sh")).withColumn(
             "_mins", F.slice(F.col("_sh"), 1, n_blocks)
         )
-        blocked = base.select("_id", "_sh", F.explode("_mins").alias("_block"))
+        blocked = base.select(
+            "_id", "_sh", F.col("_mins").alias("_bs"),
+            F.explode("_mins").alias("_block"),
+        )
     base = base.persist()  # blocked ids + the verify join both read it
     # shingle-count column: the size-ratio prefilter below is a cheap
     # scalar comparison that runs in the candidate join, BEFORE any
     # intersection work
     blocked = blocked.withColumn("_n", F.size("_sh"))
     join_keys = [F.col("l._block") == F.col("r._block")]
+    # Canonical-block dedup: multi-probe blocking (adjacent length
+    # buckets, n min-hashes) matches a pair once per SHARED block, so
+    # the raw join emits duplicate (a, b, token) rows — accept a match
+    # only in the pair's smallest common block. Output-identical (every
+    # common block sees the same matches); the raw join shrinks by the
+    # average shared-block count, and it makes per-pair aggregation
+    # below count each shared prefix token exactly once.
+    canonical_block = F.col("l._block") == F.array_min(
+        F.array_intersect(F.col("l._bs"), F.col("r._bs"))
+    )
     if config.get("prefix_filter", True):
         # PPJoin/AllPairs prefix filtering (Bayardo et al. 2007, public):
         # under ANY fixed total order of shingles, a pair with
@@ -1635,19 +1653,24 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
                 # the singleton rows is exact-preserving and cuts the
                 # self-join input to the repeated-token rows
                 .filter(F.col("_df") >= 2)
-                .select("_id", F.col("_t").alias("_tok"))
+                .select("_id", F.col("_t").alias("_tok"), "_rk")
             )
-            blocked = blocked.select("_id", "_n", "_block").join(
+            blocked = blocked.select("_id", "_n", "_bs", "_block").join(
                 pref, "_id"
             )
         else:
+            # posexplode, not explode: the 0-based prefix position IS the
+            # token's rank in the doc's full hash-sorted array (the slice
+            # starts at 1), and the rank feeds the suffix bound below
             blocked = blocked.select(
-                "_id", "_n", "_block",
-                F.explode(F.slice("_sh", F.lit(1), plen)).alias("_tok"),
-            )
+                "_id", "_n", "_bs", "_block",
+                F.posexplode(F.slice("_sh", F.lit(1), plen)).alias(
+                    "_pos", "_tok"
+                ),
+            ).withColumn("_rk", F.col("_pos") + 1).drop("_pos")
         join_keys.append(F.col("l._tok") == F.col("r._tok"))
     else:
-        blocked = blocked.select("_id", "_n", "_block")
+        blocked = blocked.select("_id", "_n", "_bs", "_block")
     l, r = blocked.alias("l"), blocked.alias("r")
     # Exact-preserving prefilter: J(A,B) <= min|A|,|B| / max|A|,|B|, so a
     # pair whose distinct-shingle counts are too lopsided can never reach
@@ -1667,11 +1690,74 @@ def dedup_ngram_jaccard(spark: SparkSession, inputs, config, context):
     cond = join_keys[0]
     for k in join_keys[1:]:
         cond = cond & k
-    cand = (
-        l.join(r, cond & (F.col("l._id") < F.col("r._id")) & size_ok)
-        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
-        .dropDuplicates(["a", "b"])
+    joined = l.join(
+        r,
+        cond & canonical_block & (F.col("l._id") < F.col("r._id")) & size_ok,
     )
+    if config.get("prefix_filter", True):
+        # Suffix bound (the positional/suffix-filtering idea of PPJoin,
+        # Xiao et al. 2008 — public): aggregate the shared-prefix-token
+        # rows per pair instead of dropDuplicates. With both shingle
+        # arrays sorted by ONE global total order (hash value, or
+        # (df, token) for prefix_order='df'), let s_c be the largest of
+        # the c shared prefix tokens, at ranks (ma, mb). Every OTHER
+        # common token u sits in at least one side's suffix, so its
+        # rank there exceeds that side's prefix end >= that side's rank
+        # of s_c — i.e. u > s_c in the global order, hence u appears
+        # after s_c in BOTH sorted arrays. Therefore
+        #   |A ∩ B| <= c + min(|A| - ma, |B| - mb),
+        # and J >= t needs |A ∩ B| >= t/(1+t) * (|A|+|B|). Pairs whose
+        # bound falls short can only be verify-rejects — dropping them
+        # is exact-preserving (oracles need no mirror clause; epsilon
+        # as in plen). It matters most at low thresholds, where the
+        # prefix alone is weak (t=0.5 keeps half of each doc as
+        # prefix): measured on the 150k-doc 30x rig at t=0.5, verify
+        # input 198M -> 79M pairs and raw join output 409M -> 305M
+        # (canonical_block), q31's dd stage 160 -> 128s, pair set
+        # identical (297). The per-pair groupBy replaces the old
+        # dropDuplicates at the same shuffle cost, so the bound's cut
+        # is pure win. (A per-row POSITIONAL filter — min-rank variant,
+        # provably keeps each true pair's minimal shared token — was
+        # measured too: it halves pre-shuffle rows but its distinct
+        # candidates are 114M vs this bound's 79M, and the two filters
+        # don't compose exactly; rejected.) The count(*) per-token
+        # aggregation is valid because canonical_block makes
+        # (a, b, token) rows unique; a user block_exprs list that
+        # yields duplicate block values would only inflate c, which
+        # LOOSENS the bound — still exact-preserving.
+        alpha = (
+            F.lit(float(threshold) / (1.0 + float(threshold)))
+            * (F.col("_na") + F.col("_nb"))
+            - F.lit(1e-9)
+        )
+        cand = (
+            joined.select(
+                F.col("l._id").alias("a"), F.col("r._id").alias("b"),
+                F.col("l._n").alias("_na"), F.col("r._n").alias("_nb"),
+                F.col("l._rk").alias("_ra"), F.col("r._rk").alias("_rb"),
+            )
+            .groupBy("a", "b", "_na", "_nb")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.max("_ra").alias("_ma"),
+                F.max("_rb").alias("_mb"),
+            )
+            .filter(
+                F.col("_c")
+                + F.least(
+                    F.col("_na") - F.col("_ma"), F.col("_nb") - F.col("_mb")
+                )
+                >= alpha
+            )
+            .select("a", "b")
+        )
+    else:
+        cand = (
+            joined.select(
+                F.col("l._id").alias("a"), F.col("r._id").alias("b")
+            )
+            .dropDuplicates(["a", "b"])
+        )
     fp = base.select("_id", "_sh")
     pairs = (
         cand.join(fp.select(F.col("_id").alias("a"), F.col("_sh").alias("sa")), "a")
