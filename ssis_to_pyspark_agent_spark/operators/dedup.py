@@ -342,10 +342,21 @@ def _bucket_pairs_plan(tagged, agg, bucket_cols, cap, hot, _self_join,
         )
 
     if not hot:
-        # the transient auto-persist is released by the caller's
-        # finally before any action — the lazy plan recomputes exactly
-        # the one pass the pre-fix code paid
-        return _combos(agg).dropDuplicates(["a", "b"])
+        result = _combos(agg).dropDuplicates(["a", "b"])
+        if auto_persist:
+            # r11: same discipline as the hot branches below — the
+            # probe already paid the caller's (possibly expensive,
+            # e.g. minhash-signature) lineage to fill the transient
+            # input cache, so materialize the bounded candidate set NOW
+            # while that cache is alive instead of re-deriving the
+            # whole lineage at first action after the caller's finally
+            # releases it. One extra bounded count job buys back a full
+            # uncached signature pass (guide §1.2: remove passes).
+            # auto_persist=False callers (cheap lineage over an
+            # already-persisted parent) keep the lazy plan unchanged.
+            result = result.persist()
+            result.count()
+        return result
     if len(hot) > _MAX_HOT_KEYS:
         # degenerate corpus: more hot buckets than the driver should
         # ever hold — no broadcast table, route EVERY bucket through

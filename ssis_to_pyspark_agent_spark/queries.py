@@ -2397,17 +2397,45 @@ def _q44_funnel(spark: SparkSession, d0: DataFrame,
         )
 
     try:
-        for key, f in zip(keys, frames):
-            agg = report(f).collect()[0]
-            rows.append(("stage", key, agg["n"], agg["tok"]))
-        for src in (
+        # Report in TWO actions, not 7 sequential ones (r11, guide §1.2:
+        # every action pays a full scheduler round-trip; at fixture scale
+        # those dominate the funnel). Persist is partition-granular, so
+        # one pass over the LAST stage materializes every upstream stage
+        # cache as a side effect; the single union-of-aggregates job then
+        # reads only caches (checkpoint mode: only parquet), and each
+        # branch stays the exact same aggregate as before — identical
+        # rows, fewer driver round-trips.
+        if materialize == "persist":
+            frames[-1].count()
+        tagged = [
+            report(f).select(
+                F.lit("stage").alias("kind"), F.lit(key).alias("key"),
+                "n", "tok")
+            for key, f in zip(keys, frames)
+        ]
+        tagged.append(
             frames[-1].groupBy("source").agg(
                 F.count(F.lit(1)).cast("long").alias("n"),
                 F.coalesce(F.sum("ws_tokens"), F.lit(0)).cast("long")
                  .alias("tok"),
-            ).collect()
-        ):
-            rows.append(("by_source", src["source"], src["n"], src["tok"]))
+            ).select(F.lit("by_source").alias("kind"),
+                     F.col("source").alias("key"), "n", "tok")
+        )
+        u = tagged[0]
+        for t in tagged[1:]:
+            u = u.unionByName(t)
+        got = u.collect()
+        stage_pos = {k: i for i, k in enumerate(keys)}
+        rows.extend(
+            ("stage", r["key"], r["n"], r["tok"])
+            for r in sorted(
+                (r for r in got if r["kind"] == "stage"),
+                key=lambda r: stage_pos[r["key"]],
+            )
+        )
+        rows.extend(
+            ("by_source", r["key"], r["n"], r["tok"])
+            for r in got if r["kind"] == "by_source")
     finally:
         if materialize == "persist":
             for f in frames:

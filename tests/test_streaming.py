@@ -289,7 +289,10 @@ def test_state_partitions_parquet_sink(spark, tmp_path, batch_events):
     # after it cannot race the streaming thread's capture (probed
     # empirically round-10; this pins it)
     state0 = tmp_path / "ckpt" / "state" / "0"
-    part_dirs = [p.name for p in state0.iterdir() if p.name != "_metadata"]
+    # digit-named dirs only: a Spark version adding other metadata
+    # entries under state/0 must not fail the partition-count assertion
+    # (ADVICE r10)
+    part_dirs = [p.name for p in state0.iterdir() if p.name.isdigit()]
     assert sorted(part_dirs) == ["0", "1"]
     batch = windowed_agg(
         batch_events, ts_col="ts", window="10 minutes",

@@ -182,9 +182,13 @@ def main() -> int:
     # one, plus an optional cap so the Spark JVM keeps its headroom.
     spill = os.environ.get("COMPARE_DUCKDB_TMP", "/tmp/duckdb_spill")
     os.makedirs(spill, exist_ok=True)
-    con.execute(f"SET temp_directory='{spill}'")
+    # escape embedded quotes — DuckDB SET does not accept bound
+    # parameters, so doubling the quote is the defense against a
+    # path/limit value breaking (or riding into) the statement
+    # (ADVICE r10)
+    con.execute("SET temp_directory='{}'".format(spill.replace("'", "''")))
     if lim := os.environ.get("COMPARE_DUCKDB_MEM"):
-        con.execute(f"SET memory_limit='{lim}'")
+        con.execute("SET memory_limit='{}'".format(lim.replace("'", "''")))
     for t in TABLES:
         pat = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(pat):

@@ -31,8 +31,15 @@ from ssis_to_pyspark_agent_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entry  # noqa: E402
 
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/spark_graft_sf1")
-spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
 QUERIES = entry.queries()
+# validate every name BEFORE creating the session / warming anything: a
+# typo must not cost minutes of sf1 warmup before the KeyError (ADVICE r10)
+unknown = [n for n in names if n not in QUERIES]
+if unknown:
+    raise SystemExit(
+        f"unknown queries: {unknown}; known: {sorted(QUERIES)}"
+    )
+spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
 
 for name in names:
     QUERIES[name](spark, sf_dir).count()
