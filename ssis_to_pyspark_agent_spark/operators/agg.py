@@ -104,6 +104,15 @@ def aggregate(spark: SparkSession, inputs, config, context) -> DataFrame:
         g = df.groupingSets(sets, *keys)
     else:
         raise ValueError(f"unknown aggregate mode {mode!r}")
+    if gid := config.get("emit_grouping_id"):
+        # expose which grouping set produced each row (leftmost key =
+        # most significant bit, Spark's grouping_id contract) — lets a
+        # caller derive rollup/grouping-sets rows from ONE cube pass
+        # instead of re-aggregating per mode (r11, guide §2.4: share
+        # one exchange)
+        if mode == "groupby":
+            raise ValueError("emit_grouping_id needs a multi-set mode")
+        aggs = list(aggs) + [F.grouping_id().alias(gid)]
     return g.agg(*aggs)
 
 

@@ -550,22 +550,32 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ["l_returnflag", "l_linestatus"]
     aggs = {"n": ("count", "*"), "sum_qty": _dsum("l_quantity")}
     p = _p("q19", sf_dir, "lineitem")
-    # prune before the fan-out persist: three aggregation consumers share
-    # one cached 3-column relation instead of the full 16-column table
     p.step("prj0", "select", "lineitem",
            columns=["l_returnflag", "l_linestatus", "l_quantity"])
-    p.step("ru", "aggregate", "prj0", keys=keys, mode="rollup", aggs=aggs)
-    p.step("ru_t", "derived_column", "ru", columns={"mode": '"rollup"'})
-    p.step("cu", "aggregate", "prj0", keys=keys, mode="cube", aggs=aggs)
-    p.step("cu_t", "derived_column", "cu", columns={"mode": '"cube"'})
-    p.step("gs", "aggregate", "prj0", keys=keys, mode="grouping_sets",
-           grouping_sets=[["l_returnflag", "l_linestatus"], ["l_linestatus"]],
-           aggs=aggs)
-    p.step("gs_t", "derived_column", "gs", columns={"mode": '"gsets"'})
-    p.step("u", "union_all", ["ru_t", "cu_t", "gs_t"])
-    p.step("prj", "select", "u",
-           columns=["mode", "l_returnflag", "l_linestatus", "n", "sum_qty"])
-    return run_pipeline(spark, p).df("prj")
+    # ONE cube pass instead of rollup + cube + grouping_sets passes
+    # (r11, guide §2.4): cube's grouping sets are a superset of both
+    # other modes', so each aggregated row fans out to its 1-3 mode
+    # tags via grouping_id — 1 scan + 1 Expand(4x) + 1 exchange where
+    # the old plan paid 3 scans + Expand(3x/4x/2x) + 3 exchanges for
+    # identical rows (equality oracle-checked; the rollup set is
+    # {(rf,ls),(rf),()} = gid 0/1/3, gsets is {(rf,ls),(ls)} = gid 0/2
+    # under Spark's leftmost-key-is-MSB grouping_id contract).
+    p.step("cu", "aggregate", "prj0", keys=keys, mode="cube", aggs=aggs,
+           emit_grouping_id="_gid")
+    r = run_pipeline(spark, p)
+    c = r.df("cu")
+    mode = F.explode(
+        F.filter(
+            F.array(
+                F.when(F.col("_gid").isin(0, 1, 3), F.lit("rollup")),
+                F.lit("cube"),
+                F.when(F.col("_gid").isin(0, 2), F.lit("gsets")),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return c.select(
+        mode.alias("mode"), "l_returnflag", "l_linestatus", "n", "sum_qty")
 
 
 # ---------------------------------------------------------------------------
@@ -2397,45 +2407,23 @@ def _q44_funnel(spark: SparkSession, d0: DataFrame,
         )
 
     try:
-        # Report in TWO actions, not 7 sequential ones (r11, guide §1.2:
-        # every action pays a full scheduler round-trip; at fixture scale
-        # those dominate the funnel). Persist is partition-granular, so
-        # one pass over the LAST stage materializes every upstream stage
-        # cache as a side effect; the single union-of-aggregates job then
-        # reads only caches (checkpoint mode: only parquet), and each
-        # branch stays the exact same aggregate as before — identical
-        # rows, fewer driver round-trips.
-        if materialize == "persist":
-            frames[-1].count()
-        tagged = [
-            report(f).select(
-                F.lit("stage").alias("kind"), F.lit(key).alias("key"),
-                "n", "tok")
-            for key, f in zip(keys, frames)
-        ]
-        tagged.append(
+        # NOTE (r11): a 2-action variant (one cache-fill pass over the
+        # last stage + one union-of-aggregates job) was built and
+        # measured SLOWER than this 7-action chain at sf0.1 (funnel-only
+        # alternating A/B, min-of-5 x3: 4.88 vs 4.13 s — the single-job
+        # chain fill loses more than the 5 saved scheduler round-trips
+        # gain). The incremental per-stage reports stay.
+        for key, f in zip(keys, frames):
+            agg = report(f).collect()[0]
+            rows.append(("stage", key, agg["n"], agg["tok"]))
+        for src in (
             frames[-1].groupBy("source").agg(
                 F.count(F.lit(1)).cast("long").alias("n"),
                 F.coalesce(F.sum("ws_tokens"), F.lit(0)).cast("long")
                  .alias("tok"),
-            ).select(F.lit("by_source").alias("kind"),
-                     F.col("source").alias("key"), "n", "tok")
-        )
-        u = tagged[0]
-        for t in tagged[1:]:
-            u = u.unionByName(t)
-        got = u.collect()
-        stage_pos = {k: i for i, k in enumerate(keys)}
-        rows.extend(
-            ("stage", r["key"], r["n"], r["tok"])
-            for r in sorted(
-                (r for r in got if r["kind"] == "stage"),
-                key=lambda r: stage_pos[r["key"]],
-            )
-        )
-        rows.extend(
-            ("by_source", r["key"], r["n"], r["tok"])
-            for r in got if r["kind"] == "by_source")
+            ).collect()
+        ):
+            rows.append(("by_source", src["source"], src["n"], src["tok"]))
     finally:
         if materialize == "persist":
             for f in frames:

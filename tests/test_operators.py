@@ -123,6 +123,36 @@ class TestAggregateSortTopK:
         got = dict(rows(out, "g", "s"))
         assert got == {"a": 3, "b": 3, None: 6}
 
+    def test_cube_emit_grouping_id(self, spark):
+        # r11: one cube pass + grouping_id must reproduce the separate
+        # rollup / grouping-sets row sets exactly (incl. a NULL data
+        # value, which gid disambiguates from the aggregate marker) —
+        # the q19 single-pass derivation depends on this
+        df = spark.createDataFrame(
+            [("a", "x", 1), ("a", None, 2), ("b", "x", 3)],
+            "g string, h string, v int",
+        )
+        cube = run("aggregate", spark, [df], keys=["g", "h"], mode="cube",
+                   aggs={"s": ("sum", "v")}, emit_grouping_id="_gid")
+        got = rows(cube, "g", "h", "s", "_gid")
+        # rollup rows = gid in {0 (g,h), 1 (g), 3 ()}
+        derived_rollup = {(g, h, s) for g, h, s, gid in got if gid in (0, 1, 3)}
+        direct_rollup = set(rows(
+            run("aggregate", spark, [df], keys=["g", "h"], mode="rollup",
+                aggs={"s": ("sum", "v")}), "g", "h", "s"))
+        assert derived_rollup == direct_rollup
+        # grouping-sets [(g,h), (h)] rows = gid in {0, 2}
+        derived_gs = {(g, h, s) for g, h, s, gid in got if gid in (0, 2)}
+        direct_gs = set(rows(
+            run("aggregate", spark, [df], keys=["g", "h"],
+                mode="grouping_sets", grouping_sets=[["g", "h"], ["h"]],
+                aggs={"s": ("sum", "v")}), "g", "h", "s"))
+        assert derived_gs == direct_gs
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="multi-set"):
+            run("aggregate", spark, [df], keys=["g"], mode="groupby",
+                aggs={"s": ("sum", "v")}, emit_grouping_id="_gid")
+
     def test_grouping_sets(self, spark):
         df = spark.createDataFrame(
             [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)],
