@@ -44,17 +44,17 @@ def parquet_source(spark: SparkSession, inputs, config, context) -> DataFrame:
     """Parquet scan (reference OLE DB Source table mode ->
     ``spark.table``, enhanced_json_mapper.py:1601-1608). Columnar +
     predicate pushdown; `columns` prunes the read schema explicitly."""
+    from ssis_to_pyspark_agent_spark.sources.catalog import read_parquet
+
     if nanos_cols := config.get("nanos_ts_cols"):
         # nanosAsLong is harmless when the file is already micros precision;
         # it only changes how TIMESTAMP(NANOS) columns are surfaced.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(config["path"])
+        df = read_parquet(spark, config["path"], nanos_as_long=True)
         df = normalize_event_time(df, nanos_cols)
     else:
-        r = spark.read
-        for k, v in config.get("options", {}).items():
-            r = r.option(k, v)
-        df = r.parquet(config["path"])
+        df = read_parquet(spark, config["path"],
+                          options=config.get("options", {}))
     if cols := config.get("columns"):
         df = df.select(*cols)
     if pred := config.get("where"):

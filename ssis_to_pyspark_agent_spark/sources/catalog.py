@@ -10,9 +10,56 @@ connection-level defaults and per-table overrides; no SQL-text regex.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Session-scoped parquet SCHEMA memo (r11, guide §6): every
+# spark.read.parquet() without an explicit schema fires a 1-task
+# footer-inference job — 1-3 jobs of pure scheduler overhead per query
+# invocation, 10 for register_views. A real deployment gets schemas
+# from a catalog/manifest (Hive metastore, Iceberg) exactly so that
+# per-query inference never happens; this memo is that catalog layer.
+# METADATA ONLY — no rows, no results are memoized; the key carries the
+# file/dir (mtime_ns, size) signature, so a rewritten path re-infers.
+_SCHEMA_MEMO: dict[tuple, object] = {}
+
+
+def _path_sig(path: str):
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    options: dict | None = None,
+    nanos_as_long: bool = False,
+) -> DataFrame:
+    """spark.read.parquet with the schema supplied from the session memo
+    after the first read — skips the per-invocation footer-inference job
+    (plan/pushdown/pruning unaffected; parquet readers take declared
+    schemas without a second inference pass)."""
+    key = (
+        spark.sparkContext.applicationId,
+        path,
+        tuple(sorted((options or {}).items())),
+        nanos_as_long,
+        _path_sig(path),
+    )
+    r = spark.read
+    for k, v in (options or {}).items():
+        r = r.option(k, v)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is not None:
+        return r.schema(schema).parquet(path)
+    df = r.parquet(path)
+    _SCHEMA_MEMO[key] = df.schema
+    return df
 
 TPCH_TABLES = (
     "region",
@@ -44,7 +91,7 @@ class CatalogMapper:
         if target is None:
             return spark.table(name)
         if target.endswith(".parquet") or "/" in target:
-            return spark.read.parquet(target)
+            return read_parquet(spark, target)
         return spark.table(target)
 
 

@@ -171,6 +171,29 @@ class TestFileSources:
         back = spark.read.parquet(path)
         assert back.count() == 3
 
+    def test_parquet_schema_memo_invalidates_on_rewrite(self, spark):
+        # r11: read_parquet memoizes the INFERRED SCHEMA per (session,
+        # path, mtime/size sig) so repeated reads skip the footer-
+        # inference job; a rewritten path (new sig) must re-infer —
+        # stale-schema reads of changed data would be silent corruption
+        from ssis_to_pyspark_agent_spark.sources.catalog import read_parquet
+
+        path = os.path.join(SCRATCH, "pq_memo")
+        spark.createDataFrame([(1, "a")], "id int, s string").write.mode(
+            "overwrite").parquet(path)
+        first = read_parquet(spark, path)
+        assert [f.name for f in first.schema.fields] == ["id", "s"]
+        again = read_parquet(spark, path)  # memo hit
+        assert again.schema == first.schema
+        assert again.collect() == first.collect()
+        import time as _t
+        _t.sleep(0.05)  # distinct mtime_ns granularity on coarse filesystems
+        spark.createDataFrame([(2.5, 7)], "x double, y int").write.mode(
+            "overwrite").parquet(path)
+        back = read_parquet(spark, path)
+        assert [f.name for f in back.schema.fields] == ["x", "y"]
+        assert back.collect()[0].x == 2.5
+
     def test_binary_source(self, spark):
         d = os.path.join(SCRATCH, "bins")
         os.makedirs(d, exist_ok=True)
