@@ -209,8 +209,16 @@ def parquet_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
 
     `partition_by` drives layout for downstream partition pruning;
     `buckets`+`bucket_by` writes a bucketed table for shuffle-free joins.
+    `rebalance=True` inserts an AQE REBALANCE before the write so output
+    files track spark.sql.adaptive.advisoryPartitionSizeInBytes instead
+    of inheriting the upstream partition count (guide §6: a 32-way
+    shuffle tail writing a few thousand rows produces 32 tiny files;
+    at 100 TB the same hint yields advisory-sized files).
     """
     df: DataFrame = inputs[0]
+    if config.get("rebalance"):
+        cols = config.get("partition_by") or []
+        df = df.hint("rebalance", *cols)
     w = df.write.mode(config.get("mode", "append"))
     for k, v in config.get("options", {}).items():
         w = w.option(k, v)  # e.g. compression=zstd, parquet.block.size
@@ -235,6 +243,10 @@ def table_sink(spark: SparkSession, inputs, config, context) -> DataFrame:
                 for f in tgt.fields
             ]
         )
+    if config.get("rebalance") and not config.get("buckets"):
+        # same file-sizing contract as sink.parquet; bucketed writes keep
+        # their bucket-driven layout untouched
+        df = df.hint("rebalance", *(config.get("partition_by") or []))
     w = df.write.mode(config.get("mode", "append"))
     if pb := config.get("partition_by"):
         w = w.partitionBy(*pb)

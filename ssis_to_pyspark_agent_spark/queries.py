@@ -2297,14 +2297,44 @@ def _q44_clone_offset(spark: SparkSession, sf_dir: str) -> int:
     the synthetic url's %2/%3/%4/%50 components) so the clones land in
     EXACTLY the url residue classes the old constant produced and the
     s4 exact-dup stage stays exercised scale-independently. Mirrored by
-    the ``foff`` scalar CTE in the oracle. One 1-row aggregate over a
-    column-pruned doc_id scan."""
-    mx = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .agg(F.max("doc_id")).first()[0]
-    )
+    the ``foff`` scalar CTE in the oracle. max(doc_id) comes from the
+    parquet FOOTER column statistics — zero Spark jobs (r11, the same
+    metadata idiom as q32's count_rows; previously a schema-inference
+    job + a 1-row aggregate job per invocation); falls back to the
+    column-pruned Spark aggregate when any row group lacks stats."""
+    mx = _parquet_col_max(f"{sf_dir}/documents.parquet", "doc_id")
+    if mx is None:
+        from ssis_to_pyspark_agent_spark.sources.catalog import read_parquet
+
+        mx = read_parquet(
+            spark, f"{sf_dir}/documents.parquet"
+        ).agg(F.max("doc_id")).first()[0]
     base = int(mx) + 1
     return base + (10007 - base) % 300
+
+
+def _parquet_col_max(path: str, col: str):
+    """Column max from parquet footer statistics (no Spark job); None
+    when any row group lacks stats for ``col`` (caller falls back to a
+    real aggregate)."""
+    import pyarrow.dataset as _pads
+
+    try:
+        mx = None
+        for frag in _pads.dataset(path).get_fragments():
+            md = frag.metadata
+            names = {n: i for i, n in enumerate(md.schema.names)}
+            if col not in names:
+                return None
+            ci = names[col]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mx = st.max if mx is None else max(mx, st.max)
+        return mx
+    except Exception:
+        return None
 
 
 def _q44_funnel(spark: SparkSession, d0: DataFrame,
@@ -3399,14 +3429,17 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
               count_into="n_already_deleted")
         .step("rs", "sink.view", "upserts", view="q50_upserts_rs")
         .step("upserts_rt", "source.table", "rs", table="q50_upserts_rs")
+        # rebalance: advisory-sized output files (r11, guide §6) — the
+        # 32-way shuffle tail was writing 32 ~2KB files per sink here
         .step("snap", "sink.parquet", "after_delete",
-              path=f"{scratch}/after_delete", mode="overwrite")
+              path=f"{scratch}/after_delete", mode="overwrite",
+              rebalance=True)
         .step("after_delete_rt", "source.parquet", "snap",
               path=f"{scratch}/after_delete")
         .step("final", "merge_upsert", ["after_delete_rt", "upserts_rt"],
               keys=["c_custkey"])
         .step("tbl", "sink.table", "final", table="q50_final",
-              mode="overwrite")
+              mode="overwrite", rebalance=True)
         .step("out", "source.table", "tbl", table="q50_final")
     )
     res = run_pipeline(spark, p)

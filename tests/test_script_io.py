@@ -171,6 +171,20 @@ class TestFileSources:
         back = spark.read.parquet(path)
         assert back.count() == 3
 
+    def test_parquet_sink_rebalance_writes_advisory_sized_files(self, spark):
+        # r11: rebalance=True must coalesce a many-partition tail into
+        # advisory-sized output files (1 at this scale), not one file
+        # per upstream partition
+        path = os.path.join(SCRATCH, "pq_rebal")
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "id int, s string"
+        ).repartition(16)
+        run("sink.parquet", spark, [df], path=path, mode="overwrite",
+            rebalance=True)
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert len(files) == 1
+        assert spark.read.parquet(path).count() == 100
+
     def test_parquet_schema_memo_invalidates_on_rewrite(self, spark):
         # r11: read_parquet memoizes the INFERRED SCHEMA per (session,
         # path, mtime/size sig) so repeated reads skip the footer-
