@@ -453,10 +453,26 @@ def _dominated_ids(pairs: DataFrame, id_col: str) -> DataFrame:
     return pairs.select(F.col("b").alias(id_col)).distinct()
 
 
-def _keep_min_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+def _keep_min_survivors(
+    df: DataFrame, id_col: str, pairs: DataFrame, broadcast: bool = False
+) -> DataFrame:
     """Drop every row that has a near-duplicate with a smaller id.
-    One anti-join against the dominated set."""
-    return df.join(_dominated_ids(pairs, id_col), id_col, "left_anti")
+    One anti-join against the dominated set.
+
+    ``broadcast=True`` hints the dominated set onto every executor so the
+    anti-join never shuffles the corpus side (the initial plan otherwise
+    stages a full SortMergeJoin exchange of the payload — at 100 TB a
+    corpus-wide shuffle of the text column just to drop duplicates; AQE
+    can only downgrade it to a local read AFTER the shuffle files are
+    written). Callers may only pass True under an assumption they already
+    make: the candidate/pairs frame fits the driver (minhash's
+    ``verify_broadcast``); the dominated set is a projection of its `b`
+    column, so it is strictly smaller than what those callers broadcast
+    during verification."""
+    dom = _dominated_ids(pairs, id_col)
+    if broadcast:
+        dom = F.broadcast(dom)
+    return df.join(dom, id_col, "left_anti")
 
 
 class _CCCheckpointer:
@@ -1269,6 +1285,15 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
                 _shingles(F.col(text_col), k).alias("_sh"),
             )
         cand = F.broadcast(cand)
+        # sh feeds BOTH sides of the verify join; unpersisted, the plan
+        # duplicates the whole subtree — the corpus-wide semi-probe, the
+        # candidate shingle pass and the cand_ids distinct each run twice
+        # (r11 plan audit: two identical Exchange+semi-join subtrees, one
+        # per side). Candidate-sized by the same verify_broadcast
+        # assumption, so caching it is bounded; released after the pairs
+        # materialization below. NEVER persisted when verify_broadcast is
+        # False — there sh is the corpus-sized shingle frame.
+        sh = sh.persist()
     pairs = (
         cand.join(sh.select(F.col("_id").alias("a"), F.col("_sh").alias("sha")), "a")
         .join(sh.select(F.col("_id").alias("b"), F.col("_sh").alias("shb")), "b")
@@ -1277,7 +1302,18 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
         .select("a", "b", "jaccard")
         .persist()  # consumed by the survivor anti-join AND the pairs port
     )
-    out = _keep_min_survivors(df, id_col, pairs)
+    if config.get("verify_broadcast", True):
+        # one action fills sh (both join sides read the cache) and pairs;
+        # sh is then releasable immediately instead of leaking per
+        # invocation, and the survivor anti-join's broadcast build below
+        # reads materialized pairs instead of re-running the verify
+        pairs.count()
+        sh.unpersist()
+    # broadcast is safe exactly when verify_broadcast is: the dominated
+    # set is a sub-projection of the candidate frame broadcast above
+    out = _keep_min_survivors(
+        df, id_col, pairs, broadcast=config.get("verify_broadcast", True)
+    )
     if config.get("return_pairs"):
         return {"out": out, "pairs": pairs}
     return out
@@ -2485,6 +2521,13 @@ def dedup_minhash_incremental(spark: SparkSession, inputs, config, context):
         )
 
     sh = pruned_shingles(batch).unionByName(pruned_shingles(history))
+    if verify_bc:
+        # joined on both sides below: unpersisted, the batch+history
+        # semi-probes and shingle passes run TWICE each (one duplicated
+        # subtree per side — r11 plan audit). Candidate-sized under the
+        # verify_bc assumption; filled by pairs.count(), released right
+        # after.
+        sh = sh.persist()
     pairs = (
         (F.broadcast(cand) if verify_bc else cand)
         .join(sh.select(F.col("_id").alias("a"), F.col("_sh").alias("sha")), "a")
@@ -2495,9 +2538,13 @@ def dedup_minhash_incremental(spark: SparkSession, inputs, config, context):
         .persist()
     )
     pairs.count()
+    if verify_bc:
+        sh.unpersist()
     cand.unpersist()
 
-    out = _keep_min_survivors(batch, id_col, pairs)
+    # same contract as dedup.minhash: dominated ⊂ the verify-broadcast
+    # candidate frame, so the hint is exactly as bounded as verify_bc
+    out = _keep_min_survivors(batch, id_col, pairs, broadcast=verify_bc)
     result = {"out": out}
     if config.get("return_pairs"):
         result["pairs"] = pairs

@@ -272,6 +272,30 @@ class TestDedup:
         assert (1, 2) in pairs
         assert sorted(r.doc_id for r in out["out"].collect()) == [1, 3]
 
+    def test_minhash_survivor_antijoin_broadcast(self, spark):
+        """round 11: with verify_broadcast=True (default) the survivor
+        anti-join must broadcast the dominated-id set — the corpus side
+        must NOT stage a SortMergeJoin exchange (at 100 TB that is a
+        full shuffle of the text payload just to drop duplicates).
+        verify_broadcast=False keeps the distributed anti-join, and both
+        modes must return identical survivors."""
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got, plans = {}, {}
+        for bc in (True, False):
+            out = run("dedup.minhash", spark, [df], id_col="doc_id",
+                      text_col="text", threshold=0.7, num_hashes=128,
+                      bands=16, verify_broadcast=bc)
+            plans[bc] = out._jdf.queryExecution().executedPlan().toString()
+            got[bc] = sorted(r.doc_id for r in out.collect())
+            spark.catalog.clearCache()
+        assert got[True] == got[False] and got[True]
+        # the guarantee is one-sided: with the contract ON the broadcast
+        # must be unconditional (never left to size estimates); with it
+        # OFF the planner remains free to pick any strategy
+        bc_anti = [ln for ln in plans[True].splitlines() if "LeftAnti" in ln]
+        assert bc_anti and all("BroadcastHashJoin" in ln for ln in bc_anti)
+        assert any("LeftAnti" in ln for ln in plans[False].splitlines())
+
     def test_minhash_sig_impls_agree(self, spark):
         """numpy (Arrow/mapInPandas) and expr (Catalyst folds) signature
         paths use different hash families, but after exact-Jaccard
