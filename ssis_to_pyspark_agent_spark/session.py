@@ -25,6 +25,16 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    # r12 (guide §2.4/§6): let AQE re-optimize the plan that MATERIALIZES
+    # a persisted frame — off (Spark default) every .persist() freezes the
+    # static shuffle width (spark.sql.shuffle.partitions) into the cached
+    # relation, so a 256-row pairs cache occupies 32 partitions and every
+    # downstream scan pays 32 tasks; on, the cache fill coalesces to the
+    # data's actual size and downstream stages follow. Partitioning only —
+    # values unchanged (oracle-gated). Env-parameterised for A/Bs; at
+    # cluster scale the same setting right-sizes cached TB-frames instead
+    # of inheriting a too-small static width.
+    cached_plan_aqe = os.environ.get("SPARK_GRAFT_CACHED_PLAN_AQE", "true")
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -32,6 +42,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            cached_plan_aqe,
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
