@@ -2890,11 +2890,12 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
     if keep not in ("min_id", "far_centroid"):
         raise ValueError(f"keep must be 'min_id' or 'far_centroid', got {keep!r}")
 
-    base = _spread(spark, df).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    )
     id_type = df.schema[id_col].dataType.simpleString()
-    if base.limit(1).count() == 0:
+    # emptiness probe on the RAW input (invariant 18): probing the
+    # spread frame materializes the repartition exchange — a full
+    # corpus pass just to learn emptiness (r12 trace: 6 jobs/68 tasks
+    # per invocation; take(1) on the raw frame is 1 job/1 task)
+    if df.isEmpty():
         # empty corpus: no centroids exist, so short-circuit with empty
         # ports of the documented shapes (the assignment kernel cannot
         # run against a 0-row centroid matrix)
@@ -2909,6 +2910,9 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
                 [], f"{id_col} {id_type}, cluster int"
             )
         return result if len(result) > 1 else df
+    base = _spread(spark, df).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
     if len(inputs) > 1:
         # precomputed clustering: the (cluster, dim, val) centroid frame
         # cluster.kmeans emits (the docstring's "when a clustering
@@ -2943,9 +2947,15 @@ def dedup_semantic(spark: SparkSession, inputs, config, context):
             key = F.md5(F.col("_id").cast("string"))
         else:
             key = F.xxhash64(F.col("_id").cast("string"))
+        # TakeOrdered over the RAW frame, not `base`: the hash order is
+        # partitioning-independent, so the chosen rows are identical,
+        # and the collect skips materializing the _spread repartition
+        # exchange (r12 trace: 66 tasks -> a 2-task TakeOrdered)
         cents = [
             list(r["_v"])
-            for r in base.orderBy(key).limit(n_clusters).collect()
+            for r in df.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            ).orderBy(key).limit(n_clusters).collect()
         ]
 
     # verify_nprobe: SemDeDup never scores a near-dup pair split across
