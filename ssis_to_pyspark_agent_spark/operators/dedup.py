@@ -705,11 +705,65 @@ def _star_components(
 _AUTO_LP_ROUNDS = 8
 
 
+#: default bound on the pair rows the 'auto' cc path may collect for the
+#: driver-side union-find (two ids/row — a few MB at the cap). The same
+#: driver-boundedness discipline as _MAX_HOT_KEYS / brute_force_cap: a
+#: bounded limit(cap+1) probe decides, never a full count.
+_DRIVER_CC_CAP = 100_000
+
+
+def _driver_cc_labels(spark, rows, id_field) -> DataFrame:
+    """Union-find connected components on the driver over a BOUNDED
+    collected pair list: exact min-label components — identical to the
+    distributed loops' contract (every node that appears in an edge,
+    comp = the smallest id in its component) — with zero iterative
+    shuffles, lineage cuts or convergence probes, and no diameter
+    bound at all. Rows with a null endpoint are skipped, matching the
+    distributed path (a null never equi-joins)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row[0], row[1]
+        if a is None or b is None:
+            continue
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([
+        StructField("x", id_field.dataType),
+        StructField("comp", id_field.dataType),
+    ])
+    return spark.createDataFrame(
+        [(x, comp_min[find(x)]) for x in parent], schema
+    )
+
+
 def _propagate_labels(
     pairs: DataFrame,
     max_rounds: int,
     impl: str = "auto",
     checkpoint_dir: str | None = None,
+    driver_cap: int = _DRIVER_CC_CAP,
 ) -> DataFrame:
     """Connected-component labels over a (a, b) pair list: returns
     (x, comp) for every node that APPEARS IN AN EDGE — dup-volume-sized,
@@ -740,6 +794,22 @@ def _propagate_labels(
         # node its own component — the silent leaky-split outcome the
         # fail-fast paths exist to prevent
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if impl == "auto" and checkpoint_dir is None and driver_cap > 0:
+        # r12 (guide §1.2): at real dup rates the pair graph is tiny
+        # relative to the corpus, and the distributed loop's cost is
+        # almost entirely per-round fixed overhead (lineage cuts +
+        # convergence probes — q31 trace: 28 jobs/~400 executed tasks
+        # for 256 pairs). Under a driver-bounded cap, collect the pairs
+        # once and run exact union-find instead — same min-label
+        # contract, zero rounds. The probe is limit(cap+1), never a
+        # count; above the cap (or with a checkpoint_dir, whose
+        # durable per-round artifacts are the point, or a forced
+        # 'lp'/'star') the distributed path is untouched.
+        head = pairs.select("a", "b").limit(driver_cap + 1).collect()
+        if len(head) <= driver_cap:
+            return _driver_cc_labels(
+                pairs.sparkSession, head, pairs.schema["a"]
+            )
     ckpt = _CCCheckpointer(pairs.sparkSession, checkpoint_dir)
     # on ANY failure path (lp/star non-convergence, a mid-loop error)
     # finish() never runs — drop this invocation's round scratch before
@@ -882,6 +952,7 @@ def dedup_cluster(spark: SparkSession, inputs, config, context):
     labels = _propagate_labels(
         pairs, max_rounds, config.get("cc_impl", "auto"),
         checkpoint_dir=config.get("checkpoint_dir"),
+        driver_cap=int(config.get("driver_cc_cap", _DRIVER_CC_CAP)),
     )
 
     # Re-attach isolated nodes (comp = own id) with one left join; the

@@ -156,6 +156,7 @@ def sample_holdout(spark: SparkSession, inputs, config, context):
     Reference has no counterpart (nearest: Percentage Sampling,
     data_engineering_parser.py:1096) — NEW per SURVEY §2.12."""
     from ssis_to_pyspark_agent_spark.operators.dedup import (
+        _DRIVER_CC_CAP,
         _md5_60bit,
         _propagate_labels,
     )
@@ -178,6 +179,7 @@ def sample_holdout(spark: SparkSession, inputs, config, context):
             # reliable per-round checkpoints for cluster-scale runs —
             # same contract as dedup.cluster's checkpoint_dir
             checkpoint_dir=config.get("checkpoint_dir"),
+            driver_cap=int(config.get("driver_cc_cap", _DRIVER_CC_CAP)),
         )
     lbl = prop.select(F.col("x").alias(id_col), F.col("comp").alias("_hc"))
     if config.get("broadcast_components", True):  # off for degenerate pair sets

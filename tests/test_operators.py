@@ -3121,6 +3121,68 @@ class TestSampleModes:
         assert sorted(r.id for r in star["out"].collect()) == \
             sorted(r.id for r in lp["out"].collect())
 
+    def test_cluster_driver_cc_matches_distributed(self, spark):
+        # r12: under 'auto' a driver-bounded pair graph rides union-find
+        # on the driver (zero iterative shuffles). Components must be
+        # IDENTICAL to both distributed impls on a seeded random graph
+        # (cliques/chains/isolated mix), the cap must route oversized
+        # graphs to the distributed loop, and driver_cc_cap=0 must
+        # disable the driver path outright.
+        import random
+
+        from ssis_to_pyspark_agent_spark.operators.dedup import (
+            _driver_cc_labels,
+        )
+
+        rng = random.Random(11)
+        n = 300
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(200)]
+        edges = [(a, b) for a, b in edges if a != b]
+        docs = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        auto = run("dedup.cluster", spark, [docs, pairs], id_col="id")
+        lp = run("dedup.cluster", spark, [docs, pairs], id_col="id",
+                 cc_impl="lp", max_rounds=50)
+        star = run("dedup.cluster", spark, [docs, pairs], id_col="id",
+                   cc_impl="star")
+        want = sorted((r.id, r.comp) for r in lp["components"].collect())
+        assert sorted(
+            (r.id, r.comp) for r in auto["components"].collect()
+        ) == want
+        assert sorted(
+            (r.id, r.comp) for r in star["components"].collect()
+        ) == want
+        # labels frame shape contract: (x, comp), id-typed, edge nodes only
+        lbl = auto["labels"]
+        assert lbl.columns == ["x", "comp"]
+        assert {f.dataType.simpleString() for f in lbl.schema.fields} == {
+            "bigint"
+        }
+        edge_nodes = {a for a, _ in edges} | {b for _, b in edges}
+        assert {r.x for r in lbl.collect()} == edge_nodes
+        # a graph over the cap routes to the distributed loop — same labels
+        capped = run("dedup.cluster", spark, [docs, pairs], id_col="id",
+                     driver_cc_cap=10)
+        assert sorted(
+            (r.id, r.comp) for r in capped["components"].collect()
+        ) == want
+        # driver_cc_cap=0 disables the driver path (distributed again)
+        off = run("dedup.cluster", spark, [docs, pairs], id_col="id",
+                  driver_cc_cap=0)
+        assert sorted(
+            (r.id, r.comp) for r in off["components"].collect()
+        ) == want
+        # null endpoints are skipped exactly like the joins drop them
+        null_pairs = spark.createDataFrame(
+            [(0, 1), (None, 2), (3, None)], "a long, b long"
+        )
+        lbl_null = _driver_cc_labels(
+            spark, null_pairs.collect(), null_pairs.schema["a"]
+        )
+        assert sorted((r.x, r.comp) for r in lbl_null.collect()) == [
+            (0, 0), (1, 0)
+        ]
+
     def test_cluster_checkpoint_dir_identical(self, spark, tmp_path):
         """checkpoint_dir cuts the cc loops onto RELIABLE parquet
         (round-8 verdict item 5): components must be IDENTICAL to the
