@@ -1333,6 +1333,8 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
     # the driver (bounded by true-dup volume x LSH precision); set
     # verify_broadcast=False for degenerate corpora.
     sh = base.select("_id", "_sh")
+    cand_cached = cand  # pre-hint handle; the broadcast wrap below would
+    # make unpersist miss the cache entry (hint node != cached plan)
     if config.get("verify_broadcast", True):
         cand_ids = (
             cand.select(F.col("a").alias("_id"))
@@ -1380,6 +1382,11 @@ def dedup_minhash(spark: SparkSession, inputs, config, context):
         # reads materialized pairs instead of re-running the verify
         pairs.count()
         sh.unpersist()
+        # materialized `pairs` carries the result for BOTH remaining
+        # consumers (survivor anti-join, pairs port) — the candidate
+        # cache is dead weight from here (ADVICE r11: the incremental
+        # path already released it; this path leaked it per invocation)
+        cand_cached.unpersist()
     # broadcast is safe exactly when verify_broadcast is: the dominated
     # set is a sub-projection of the candidate frame broadcast above
     out = _keep_min_survivors(

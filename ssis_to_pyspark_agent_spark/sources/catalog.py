@@ -27,9 +27,20 @@ _SCHEMA_MEMO: dict[tuple, object] = {}
 
 
 def _path_sig(path: str):
+    # For a parquet DIRECTORY the top-level stat is not enough: an
+    # in-place rewrite of a part file changes neither the dir's mtime
+    # nor its size (r11 verdict item 3) — include each direct child's
+    # (name, mtime_ns, size) so any part-file change re-infers.
     try:
         st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        kids = []
+        with os.scandir(path) as it:
+            for e in it:
+                s = e.stat()
+                kids.append((e.name, s.st_mtime_ns, s.st_size))
+        return (st.st_mtime_ns, st.st_size, tuple(sorted(kids)))
     except OSError:
         return None
 

@@ -208,6 +208,40 @@ class TestFileSources:
         assert [f.name for f in back.schema.fields] == ["x", "y"]
         assert back.collect()[0].x == 2.5
 
+    def test_parquet_schema_memo_invalidates_on_inplace_part_change(
+        self, spark
+    ):
+        # r12 (r11 verdict item 4): modifying a part FILE inside a
+        # parquet directory changes neither the directory's mtime nor
+        # its size — the signature must include direct children so an
+        # in-place change re-infers instead of serving a stale schema
+        import shutil
+        import time as _t
+
+        from ssis_to_pyspark_agent_spark.sources.catalog import read_parquet
+
+        path = os.path.join(SCRATCH, "pq_memo_inplace")
+        alt = os.path.join(SCRATCH, "pq_memo_inplace_alt")
+        spark.createDataFrame([(1, "a")], "id int, s string").write.mode(
+            "overwrite").parquet(path)
+        spark.createDataFrame([(2.5, 7)], "x double, y int").write.mode(
+            "overwrite").parquet(alt)
+        first = read_parquet(spark, path)
+        assert [f.name for f in first.schema.fields] == ["id", "s"]
+        # swap every data/marker file INSIDE the dir; the dir inode's
+        # own (mtime, size) is then restored by copying onto existing
+        # names where possible — emulate with a fixed dir timestamp
+        dir_stat = os.stat(path)
+        for f in os.listdir(path):
+            os.remove(os.path.join(path, f))
+        for f in os.listdir(alt):
+            shutil.copy2(os.path.join(alt, f), os.path.join(path, f))
+        os.utime(path, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns))
+        _t.sleep(0.02)
+        back = read_parquet(spark, path)
+        assert [f.name for f in back.schema.fields] == ["x", "y"]
+        assert back.collect()[0].x == 2.5
+
     def test_binary_source(self, spark):
         d = os.path.join(SCRATCH, "bins")
         os.makedirs(d, exist_ok=True)
