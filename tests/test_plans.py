@@ -122,6 +122,31 @@ class TestAggregation:
         assert plan_of(df).count("Scan parquet") == 1
 
 
+class TestCachedPlanPartitioning:
+    def test_persisted_tiny_shuffle_coalesces(self, spark):
+        # r12: canChangeCachedPlanOutputPartitioning=true lets AQE
+        # re-optimize the plan that MATERIALIZES a persisted frame —
+        # a tiny post-shuffle cache must coalesce below the static
+        # shuffle width instead of freezing it into the cached relation
+        # (q50's split cache held 32 partitions for ~1.2k rows; every
+        # downstream scan paid the full width)
+        from pyspark.sql import functions as F
+
+        df = (
+            spark.range(100)
+            .groupBy((F.col("id") % 10).alias("k"))
+            .count()
+            .persist()
+        )
+        try:
+            df.count()  # fill
+            width = df.rdd.getNumPartitions()
+            static = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            assert width < static, (width, static)
+        finally:
+            df.unpersist()
+
+
 class TestObserveRowCount:
     def test_row_count_adds_no_job(self, spark):
         from ssis_to_pyspark_agent_spark.operators import get_operator
