@@ -4323,11 +4323,24 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     outputs are ids + the integer second lag."""
     p = (
         Pipeline("q78")
-        .step("views0", "source.stream", path=f"{sf_dir}/events.parquet")
+        # max_files_per_trigger=64: a BOUNDED replay pays the fixed
+        # state-store WAL/commit cost once per micro-batch, and the
+        # file source cuts one batch per file at the default of 1 —
+        # the r12 growth sweep flagged q78 at 3.6x time for 3x data
+        # purely because the 3x rig's events table has 8 part files
+        # (the fixture has 1; sf0.1 results/batching are unchanged).
+        # Larger trigger batches are also the SAFE direction for
+        # replay correctness: the watermark advances between batches,
+        # so a many-batch replay of unsorted files can evict join
+        # state mid-replay. A real low-latency deployment tunes this
+        # down; a backfill/replay wants it high.
+        .step("views0", "source.stream", path=f"{sf_dir}/events.parquet",
+              max_files_per_trigger=64)
         .step("views1", "filter", "views0", predicate='[event_type] == "view"')
         .step("views", "select", "views1",
               columns={"user_id": "user_id", "v_ts": "ts", "v_id": "event_id"})
-        .step("buys0", "source.stream", path=f"{sf_dir}/events.parquet")
+        .step("buys0", "source.stream", path=f"{sf_dir}/events.parquet",
+              max_files_per_trigger=64)
         .step("buys1", "filter", "buys0",
               predicate='[event_type] == "purchase"')
         .step("buys", "select", "buys1",
